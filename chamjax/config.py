@@ -1,0 +1,180 @@
+"""Configuration system: typed dataclasses + YAML loading.
+
+The reference configures experiments through YAML files merged into module
+globals (``llm_inference_gpu/experiments/start_coordinator_and_GPU.py:79-85``)
+plus argparse overrides, and configures the FPGA through compile-time macros
+(``retrieval_accelerator/*/src/constants.hpp``).  Here everything is a typed
+dataclass; kernel-shape-relevant fields are static per jit compile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+def _coerce(cls, d: Dict[str, Any]):
+    """Build dataclass ``cls`` from a dict, ignoring unknown keys."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in d.items() if k in names})
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Static shape/config of an IVF-PQ index.
+
+    Mirrors the reference's compile-time constants
+    (``constants.hpp:9-33``: D, M, LUT_ENTRY_NUM=256, NLIST_MAX) and the
+    Faiss index-key strings like ``"OPQ16,IVF4096,PQ16"``
+    (``Faiss_experiments/bench_polysemous_1bn.py``).
+    """
+
+    dim: int = 128           # D  — vector dimensionality
+    nlist: int = 1024        # number of IVF cells
+    m: int = 16              # M  — PQ sub-quantizers
+    nbits: int = 8           # bits per PQ code (256-entry LUTs when 8)
+    opq: bool = False        # learned orthogonal rotation before PQ
+    by_residual: bool = True # PQ encodes residual to coarse centroid
+    # Packed-layout padding: each inverted list padded to a multiple of this
+    # many rows so Pallas tiles and XLA slices stay aligned (the analogue of
+    # the reference's 64-byte-entry padding,
+    # ``extract_Enzian_U250_required_data.py:296-360``).
+    list_pad: int = 128
+
+    @property
+    def ksub(self) -> int:
+        return 1 << self.nbits
+
+    @property
+    def dsub(self) -> int:
+        assert self.dim % self.m == 0, (self.dim, self.m)
+        return self.dim // self.m
+
+    @property
+    def key(self) -> str:
+        """Faiss-style index key string."""
+        prefix = f"OPQ{self.m}," if self.opq else ""
+        return f"{prefix}IVF{self.nlist},PQ{self.m}"
+
+
+@dataclass(frozen=True)
+class SearchConfig:
+    """Per-search-compile static parameters."""
+
+    nprobe: int = 32
+    k: int = 100                 # TOPK (reference constants.hpp:17)
+    batch_size: int = 32
+    # Static scan length per probed list (rows).  Lists longer than this are
+    # truncated for the fixed-shape path; choose via
+    # ``PackedIVF.suggest_scan_len``.  Analogue of the per-cell iteration
+    # count table in ``DRAM_utils.hpp:45-102`` — but static for XLA.
+    scan_len: int = 4096
+    # Probes processed per inner step to bound live memory (chunked scan).
+    probe_chunk: int = 8
+    # Use TPU-optimized approximate partial top-k (jax.lax.approx_min_k) for
+    # the big selection — the moral equivalent of the FPGA's truncated L1
+    # priority queues (``hierarchical_priority_queue.hpp``), with recall
+    # governed the same way the reference sizes queues probabilistically.
+    use_approx_topk: bool = True
+    approx_recall_target: float = 0.99
+    # Distance compute dtype ("float32" | "bfloat16").
+    dtype: str = "float32"
+    # Scan backend: "pallas" (fused TPU kernel) or "xla" (reference path).
+    backend: str = "pallas"
+    # Pallas code-tile width (columns per DMA block); 0 = auto from list_pad.
+    tile: int = 0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Transformer shape, mirroring ``experiments/config/{Dec-S,...}.yaml``."""
+
+    model_type: str = "decoder"      # "decoder" | "encoder-decoder"
+    embed_dim: int = 512
+    ffn_embed_dim: int = 2048
+    layers: int = 24
+    attention_heads: int = 8
+    encoder_layers: int = 2          # enc-dec only
+    vocab_size: int = 50000          # reference uses 50k (get_model.py:31)
+    max_seq_len: int = 512
+    dtype: str = "bfloat16"
+    # retrieval plumbing
+    retrieval_interval: int = 1
+    retrieval_token_len: int = 64    # enc-dec: tokens per retrieved doc
+    k: int = 10                      # neighbours per retrieval
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for sharded search / model parallelism."""
+
+    data: int = 1      # batch-parallel axis
+    lists: int = 1     # inverted-list shard axis (reference: 4 DRAM banks /
+                       # multi-FPGA shards / coordinator round-robin)
+    model: int = 1     # tensor-parallel axis for the LM
+
+
+@dataclass(frozen=True)
+class ServiceConfig:
+    """TCP service endpoints (reference experiments/config/*.yaml keys)."""
+
+    host: str = "127.0.0.1"
+    port: int = 25000
+    coordinator_host: str = "127.0.0.1"
+    coordinator_port: int = 25001
+    n_clients: int = 1
+    n_engines: int = 1
+    batch_size: int = 32
+    dim: int = 128
+    k: int = 100
+    nprobe: int = 32
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    index: IndexConfig = field(default_factory=IndexConfig)
+    search: SearchConfig = field(default_factory=SearchConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    service: ServiceConfig = field(default_factory=ServiceConfig)
+    dbname: str = "SIFT1M"
+    seed: int = 0
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "ExperimentConfig":
+        return ExperimentConfig(
+            index=_coerce(IndexConfig, d.get("index", {})),
+            search=_coerce(SearchConfig, d.get("search", {})),
+            model=_coerce(ModelConfig, d.get("model", {})),
+            mesh=_coerce(MeshConfig, d.get("mesh", {})),
+            service=_coerce(ServiceConfig, d.get("service", {})),
+            dbname=d.get("dbname", "SIFT1M"),
+            seed=d.get("seed", 0),
+        )
+
+    @staticmethod
+    def from_yaml(path: str) -> "ExperimentConfig":
+        import yaml
+
+        with open(path) as f:
+            return ExperimentConfig.from_dict(yaml.safe_load(f) or {})
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+# Model presets matching the reference experiment shapes
+# (``experiments/config/{Dec-S,Dec-L,EncDec-S,EncDec-L}.yaml``).
+MODEL_PRESETS: Dict[str, ModelConfig] = {
+    "Dec-S": ModelConfig(model_type="decoder", embed_dim=512,
+                         ffn_embed_dim=2048, layers=24, attention_heads=8),
+    "Dec-L": ModelConfig(model_type="decoder", embed_dim=1024,
+                         ffn_embed_dim=4096, layers=96, attention_heads=16),
+    "EncDec-S": ModelConfig(model_type="encoder-decoder", embed_dim=512,
+                            ffn_embed_dim=2048, layers=24, attention_heads=8,
+                            encoder_layers=2, retrieval_interval=8, k=10),
+    "EncDec-L": ModelConfig(model_type="encoder-decoder", embed_dim=1024,
+                            ffn_embed_dim=4096, layers=96, attention_heads=16,
+                            encoder_layers=2, retrieval_interval=8, k=10),
+}

@@ -1,0 +1,218 @@
+"""Dataset IO: TexMex *vecs, big-ANN *bin formats, synthetic corpora.
+
+Functional parity with the reference's dataset layer
+(``Chameleon/Faiss_experiments/datasets.py:13-199``): fvecs/bvecs/ivecs
+readers+writers with mmap variants (SIFT), fbin/ibin (Deep/SPACEV), and the
+synthetic "RALM" token-embedding-like corpora generator
+(``generate_SYN_dataset.py``) — regenerated here deterministically from a
+seed instead of shipping billion-scale files.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# TexMex .fvecs / .bvecs / .ivecs: each record = int32 dim header + payload.
+# ---------------------------------------------------------------------------
+
+
+def _read_vecs(path: str, dtype, item_bytes: int) -> np.ndarray:
+    raw = np.fromfile(path, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty((0, 0), dtype=dtype)
+    dim = int(np.frombuffer(raw[:4], dtype=np.int32)[0])
+    rec = 4 + dim * item_bytes
+    assert raw.size % rec == 0, f"{path}: size {raw.size} not multiple of {rec}"
+    n = raw.size // rec
+    mat = raw.reshape(n, rec)[:, 4:]
+    return mat.view(dtype).reshape(n, dim).copy()
+
+
+def read_fvecs(path: str) -> np.ndarray:
+    return _read_vecs(path, np.float32, 4)
+
+
+def read_ivecs(path: str) -> np.ndarray:
+    return _read_vecs(path, np.int32, 4)
+
+
+def read_bvecs(path: str) -> np.ndarray:
+    return _read_vecs(path, np.uint8, 1)
+
+
+def _mmap_vecs(path: str, dtype, item_bytes: int) -> np.ndarray:
+    with open(path, "rb") as f:
+        dim = int(np.frombuffer(f.read(4), dtype=np.int32)[0])
+    rec = 4 + dim * item_bytes
+    size = os.path.getsize(path)
+    assert size % rec == 0
+    mm = np.memmap(path, dtype=np.uint8, mode="r", shape=(size // rec, rec))
+    return mm[:, 4:].view(dtype).reshape(size // rec, dim)
+
+
+def mmap_fvecs(path: str) -> np.ndarray:
+    return _mmap_vecs(path, np.float32, 4)
+
+
+def mmap_bvecs(path: str) -> np.ndarray:
+    return _mmap_vecs(path, np.uint8, 1)
+
+
+def write_fvecs(path: str, x: np.ndarray) -> None:
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    n, d = x.shape
+    out = np.empty((n, d + 1), dtype=np.int32)
+    out[:, 0] = d
+    out[:, 1:] = x.view(np.int32)
+    out.tofile(path)
+
+
+def write_ivecs(path: str, x: np.ndarray) -> None:
+    x = np.ascontiguousarray(x, dtype=np.int32)
+    n, d = x.shape
+    out = np.empty((n, d + 1), dtype=np.int32)
+    out[:, 0] = d
+    out[:, 1:] = x
+    out.tofile(path)
+
+
+# ---------------------------------------------------------------------------
+# big-ANN .fbin / .ibin: int32 n, int32 dim, then row-major payload.
+# ---------------------------------------------------------------------------
+
+
+def read_fbin(path: str, start: int = 0, count: Optional[int] = None) -> np.ndarray:
+    with open(path, "rb") as f:
+        n, d = np.frombuffer(f.read(8), dtype=np.int32)
+        n = int(n) - start
+        if count is not None:
+            n = min(n, count)
+        f.seek(8 + start * d * 4)
+        return np.fromfile(f, dtype=np.float32, count=n * d).reshape(n, d)
+
+
+def read_ibin(path: str, start: int = 0, count: Optional[int] = None) -> np.ndarray:
+    with open(path, "rb") as f:
+        n, d = np.frombuffer(f.read(8), dtype=np.int32)
+        n = int(n) - start
+        if count is not None:
+            n = min(n, count)
+        f.seek(8 + start * d * 4)
+        return np.fromfile(f, dtype=np.int32, count=n * d).reshape(n, d)
+
+
+def write_fbin(path: str, x: np.ndarray) -> None:
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    with open(path, "wb") as f:
+        np.asarray(x.shape, dtype=np.int32).tofile(f)
+        x.tofile(f)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic corpora (deterministic).  The reference generates "RALM-S/L"
+# datasets as random normal vectors at dims 512/1024
+# (``generate_SYN_dataset.py``); we keep that contract and add a clustered
+# mode so IVF recall curves are non-trivial.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Dataset:
+    name: str
+    xb: np.ndarray        # (nb, d) float32 — database vectors
+    xq: np.ndarray        # (nq, d) float32 — query vectors
+    xt: np.ndarray        # (nt, d) float32 — training vectors
+    gt: Optional[np.ndarray] = None   # (nq, k) int — ground-truth neighbour ids
+
+    @property
+    def d(self) -> int:
+        return self.xb.shape[1]
+
+    @property
+    def nb(self) -> int:
+        return self.xb.shape[0]
+
+
+def synthetic_dataset(
+    name: str = "SYN",
+    nb: int = 100_000,
+    nq: int = 1000,
+    nt: int = 50_000,
+    d: int = 128,
+    seed: int = 0,
+    n_clusters: int = 0,
+    rank: Optional[int] = None,
+) -> Dataset:
+    """Deterministic synthetic dataset.
+
+    ``n_clusters > 0`` draws vectors around cluster centers (realistic IVF
+    behaviour); ``0`` gives iid normal like the reference's RALM-SYN corpora.
+    ``rank`` (default d//4 when clustered) embeds points near a low-dim
+    manifold — iid-Gaussian data is information-theoretically worst-case for
+    PQ (quantization noise ≈ NN gap), while real embeddings (SIFT, SBERT)
+    have strong low-dim structure; without this, recall curves are
+    meaningless.
+    """
+    rng = np.random.default_rng(seed)
+    if n_clusters > 0:
+        rank = rank or max(4, d // 4)
+        centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 4.0
+        proj = rng.standard_normal((rank, d)).astype(np.float32) / np.sqrt(rank)
+
+        def draw(n, salt):
+            r = np.random.default_rng(seed + salt)
+            asg = r.integers(0, n_clusters, size=n)
+            z = r.standard_normal((n, rank)).astype(np.float32)
+            noise = r.standard_normal((n, d)).astype(np.float32) * 0.05
+            return (centers[asg] + z @ proj + noise).astype(np.float32)
+
+        xb, xt, xq = draw(nb, 1), draw(nt, 2), draw(nq, 3)
+    else:
+        xb = rng.standard_normal((nb, d)).astype(np.float32)
+        xt = rng.standard_normal((nt, d)).astype(np.float32)
+        xq = rng.standard_normal((nq, d)).astype(np.float32)
+    return Dataset(name=name, xb=xb, xq=xq, xt=xt)
+
+
+_KNOWN = {
+    # name: (d, default nb) — loaders for on-disk TexMex/bigann layouts.
+    "SIFT1M": (128, 1_000_000),
+    "SIFT10M": (128, 10_000_000),
+    "SIFT100M": (128, 100_000_000),
+    "Deep1M": (96, 1_000_000),
+    "Deep10M": (96, 10_000_000),
+    "RALM-S": (512, None),
+    "RALM-L": (1024, None),
+}
+
+
+def load_dataset(dbname: str, data_dir: str = "data", **syn_kwargs) -> Dataset:
+    """Load a named dataset from ``data_dir`` if present, else synthesize.
+
+    On-disk layout follows the reference conventions
+    (``Faiss_experiments/datasets.py``): ``bigann/`` holds
+    ``bigann_{base,learn}.bvecs`` + ``bigann_query.bvecs`` + ``gnd/idx_*M.ivecs``;
+    ``deep1b/`` holds ``{base,learn,query}.fvecs``.  If files are missing the
+    dataset is synthesized deterministically at the right dim (clustered),
+    sized by the dbname's scale suffix — capped for tractability.
+    """
+    if dbname.startswith("SIFT") and os.path.isdir(os.path.join(data_dir, "bigann")):
+        nM = int(dbname[4:].rstrip("M"))
+        root = os.path.join(data_dir, "bigann")
+        xb = mmap_bvecs(os.path.join(root, "bigann_base.bvecs"))[: nM * 10**6]
+        xt = mmap_bvecs(os.path.join(root, "bigann_learn.bvecs"))
+        xq = read_bvecs(os.path.join(root, "bigann_query.bvecs"))
+        gt_path = os.path.join(root, "gnd", f"idx_{nM}M.ivecs")
+        gt = read_ivecs(gt_path) if os.path.exists(gt_path) else None
+        return Dataset(dbname, np.asarray(xb, np.float32), xq.astype(np.float32),
+                       np.asarray(xt[:10**6], np.float32), gt)
+    d, nb = _KNOWN.get(dbname, (syn_kwargs.pop("d", 128), None))
+    nb = min(nb or 100_000, syn_kwargs.pop("max_nb", 1_000_000))
+    kw = dict(nb=nb, d=d, n_clusters=256)
+    kw.update(syn_kwargs)
+    return synthetic_dataset(name=dbname, **kw)

@@ -1,0 +1,199 @@
+"""Packed IVF-PQ index: build, padded device layout, save/load.
+
+The device layout is the TPU analogue of the reference's FPGA memory image
+(``Faiss_experiments/my_faiss_extract_scripts/extract_Enzian_U250_required_data.py:296-565``):
+inverted lists are concatenated into one contiguous, padded code array with a
+per-list (start, len) table — there it is split across 4 DDR banks with
+64-byte-entry padding; here it is one HBM array padded to ``list_pad``-row
+multiples (so XLA slices and Pallas tiles stay aligned) and shardable along
+the row axis of a device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from chamjax.config import IndexConfig
+from chamjax.index.kmeans import kmeans, assign as kmeans_assign
+from chamjax.index.pq import train_pq, pq_encode, train_opq
+
+INVALID_ID = np.int32(-1)
+
+
+@dataclass
+class PackedIVF:
+    """A populated IVF-PQ index in packed (padded CSR) layout.
+
+    Arrays are host numpy; the search path moves them to device (or shards
+    them over a mesh) once and keeps them resident.
+    """
+
+    cfg: IndexConfig
+    centroids: np.ndarray     # (nlist, d)   float32 — coarse quantizer
+    codebooks: np.ndarray     # (m, ksub, dsub) float32 — product quantizer
+    codes: np.ndarray         # (n_pad, m)   uint8   — grouped by list, padded
+    ids: np.ndarray           # (n_pad,)     int32   — INVALID_ID on padding
+    list_start: np.ndarray    # (nlist,)     int32   — row offset per list
+    list_len: np.ndarray      # (nlist,)     int32   — true rows per list
+    ntotal: int
+    opq_R: Optional[np.ndarray] = None  # (d, d) float32 — rotation, or None
+
+    # -- stats / sizing ----------------------------------------------------
+
+    @property
+    def n_pad(self) -> int:
+        return self.codes.shape[0]
+
+    def suggest_scan_len(self, nprobe: int, quantile: float = 1.0) -> int:
+        """Static per-probe scan length covering ``quantile`` of lists,
+        rounded up to a ``list_pad`` multiple.  The static-shape stand-in for
+        the reference's per-cell iteration counts (``DRAM_utils.hpp:45-102``)."""
+        q = float(np.quantile(self.list_len, quantile))
+        pad = self.cfg.list_pad
+        return max(pad, int(-(-q // pad) * pad))
+
+    def memory_bytes(self) -> int:
+        return (
+            self.codes.nbytes
+            + self.ids.nbytes
+            + self.centroids.nbytes
+            + self.codebooks.nbytes
+            + self.list_start.nbytes
+            + self.list_len.nbytes
+        )
+
+    # -- persistence (the reference's checkpoint unit is the populated
+    #    index file, ``faiss_retriever.py:85-94``) --------------------------
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            centroids=self.centroids,
+            codebooks=self.codebooks,
+            codes=self.codes,
+            ids=self.ids,
+            list_start=self.list_start,
+            list_len=self.list_len,
+            ntotal=np.int64(self.ntotal),
+            opq_R=self.opq_R if self.opq_R is not None else np.zeros((0, 0), np.float32),
+            cfg=np.frombuffer(repr(dataclasses.asdict(self.cfg)).encode(), dtype=np.uint8),
+        )
+
+    @staticmethod
+    def load(path: str) -> "PackedIVF":
+        import ast
+
+        z = np.load(path, allow_pickle=False)
+        cfg = IndexConfig(**ast.literal_eval(bytes(z["cfg"]).decode()))
+        opq_R = z["opq_R"]
+        return PackedIVF(
+            cfg=cfg,
+            centroids=z["centroids"],
+            codebooks=z["codebooks"],
+            codes=z["codes"],
+            ids=z["ids"],
+            list_start=z["list_start"],
+            list_len=z["list_len"],
+            ntotal=int(z["ntotal"]),
+            opq_R=opq_R if opq_R.size else None,
+        )
+
+
+def _pack_lists(
+    assignment: np.ndarray,
+    codes: np.ndarray,
+    nlist: int,
+    list_pad: int,
+    tail_pad: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Group codes by list with per-list padding to ``list_pad`` multiples.
+
+    Returns (packed_codes, packed_ids, list_start, list_len).  Padding rows
+    carry id = INVALID_ID and code 0; ``tail_pad`` extra rows guarantee any
+    fixed-length scan window starting inside a list stays in bounds.
+    """
+    n, m = codes.shape
+    order = np.argsort(assignment, kind="stable")
+    sorted_codes = codes[order]
+    sorted_ids = order.astype(np.int32)
+    list_len = np.bincount(assignment, minlength=nlist).astype(np.int32)
+    padded_len = ((list_len + list_pad - 1) // list_pad) * list_pad
+    padded_len = np.maximum(padded_len, list_pad)
+    list_start = np.zeros(nlist, np.int32)
+    list_start[1:] = np.cumsum(padded_len)[:-1]
+    n_pad = int(padded_len.sum()) + tail_pad
+
+    packed_codes = np.zeros((n_pad, m), np.uint8)
+    packed_ids = np.full((n_pad,), INVALID_ID, np.int32)
+    src_start = np.zeros(nlist, np.int64)
+    src_start[1:] = np.cumsum(list_len.astype(np.int64))[:-1]
+    for l in range(nlist):
+        s, ln = int(src_start[l]), int(list_len[l])
+        ds = int(list_start[l])
+        packed_codes[ds : ds + ln] = sorted_codes[s : s + ln]
+        packed_ids[ds : ds + ln] = sorted_ids[s : s + ln]
+    return packed_codes, packed_ids, list_start, list_len
+
+
+def build_ivfpq(
+    xb: np.ndarray,
+    cfg: IndexConfig,
+    xt: Optional[np.ndarray] = None,
+    seed: int = 0,
+    kmeans_iters: int = 15,
+    pq_iters: int = 20,
+    tail_pad: int = 8192,
+    verbose: bool = False,
+) -> PackedIVF:
+    """Train + populate an IVF-PQ index (the reference's offline pipeline,
+    §3.5 of SURVEY.md: train → populate → extract memory image — fused here).
+    """
+    xb = np.ascontiguousarray(xb, np.float32)
+    xt = xb if xt is None else np.ascontiguousarray(xt, np.float32)
+
+    opq_R = None
+    if cfg.opq:
+        opq_R, _ = train_opq(xt, cfg.m, nbits=cfg.nbits, seed=seed)
+        xt_r = xt @ opq_R
+        xb_r = xb @ opq_R
+    else:
+        xt_r, xb_r = xt, xb
+
+    if verbose:
+        print(f"[build] kmeans nlist={cfg.nlist} on {xt_r.shape}", flush=True)
+    centroids = kmeans(xt_r, cfg.nlist, iters=kmeans_iters, seed=seed)
+
+    train_assign = kmeans_assign(xt_r, centroids)
+    if cfg.by_residual:
+        train_vecs = xt_r - centroids[train_assign]
+    else:
+        train_vecs = xt_r
+    if verbose:
+        print(f"[build] PQ m={cfg.m} nbits={cfg.nbits}", flush=True)
+    codebooks = train_pq(train_vecs, cfg.m, nbits=cfg.nbits, iters=pq_iters, seed=seed)
+
+    assignment = kmeans_assign(xb_r, centroids)
+    enc_vecs = xb_r - centroids[assignment] if cfg.by_residual else xb_r
+    codes = pq_encode(enc_vecs, codebooks)
+
+    packed_codes, packed_ids, list_start, list_len = _pack_lists(
+        assignment, codes, cfg.nlist, cfg.list_pad, tail_pad
+    )
+    if verbose:
+        util = xb.shape[0] / max(packed_codes.shape[0], 1)
+        print(f"[build] packed n_pad={packed_codes.shape[0]} util={util:.2%}", flush=True)
+    return PackedIVF(
+        cfg=cfg,
+        centroids=centroids,
+        codebooks=codebooks,
+        codes=packed_codes,
+        ids=packed_ids,
+        list_start=list_start,
+        list_len=list_len,
+        ntotal=int(xb.shape[0]),
+        opq_R=opq_R,
+    )

@@ -1,0 +1,127 @@
+"""K-means as jitted Lloyd iterations (MXU assignment + segment-sum update).
+
+Replaces the reference's Faiss ``train`` calls
+(``Faiss_experiments/train_cpu.py`` / ``train_gpu.py`` /
+``bench_polysemous_1bn.py``) with pure XLA: the assignment step is one
+``(chunk, d) @ (d, k)`` matmul + argmin, the update step a segment-sum.
+Data is streamed in fixed-size chunks so the same compiled program serves
+any corpus size; empty clusters are re-seeded by splitting heavy ones
+(Faiss-style).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _assign_chunk(x: jax.Array, cent: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Nearest centroid per row. Returns (assignment (n,), min_dist (n,))."""
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row.
+    # HIGHEST: assignment ranking must not run through bf16 MXU passes.
+    logits = jnp.dot(x, cent.T, precision=jax.lax.Precision.HIGHEST)
+    cn = jnp.sum(cent * cent, axis=1)
+    scores = 2.0 * logits - cn[None, :]
+    a = jnp.argmax(scores, axis=1)
+    xn = jnp.sum(x * x, axis=1)
+    return a.astype(jnp.int32), xn - jnp.max(scores, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _accumulate_chunk(x: jax.Array, a: jax.Array, k: int):
+    sums = jax.ops.segment_sum(x, a, num_segments=k)
+    counts = jax.ops.segment_sum(jnp.ones((x.shape[0],), jnp.float32), a, num_segments=k)
+    return sums, counts
+
+
+def assign(x: np.ndarray, centroids: np.ndarray, chunk: int = 1 << 18) -> np.ndarray:
+    """Chunked nearest-centroid assignment (host-resident data)."""
+    cent = jnp.asarray(centroids, jnp.float32)
+    out = np.empty((x.shape[0],), np.int32)
+    for i in range(0, x.shape[0], chunk):
+        xi = jnp.asarray(x[i : i + chunk], jnp.float32)
+        out[i : i + xi.shape[0]] = np.asarray(_assign_chunk(xi, cent)[0])
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _kmeanspp_init(x: jax.Array, k: int, key: jax.Array) -> jax.Array:
+    """k-means++ (D²-sampling) seeding as one compiled fori_loop."""
+    n, d = x.shape
+    first = jax.random.randint(key, (), 0, n)
+    c0 = x[first]
+    min_d = jnp.sum((x - c0) ** 2, axis=1)
+    cents = jnp.zeros((k, d), x.dtype).at[0].set(c0)
+
+    def body(i, carry):
+        cents, min_d = carry
+        ki = jax.random.fold_in(key, i)
+        # D² sampling via the Gumbel-max trick (one pass, no cumsum search)
+        logits = jnp.log(jnp.maximum(min_d, 1e-30))
+        idx = jnp.argmax(logits + jax.random.gumbel(ki, (n,)))
+        c = x[idx]
+        cents = cents.at[i].set(c)
+        min_d = jnp.minimum(min_d, jnp.sum((x - c) ** 2, axis=1))
+        return cents, min_d
+
+    cents, _ = jax.lax.fori_loop(1, k, body, (cents, min_d))
+    return cents
+
+
+def kmeans(
+    x: np.ndarray,
+    k: int,
+    iters: int = 15,
+    seed: int = 0,
+    chunk: int = 1 << 18,
+    init_sample: int = 1 << 17,
+    verbose: bool = False,
+) -> np.ndarray:
+    """Lloyd k-means with k-means++ seeding. Returns centroids ``(k, d)``.
+
+    Deterministic given (x, k, iters, seed).  Seeding runs on a subsample of
+    ``init_sample`` points; empty clusters during Lloyd are re-seeded from
+    the heaviest cluster's centroid plus a small deterministic jitter.
+    """
+    n, d = x.shape
+    rng = np.random.default_rng(seed)
+    if k >= n:
+        cent = np.ascontiguousarray(x, dtype=np.float32)
+        pad = rng.standard_normal((k - n, d)).astype(np.float32)
+        cent_dev = jnp.asarray(np.concatenate([cent, pad], axis=0))
+    else:
+        sample = x if n <= init_sample else x[
+            np.sort(rng.choice(n, size=init_sample, replace=False))
+        ]
+        cent_dev = _kmeanspp_init(
+            jnp.asarray(sample, jnp.float32), k, jax.random.PRNGKey(seed)
+        )
+
+    for it in range(iters):
+        sums = jnp.zeros((k, d), jnp.float32)
+        counts = jnp.zeros((k,), jnp.float32)
+        sse = 0.0
+        for i in range(0, n, chunk):
+            xi = jnp.asarray(x[i : i + chunk], jnp.float32)
+            a, dmin = _assign_chunk(xi, cent_dev)
+            s, c = _accumulate_chunk(xi, a, k)
+            sums = sums + s
+            counts = counts + c
+            sse += float(jnp.sum(dmin))
+        counts_np = np.asarray(counts)
+        new_cent = np.asarray(sums) / np.maximum(counts_np, 1.0)[:, None]
+        empty = np.where(counts_np == 0)[0]
+        if empty.size:
+            heavy = np.argsort(-counts_np)[: empty.size]
+            jitter = rng.standard_normal((empty.size, d)).astype(np.float32)
+            scale = np.abs(new_cent[heavy]).mean(axis=1, keepdims=True) * 1e-3 + 1e-6
+            new_cent[empty] = new_cent[heavy] + jitter * scale
+        cent_dev = jnp.asarray(new_cent)
+        if verbose:
+            print(f"kmeans iter {it}: sse={sse:.4e} empty={empty.size}", flush=True)
+    return np.asarray(cent_dev)

@@ -1,0 +1,11 @@
+from chamjax.models.transformer import (  # noqa: F401
+    TransformerParams,
+    KVCache,
+    init_decoder,
+    init_encoder,
+    init_encoder_decoder,
+    decoder_prefill,
+    decoder_step,
+    encoder_forward,
+    init_kv_cache,
+)

@@ -1,0 +1,57 @@
+"""Top-k selection: TPU-optimized partial reduction + exact merge.
+
+The TPU answer to the FPGA's hierarchical priority queues
+(``SRC/hierarchical_priority_queue.hpp``): the wide first stage uses
+``jax.lax.approx_min_k`` — XLA's PartialReduce top-k, which (like the
+reference's probabilistically-shortened L1 queues sized by
+``python_probablistic_priority_queue/probablistic_priority_queue.py``)
+trades a bounded recall loss for a selection pass that runs at VPU
+streaming speed — and the final merge is an exact ``lax.top_k`` (the L2
+queue of length TOPK).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "use_approx", "recall_target")
+)
+def select_topk(
+    dists: jax.Array,        # (b, n) float32 — smaller is better
+    k: int,
+    use_approx: bool = True,
+    recall_target: float = 0.99,
+) -> Tuple[jax.Array, jax.Array]:
+    """Smallest-k per row → ``(dists (b, k), positions (b, k) int32)``."""
+    n = dists.shape[-1]
+    kk = min(k, n)
+    if use_approx and n >= 4 * kk:
+        vals, idx = jax.lax.approx_min_k(
+            dists, kk, recall_target=recall_target, aggregate_to_topk=True
+        )
+    else:
+        neg, idx = jax.lax.top_k(-dists, kk)
+        vals = -neg
+    if kk < k:  # pad to requested k
+        pad_v = jnp.full(dists.shape[:-1] + (k - kk,), jnp.inf, vals.dtype)
+        pad_i = jnp.zeros(dists.shape[:-1] + (k - kk,), idx.dtype)
+        vals = jnp.concatenate([vals, pad_v], axis=-1)
+        idx = jnp.concatenate([idx, pad_i], axis=-1)
+    return vals, idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def merge_topk(
+    d1: jax.Array, i1: jax.Array, d2: jax.Array, i2: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact merge of two sorted/unsorted candidate sets (the L2 queue)."""
+    d = jnp.concatenate([d1, d2], axis=-1)
+    i = jnp.concatenate([i1, i2], axis=-1)
+    neg, pos = jax.lax.top_k(-d, k)
+    return -neg, jnp.take_along_axis(i, pos, axis=-1)

@@ -1,0 +1,62 @@
+"""Tensor/data-parallel sharding for the transformer.
+
+The reference's only model-scale story is one replica per GPU (manual DP,
+``llm_inference_gpu/README.md``).  The TPU rebuild goes further: decoder
+params shard over a ``tp`` mesh axis (attention heads / FFN columns), the
+batch over ``dp``, via NamedSharding on the stacked-layer pytree — XLA
+inserts the all-reduces over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from chamjax.models.transformer import KVCache, TransformerParams
+
+
+def shard_decoder_params(params: TransformerParams, mesh: Mesh,
+                         tp_axis: str = "tp") -> TransformerParams:
+    """Place params: QKV/FFN-in column-sharded, O/FFN-out row-sharded over
+    ``tp_axis``; embeddings/vocab replicated (simple; vocab-shard later)."""
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    layer_specs = {
+        "ln1_scale": P(None, None), "ln1_bias": P(None, None),
+        "wqkv": P(None, None, tp_axis),     # (L, d, 3d) column-sharded
+        "wo": P(None, tp_axis, None),       # (L, d, d) row-sharded
+        "ln2_scale": P(None, None), "ln2_bias": P(None, None),
+        "w1": P(None, None, tp_axis),       # (L, d, f)
+        "b1": P(None, tp_axis),
+        "w2": P(None, tp_axis, None),       # (L, f, d)
+        "b2": P(None, None),
+    }
+    cross_specs = {
+        "ln_scale": P(None, None), "ln_bias": P(None, None),
+        "wq": P(None, None, tp_axis),
+        "wkv": P(None, None, tp_axis),
+        "wo": P(None, tp_axis, None),
+    }
+    return TransformerParams(
+        embed=put(params.embed, P()),
+        pos=put(params.pos, P()),
+        layers={k: put(v, layer_specs[k]) for k, v in params.layers.items()},
+        ln_f={k: put(v, P(None)) for k, v in params.ln_f.items()},
+        out_proj=put(params.out_proj, P(None, None)),
+        cross_layers=(
+            {k: put(v, cross_specs[k])
+             for k, v in params.cross_layers.items()}
+            if params.cross_layers is not None else None),
+    )
+
+
+def shard_kv_cache(cache: KVCache, mesh: Mesh, dp_axis: str = "dp",
+                   tp_axis: str = "tp") -> KVCache:
+    """Cache: batch over dp, heads over tp."""
+    spec = P(None, dp_axis, None, tp_axis, None)
+    put = lambda x: jax.device_put(x, NamedSharding(mesh, spec))
+    return KVCache(k=put(cache.k), v=put(cache.v),
+                   idx=jax.device_put(cache.idx, NamedSharding(mesh, P())))

@@ -1,0 +1,172 @@
+"""Mesh-sharded IVF-PQ search: per-shard scan + collective top-k merge.
+
+The TPU-native rebuild of every scale-out mechanism in the reference:
+- the FPGA's 4 DRAM banks (codes striped over channels,
+  ``extract_Enzian_U250_required_data.py:296-360``),
+- multi-FPGA index sharding (``extract_FPGA_required_data_multi_FPGA.py``),
+- and the coordinator's round-robin scatter + origin-tracked gather
+  (``retriever_coordinator_server.py:236-274``)
+
+— all become one ``shard_map`` over a ``lists`` mesh axis: inverted lists
+are assigned round-robin to shards (load balance, like the reference's
+round-robin bank split), each shard keeps a full-size ``(nlist,)``
+start/len table in which foreign lists have length 0 (so the scan kernel's
+early-exit skips them for free), every shard scans its share of the probed
+lists, takes a local top-k, and a single ``all_gather`` over ICI + exact
+merge produces the global top-k.  Queries and centroids are replicated;
+only the big code/id arrays are sharded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from chamjax.index.ivf import PackedIVF
+from chamjax.ops.lut import build_luts
+from chamjax.ops.coarse import coarse_scan
+from chamjax.ops.scan_xla import scan_lists_xla
+from chamjax.ops.scan_pallas import scan_lists_pallas
+from chamjax.ops.topk import merge_topk
+
+
+class ShardedIVF(NamedTuple):
+    """Per-shard index arrays, stacked on a leading shard axis."""
+
+    centroids: jax.Array     # (nlist, d) — replicated
+    codebooks: jax.Array     # (m, ksub, dsub) — replicated
+    codes_t: jax.Array       # (S, m, n_pad_sh) — sharded on axis 0
+    ids: jax.Array           # (S, n_pad_sh)
+    list_start: jax.Array    # (S, nlist) — full table, 0 for foreign lists
+    list_len: jax.Array      # (S, nlist) — 0 for foreign lists
+
+
+def shard_index(index: PackedIVF, n_shards: int, tail_pad: int = 8192
+                ) -> ShardedIVF:
+    """Split a packed index into ``n_shards`` row-balanced shards.
+
+    Lists are assigned greedily (longest-first) to the currently lightest
+    shard — the moral equivalent of the reference's round-robin bank split,
+    but balanced by rows rather than list count."""
+    nlist = index.cfg.nlist
+    order = np.argsort(-index.list_len, kind="stable")
+    loads = np.zeros(n_shards, np.int64)
+    owner = np.zeros(nlist, np.int32)
+    for l in order:
+        s = int(np.argmin(loads))
+        owner[l] = s
+        loads[s] += int(-(-int(index.list_len[l]) // index.cfg.list_pad)
+                        * index.cfg.list_pad)
+    n_pad_sh = int(loads.max()) + tail_pad
+
+    m = index.codes.shape[1]
+    codes_t = np.zeros((n_shards, m, n_pad_sh), np.uint8)
+    ids = np.full((n_shards, n_pad_sh), -1, np.int32)
+    list_start = np.zeros((n_shards, nlist), np.int32)
+    list_len = np.zeros((n_shards, nlist), np.int32)
+    cursor = np.zeros(n_shards, np.int64)
+    for l in range(nlist):
+        s = int(owner[l])
+        src, ln = int(index.list_start[l]), int(index.list_len[l])
+        padded = int(-(-max(ln, 1) // index.cfg.list_pad) * index.cfg.list_pad)
+        dst = int(cursor[s])
+        codes_t[s, :, dst:dst + ln] = index.codes[src:src + ln].T
+        ids[s, dst:dst + ln] = index.ids[src:src + ln]
+        list_start[s, l] = dst
+        list_len[s, l] = ln
+        cursor[s] += padded
+    return ShardedIVF(
+        centroids=jnp.asarray(index.centroids),
+        codebooks=jnp.asarray(index.codebooks),
+        codes_t=jnp.asarray(codes_t),
+        ids=jnp.asarray(ids),
+        list_start=jnp.asarray(list_start),
+        list_len=jnp.asarray(list_len),
+    )
+
+
+def place_sharded(sh: ShardedIVF, mesh: Mesh, axis: str = "lists"
+                  ) -> ShardedIVF:
+    """Pin the shard axis of the big arrays to the mesh; replicate the rest."""
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return ShardedIVF(
+        centroids=put(sh.centroids, P()),
+        codebooks=put(sh.codebooks, P()),
+        codes_t=put(sh.codes_t, P(axis)),
+        ids=put(sh.ids, P(axis)),
+        list_start=put(sh.list_start, P(axis)),
+        list_len=put(sh.list_len, P(axis)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "nprobe", "k", "scan_len",
+                     "by_residual", "use_approx", "backend", "interpret"),
+)
+def sharded_search(
+    sh: ShardedIVF,
+    queries: jax.Array,          # (b, d) — replicated
+    *,
+    mesh: Mesh,
+    axis: str = "lists",
+    nprobe: int,
+    k: int,
+    scan_len: int,
+    by_residual: bool = True,
+    use_approx: bool = True,
+    backend: str = "pallas",
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full sharded search. Returns replicated ``(dists (b,k), ids (b,k))``.
+
+    Coarse scan + LUTs are computed per shard on replicated data (cheap and
+    avoids a broadcast); the scan runs on shard-local lists only; the merge
+    is one ``all_gather`` over ICI + an exact top-k (the L2 queue).
+    """
+
+    def shard_fn(centroids, codebooks, codes_t, ids, list_start, list_len, q):
+        # leading shard axis of size 1 inside shard_map → drop it
+        codes_t = codes_t[0]
+        ids = ids[0]
+        list_start = list_start[0]
+        list_len = list_len[0]
+        list_ids, _ = coarse_scan(q, centroids, nprobe)
+        luts = build_luts(q, centroids, codebooks, list_ids,
+                          by_residual=by_residual)
+        if backend == "pallas":
+            local_d, local_i = scan_lists_pallas(
+                codes_t, ids, list_start, list_len, luts, list_ids,
+                scan_len=scan_len, k=k, use_approx=use_approx,
+                interpret=interpret)
+        else:
+            local_d, local_i = scan_lists_xla(
+                codes_t, ids, list_start, list_len, luts, list_ids,
+                scan_len=scan_len, probe_chunk=8, k=k,
+                use_approx=use_approx)
+        # merge across shards: gather all candidates, exact top-k
+        all_d = jax.lax.all_gather(local_d, axis)     # (S, b, k)
+        all_i = jax.lax.all_gather(local_i, axis)
+        S = all_d.shape[0]
+        b = all_d.shape[1]
+        flat_d = jnp.moveaxis(all_d, 0, 1).reshape(b, S * k)
+        flat_i = jnp.moveaxis(all_i, 0, 1).reshape(b, S * k)
+        neg, pos = jax.lax.top_k(-flat_d, k)
+        return -neg, jnp.take_along_axis(flat_i, pos, axis=1)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(sh.centroids, sh.codebooks, sh.codes_t, sh.ids,
+              sh.list_start, sh.list_len, queries)

@@ -1,0 +1,168 @@
+"""Coordinator: the multi-client ↔ multi-engine retrieval multiplexer.
+
+Parity with the reference's ``RetrieveCoordinator``
+(``ralm/coordinator/retriever_coordinator_server.py:26-285``): accepts
+``n_clients`` LM-worker connections, barrier-syncs them with the 4-byte echo
+handshake, then runs a single-threaded poll loop that
+
+- receives fixed-size query batches from any ready client,
+- forwards each batch **round-robin** across the retrieval engines
+  (``assign = received_query_cnt % n_engines``, reference :236),
+- remembers each request's origin client (FIFO per engine), and
+- routes answers back to the owning client as engines become readable.
+
+A ``start_dummy_answer`` mode answers locally without any engine — the
+stand-in for the whole retrieval tier used in scheduler tests
+(reference :138-196).
+"""
+
+from __future__ import annotations
+
+import select
+import socket
+import struct
+from collections import deque
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from chamjax.retrieval import wire
+from chamjax.retrieval.external import recv_exact, send_all
+from chamjax.retrieval.server import _make_listener
+
+
+class RetrieveCoordinator:
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        n_clients: int,
+        batch_size: int,
+        dim: int,
+        k: int,
+        engine_addrs: Optional[List[tuple]] = None,
+        queries_per_client: Optional[int] = None,
+    ):
+        self.host, self.port = host, port
+        self.n_clients = n_clients
+        self.batch = batch_size
+        self.dim = dim
+        self.k = k
+        self.engine_addrs = engine_addrs or []
+        self.queries_per_client = queries_per_client
+        self.clients: List[socket.socket] = []
+        self.engines: List[socket.socket] = []
+        self.received_query_cnt = 0
+        self.answered_query_cnt = 0
+
+    # --- setup (reference accept_connections / connect_to_search_server) ---
+
+    def accept_connections(self) -> None:
+        listener = _make_listener(self.host, self.port)
+        for _ in range(self.n_clients):
+            conn, _ = listener.accept()
+            conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            self.clients.append(conn)
+        listener.close()
+
+    def barrier_sync(self) -> None:
+        """4-byte echo to every client (reference :106-122)."""
+        for c in self.clients:
+            payload = recv_exact(c, 4)
+            send_all(c, payload)
+
+    def connect_to_engines(self) -> None:
+        for host, port in self.engine_addrs:
+            s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            s.connect((host, port))
+            self.engines.append(s)
+
+    # --- main loop ---
+
+    def start(self) -> None:
+        """Relay until every client has had ``queries_per_client`` answers
+        (or until all clients disconnect)."""
+        self.accept_connections()
+        self.connect_to_engines()
+        self.barrier_sync()
+
+        poller = select.poll()
+        fd_map: Dict[int, tuple] = {}
+        for ci, c in enumerate(self.clients):
+            poller.register(c, select.POLLIN)
+            fd_map[c.fileno()] = ("client", ci)
+        for ei, e in enumerate(self.engines):
+            poller.register(e, select.POLLIN)
+            fd_map[e.fileno()] = ("engine", ei)
+
+        # FIFO of origin clients per engine (reference query_gpu_ids)
+        origin: List[deque] = [deque() for _ in self.engines]
+        req_bytes = wire.request_nbytes(self.batch, self.dim)
+        ans_bytes = wire.answer_nbytes(self.batch, self.k)
+        total = (self.queries_per_client * self.n_clients
+                 if self.queries_per_client else None)
+        live_clients = set(range(self.n_clients))
+
+        while live_clients and (total is None
+                                or self.answered_query_cnt < total):
+            for fd, _ev in poller.poll(100):
+                kind, idx = fd_map[fd]
+                if kind == "client":
+                    try:
+                        buf = recv_exact(self.clients[idx], req_bytes)
+                    except ConnectionError:
+                        poller.unregister(self.clients[idx])
+                        live_clients.discard(idx)
+                        continue
+                    ei = self.received_query_cnt % len(self.engines)
+                    send_all(self.engines[ei], buf)
+                    origin[ei].append(idx)
+                    self.received_query_cnt += 1
+                else:
+                    buf = recv_exact(self.engines[idx], ans_bytes)
+                    ci = origin[idx].popleft()
+                    send_all(self.clients[ci], buf)
+                    self.answered_query_cnt += 1
+        self.close()
+
+    def start_dummy_answer(self, delay_ms: float = 0.0) -> None:
+        """Answer locally without engines (reference :138-196)."""
+        import time
+
+        self.accept_connections()
+        self.barrier_sync()
+        poller = select.poll()
+        fd_map = {}
+        for ci, c in enumerate(self.clients):
+            poller.register(c, select.POLLIN)
+            fd_map[c.fileno()] = ci
+        req_bytes = wire.request_nbytes(self.batch, self.dim)
+        total = (self.queries_per_client * self.n_clients
+                 if self.queries_per_client else None)
+        live = set(range(self.n_clients))
+        while live and (total is None or self.answered_query_cnt < total):
+            for fd, _ev in poller.poll(100):
+                ci = fd_map[fd]
+                try:
+                    buf = recv_exact(self.clients[ci], req_bytes)
+                except ConnectionError:
+                    poller.unregister(self.clients[ci])
+                    live.discard(ci)
+                    continue
+                _q, k = wire.decode_request(buf, self.batch, self.dim)
+                if delay_ms:
+                    time.sleep(delay_ms / 1e3)
+                ids = np.broadcast_to(np.arange(k, dtype=np.int64),
+                                      (self.batch, k))
+                dists = np.zeros((self.batch, k), np.float32)
+                send_all(self.clients[ci], wire.encode_answer(ids, dists))
+                self.answered_query_cnt += 1
+        self.close()
+
+    def close(self) -> None:
+        for s in self.clients + self.engines:
+            try:
+                s.close()
+            except OSError:
+                pass

@@ -1,0 +1,47 @@
+"""In-process retriever backed by the jitted TPU search path.
+
+The analogue of the reference's ``LocalFaissRetriever``
+(``ralm/retriever/faiss_retriever.py:18-275``) with the Faiss index replaced
+by ``IVFSearcher`` — including the ``cpu-gpu``-style split mode where the
+coarse scan happens externally and only the PQ scan runs here
+(``search_preassigned`` parity)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from chamjax.config import SearchConfig
+from chamjax.index.ivf import PackedIVF
+from chamjax.retrieval.interface import BaseRetriever, RetrievalResult
+from chamjax.searcher import IVFSearcher
+
+
+class LocalRetriever(BaseRetriever):
+    def __init__(self, index: PackedIVF, search_cfg: Optional[SearchConfig] = None,
+                 **searcher_kwargs):
+        self.searcher = IVFSearcher(index, search_cfg or SearchConfig(),
+                                    **searcher_kwargs)
+
+    @staticmethod
+    def from_file(path: str, search_cfg: Optional[SearchConfig] = None
+                  ) -> "LocalRetriever":
+        return LocalRetriever(PackedIVF.load(path), search_cfg)
+
+    def set_nprobe(self, nprobe: int) -> None:
+        """Parity with reference ``set_nprobe`` (``faiss_retriever.py``)."""
+        object.__setattr__(self.searcher, "scfg",
+                           self.searcher.scfg.__class__(
+                               **{**self.searcher.scfg.__dict__,
+                                  "nprobe": nprobe}))
+
+    def retrieve(self, queries: np.ndarray, nprobe: int, k: int
+                 ) -> RetrievalResult:
+        dists, ids = self.searcher.search(queries, nprobe=nprobe, k=k)
+        return RetrievalResult(ids=ids, dists=dists)
+
+    def retrieve_with_lists(self, queries: np.ndarray, list_ids: np.ndarray,
+                            k: int) -> RetrievalResult:
+        dists, ids = self.searcher.search_preassigned(queries, list_ids, k=k)
+        return RetrievalResult(ids=ids, dists=dists)

@@ -1,0 +1,213 @@
+"""End-to-end IVF-PQ search: one jitted XLA program per (batch, nprobe, k).
+
+Composes the query path of SURVEY.md §3.3 — coarse scan → LUT construction →
+list scan → top-k — into a single compiled function over a device-resident
+index, the TPU rebuild of the reference's distributed
+scanner→coordinator→FPGA pipeline collapsed into one chip's dataflow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chamjax.config import IndexConfig, SearchConfig
+from chamjax.index.ivf import PackedIVF
+from chamjax.ops.coarse import coarse_scan
+from chamjax.ops.lut import build_luts
+from chamjax.ops.scan_pallas import scan_lists_pallas
+from chamjax.ops.scan_xla import scan_lists_xla
+
+
+class DeviceIVF(NamedTuple):
+    """Device-resident index arrays (a pytree — jit/pjit friendly)."""
+
+    centroids: jax.Array     # (nlist, d) f32
+    codebooks: jax.Array     # (m, ksub, dsub) f32
+    codes_t: jax.Array       # (m, n_pad) uint8 — transposed (SoA) packed codes
+    ids: jax.Array           # (n_pad,) int32
+    list_start: jax.Array    # (nlist,) int32
+    list_len: jax.Array      # (nlist,) int32
+    opq_R: Optional[jax.Array] = None  # (d, d) f32 or None
+
+    @staticmethod
+    def from_packed(index: PackedIVF, device=None) -> "DeviceIVF":
+        put = functools.partial(jax.device_put, device=device)
+        return DeviceIVF(
+            centroids=put(index.centroids),
+            codebooks=put(index.codebooks),
+            codes_t=put(np.ascontiguousarray(index.codes.T)),
+            ids=put(index.ids),
+            list_start=put(index.list_start),
+            list_len=put(index.list_len),
+            opq_R=put(index.opq_R) if index.opq_R is not None else None,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nprobe", "k", "scan_len", "probe_chunk", "by_residual",
+        "use_approx", "recall_target", "backend", "tile", "interpret",
+    ),
+)
+def ivfpq_search(
+    index: DeviceIVF,
+    queries: jax.Array,          # (b, d) float32
+    *,
+    nprobe: int,
+    k: int,
+    scan_len: int,
+    probe_chunk: int = 8,
+    by_residual: bool = True,
+    use_approx: bool = True,
+    recall_target: float = 0.99,
+    backend: str = "pallas",
+    tile: int = 0,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full IVF-PQ search. Returns ``(dists (b, k) f32, ids (b, k) int32)``."""
+    from chamjax.ops.scan_pallas import GROUP
+    if backend == "pallas" and scan_len % GROUP:
+        backend = "xla"        # kernel slabs cover GROUP rows
+    q = queries
+    if index.opq_R is not None:
+        q = jnp.dot(q, index.opq_R, precision=jax.lax.Precision.HIGHEST)
+    list_ids, _ = coarse_scan(q, index.centroids, nprobe)
+    luts = build_luts(q, index.centroids, index.codebooks, list_ids,
+                      by_residual=by_residual)
+    if backend == "pallas":
+        return scan_lists_pallas(
+            index.codes_t, index.ids, index.list_start, index.list_len,
+            luts, list_ids,
+            scan_len=scan_len, tile=tile, k=k,
+            use_approx=use_approx, recall_target=recall_target,
+            interpret=interpret,
+        )
+    return scan_lists_xla(
+        index.codes_t, index.ids, index.list_start, index.list_len,
+        luts, list_ids,
+        scan_len=scan_len, probe_chunk=probe_chunk, k=k,
+        use_approx=use_approx, recall_target=recall_target,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "scan_len", "by_residual",
+                     "use_approx", "recall_target", "backend", "tile",
+                     "interpret"),
+)
+def ivfpq_search_preassigned(
+    index: DeviceIVF,
+    queries: jax.Array,
+    list_ids: jax.Array,         # (b, nprobe) int32 — external coarse scan
+    *,
+    k: int,
+    nprobe: int,
+    scan_len: int = 4096,
+    by_residual: bool = True,
+    use_approx: bool = True,
+    recall_target: float = 0.99,
+    backend: str = "pallas",
+    tile: int = 0,
+    interpret: bool = False,
+):
+    """Search with externally supplied IVF cells — the disaggregated-path
+    contract (reference ``retrieve_with_lists`` /
+    ``faiss.contrib.ivf_tools.search_preassigned``)."""
+    from chamjax.ops.scan_pallas import GROUP
+    if backend == "pallas" and scan_len % GROUP:
+        backend = "xla"        # kernel slabs cover GROUP rows
+    q = queries
+    if index.opq_R is not None:
+        q = jnp.dot(q, index.opq_R, precision=jax.lax.Precision.HIGHEST)
+    luts = build_luts(q, index.centroids, index.codebooks, list_ids,
+                      by_residual=by_residual)
+    if backend == "pallas":
+        return scan_lists_pallas(
+            index.codes_t, index.ids, index.list_start, index.list_len,
+            luts, list_ids,
+            scan_len=scan_len, tile=tile, k=k,
+            use_approx=use_approx, recall_target=recall_target,
+            interpret=interpret,
+        )
+    return scan_lists_xla(
+        index.codes_t, index.ids, index.list_start, index.list_len,
+        luts, list_ids,
+        scan_len=scan_len, probe_chunk=min(8, nprobe), k=k,
+        use_approx=use_approx, recall_target=recall_target,
+    )
+
+
+class IVFSearcher:
+    """Convenience host-facing wrapper: holds the device index + static
+    search config, exposes numpy-in/numpy-out ``search``."""
+
+    def __init__(self, index: PackedIVF, search_cfg: SearchConfig,
+                 scan_quantile: float = 1.0, device=None):
+        self.packed = index
+        self.cfg = index.cfg
+        self.scfg = search_cfg
+        self.dev = DeviceIVF.from_packed(index, device=device)
+        self.backend = search_cfg.backend
+        self.tile = search_cfg.tile
+        if self.backend == "pallas" and index.cfg.nbits != 8:
+            self.backend = "xla"   # kernel is specialized for 8-bit PQ
+        # interpret mode lets the kernel run on CPU (tests / debugging)
+        self.interpret = jax.default_backend() != "tpu"
+        self.scan_len = index.suggest_scan_len(search_cfg.nprobe, scan_quantile)
+        # never let a window run past the packed array's tail padding
+        max_scan = index.n_pad - int(index.list_start.max())
+        self.scan_len = min(self.scan_len, max_scan)
+        if self.backend == "pallas":
+            # kernel output slabs cover GROUP=1024 rows; round up if the
+            # tail padding allows, else down (never below one group)
+            from chamjax.ops.scan_pallas import GROUP
+            up = -(-self.scan_len // GROUP) * GROUP
+            if up <= max_scan:
+                self.scan_len = up
+            else:
+                self.scan_len = max(GROUP, self.scan_len - self.scan_len % GROUP)
+            if self.tile == 0:  # DMA chunk: largest power-of-2 slab ≤ 4096
+                for c in (4096, 2048, 1024):
+                    if self.scan_len % c == 0:
+                        self.tile = c
+                        break
+
+    def search(self, queries: np.ndarray,
+               nprobe: Optional[int] = None,
+               k: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns ``(dists (b,k) f32, ids (b,k) int64)`` — the system-wide
+        ``(queries) → (ids, dists)`` contract of SURVEY.md §0."""
+        q = jnp.asarray(queries, jnp.float32)
+        d, i = ivfpq_search(
+            self.dev, q,
+            nprobe=nprobe or self.scfg.nprobe,
+            k=k or self.scfg.k,
+            scan_len=self.scan_len,
+            probe_chunk=self.scfg.probe_chunk,
+            by_residual=self.cfg.by_residual,
+            use_approx=self.scfg.use_approx_topk,
+            recall_target=self.scfg.approx_recall_target,
+            backend=self.backend, tile=self.tile, interpret=self.interpret,
+        )
+        return np.asarray(d), np.asarray(i, np.int64)
+
+    def search_preassigned(self, queries: np.ndarray, list_ids: np.ndarray,
+                           k: Optional[int] = None):
+        q = jnp.asarray(queries, jnp.float32)
+        li = jnp.asarray(list_ids, jnp.int32)
+        d, i = ivfpq_search_preassigned(
+            self.dev, q, li,
+            k=k or self.scfg.k, nprobe=li.shape[1],
+            scan_len=self.scan_len, by_residual=self.cfg.by_residual,
+            use_approx=self.scfg.use_approx_topk,
+            recall_target=self.scfg.approx_recall_target,
+            backend=self.backend, tile=self.tile, interpret=self.interpret,
+        )
+        return np.asarray(d), np.asarray(i, np.int64)

@@ -1,0 +1,209 @@
+"""RALM generation loops: retrieval-augmented decoding.
+
+Rebuild of the reference's serving layer (``ralm/ralm/ralm.py``):
+
+- ``RalmDecoder``        — decoder-only generation with retrieval every
+  ``retrieval_interval`` steps; the retrieval query is the last hidden state
+  (``ralm.py:109-118``) or a replayed ``query_set``; per-step timing arrays.
+- ``RalmEncoderDecoder`` — enc-dec RALM: a retrieval step encodes the query,
+  retrieves k neighbours, encodes k·retrieval_token_len retrieved tokens and
+  refreshes the decoder's cross-attention K/V; non-retrieval steps reuse the
+  cached encoder output (``ralm.py:307-344``).
+
+Design note (TPU): the decode step is a single jitted program; retrieval
+runs on host between device steps through the ``BaseRetriever`` contract,
+so Dummy / Local (in-process JAX search) / External (TCP) engines are
+interchangeable exactly as in the reference (``ralm.py:125-133``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chamjax.config import ModelConfig
+from chamjax.models import (
+    KVCache,
+    TransformerParams,
+    decoder_step,
+    encoder_forward,
+    init_kv_cache,
+)
+from chamjax.models.transformer import build_cross_kv
+from chamjax.retrieval.interface import BaseRetriever
+from chamjax.serving.profiling import StepProfiler
+
+
+def _ids_to_tokens(ids: np.ndarray, tokens_per_doc: int, vocab: int,
+                   seed: int = 7) -> np.ndarray:
+    """Deterministically expand neighbour ids → pseudo token sequences.
+
+    The reference encodes retrieved-document tokens supplied by its corpus;
+    for perf-parity benchmarking it synthesizes them.  We derive tokens from
+    the ids so results are reproducible and content-dependent."""
+    b, k = ids.shape
+    base = (ids.astype(np.int64)[:, :, None] * 2654435761 + seed
+            + np.arange(tokens_per_doc)[None, None, :] * 40503)
+    return np.abs(base % max(vocab - 2, 1)).astype(np.int32).reshape(b, -1) + 1
+
+
+class RalmDecoder:
+    """Decoder-only RALM loop (reference ``ralmDecoder``)."""
+
+    def __init__(
+        self,
+        params: TransformerParams,
+        cfg: ModelConfig,
+        retriever: BaseRetriever,
+        batch_size: int,
+        retrieval_interval: Optional[int] = None,
+        nprobe: int = 32,
+        k: Optional[int] = None,
+        query_set: Optional[np.ndarray] = None,
+        use_query_set: bool = False,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.retriever = retriever
+        self.batch = batch_size
+        self.interval = retrieval_interval or cfg.retrieval_interval
+        self.nprobe = nprobe
+        self.k = k or cfg.k
+        self.query_set = query_set      # (steps, b, dim) replay buffer
+        self.use_query_set = use_query_set
+        self.prof = StepProfiler()
+        self.reset_inference_state()
+
+    def reset_inference_state(self) -> None:
+        self.cache: KVCache = init_kv_cache(self.cfg, self.batch)
+        self.tokens = jnp.ones((self.batch,), jnp.int32)
+        self.step_count = 0
+        self.last_result = None
+        self.prof.reset()
+
+    def _query_vector(self, hidden: jax.Array) -> np.ndarray:
+        if self.use_query_set and self.query_set is not None:
+            return self.query_set[self.step_count % len(self.query_set)]
+        return np.asarray(hidden, np.float32)
+
+    def single_step(self) -> None:
+        with self.prof.step_span():
+            with self.prof.model_span():
+                logits, hidden, self.cache = decoder_step(
+                    self.params, self.tokens, self.cache,
+                    self.cfg.attention_heads,
+                )
+                self.tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                hidden.block_until_ready()
+            if self.step_count % self.interval == 0:
+                query = self._query_vector(hidden)
+                with self.prof.retriever_span():
+                    self.last_result = self.retriever.retrieve(
+                        query, self.nprobe, self.k)
+            else:
+                self.prof.time_retriever.append(0.0)
+        self.step_count += 1
+
+    def multi_steps(self, n: int) -> None:
+        for _ in range(n):
+            self.single_step()
+
+    def batch_inference(self, num_step: Optional[int] = None) -> None:
+        self.multi_steps(num_step or self.cfg.max_seq_len)
+
+    # profiling surface parity (reference ``get_profiling`` /
+    # ``print_profiling_stats``)
+    def get_profiling(self):
+        return self.prof.get_profiling()
+
+    def print_profiling_stats(self, warmup: int = 0) -> None:
+        self.prof.print_stats(self.batch, warmup)
+
+
+class RalmEncoderDecoder:
+    """Encoder-decoder RALM loop (reference ``ralmEncoderDecoder``)."""
+
+    def __init__(
+        self,
+        enc_params: TransformerParams,
+        dec_params: TransformerParams,
+        cfg: ModelConfig,
+        retriever: BaseRetriever,
+        batch_size: int,
+        retrieval_interval: Optional[int] = None,
+        nprobe: int = 32,
+        k: Optional[int] = None,
+        retrieval_token_len: Optional[int] = None,
+    ):
+        self.enc = enc_params
+        self.dec = dec_params
+        self.cfg = cfg
+        self.retriever = retriever
+        self.batch = batch_size
+        self.interval = retrieval_interval or cfg.retrieval_interval
+        self.nprobe = nprobe
+        self.k = k or cfg.k
+        self.tok_len = retrieval_token_len or cfg.retrieval_token_len
+        self.prof = StepProfiler()
+        self.reset_inference_state()
+
+    def reset_inference_state(self) -> None:
+        self.cache: KVCache = init_kv_cache(self.cfg, self.batch)
+        self.tokens = jnp.ones((self.batch,), jnp.int32)
+        self.step_count = 0
+        self.cross_kv = None
+        self.prof.reset()
+
+    def _retrieval_step(self) -> None:
+        # 1. encode the current query token window → query vector
+        q_tokens = jnp.broadcast_to(self.tokens[:, None], (self.batch, 1))
+        with self.prof.model_span():
+            enc_q = encoder_forward(self.enc, q_tokens,
+                                    self.cfg.attention_heads)
+            query = np.asarray(enc_q[:, -1, :], np.float32)
+        # 2. retrieve
+        with self.prof.retriever_span():
+            res = self.retriever.retrieve(query, self.nprobe, self.k)
+        # 3. encode retrieved tokens, refresh decoder cross K/V
+        ids = res.ids if res is not None else np.zeros(
+            (self.batch, self.k), np.int64)
+        ret_tokens = _ids_to_tokens(ids, self.tok_len, self.cfg.vocab_size)
+        # clamp to the encoder's positional table
+        ret_tokens = ret_tokens[:, : self.cfg.max_seq_len]
+        with self.prof.model_span():
+            enc_out = encoder_forward(
+                self.enc, jnp.asarray(ret_tokens), self.cfg.attention_heads)
+            self.cross_kv = build_cross_kv(self.dec, enc_out,
+                                           self.cfg.attention_heads)
+            jax.block_until_ready(self.cross_kv)
+
+    def single_step(self) -> None:
+        with self.prof.step_span():
+            if self.step_count % self.interval == 0 or self.cross_kv is None:
+                self._retrieval_step()
+            else:
+                self.prof.time_retriever.append(0.0)
+            with self.prof.model_span():
+                logits, hidden, self.cache = decoder_step(
+                    self.dec, self.tokens, self.cache,
+                    self.cfg.attention_heads, cross_kv=self.cross_kv,
+                )
+                self.tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                hidden.block_until_ready()
+        self.step_count += 1
+
+    def multi_steps(self, n: int) -> None:
+        for _ in range(n):
+            self.single_step()
+
+    def batch_inference(self, num_step: Optional[int] = None) -> None:
+        self.multi_steps(num_step or self.cfg.max_seq_len)
+
+    def get_profiling(self):
+        return self.prof.get_profiling()
+
+    def print_profiling_stats(self, warmup: int = 0) -> None:
+        self.prof.print_stats(self.batch, warmup)

@@ -1,0 +1,149 @@
+"""Tik-tok scheduler: two interleaved micro-batches hide retrieval latency.
+
+Rebuild of the reference's throughput-mode scheduler
+(``ralm/ralm/ralm_tiktok.py:12-289``): two micro-batches ('tik', 'tok'),
+each with its own KV cache; retrieval is split into a non-blocking ``send``
+(issued right after the model step that produced the query) and a polled
+``recv``.  The scheduling loop walks both batches; a batch stalls only on
+its *own* outstanding request, and answers are drained in FIFO send order
+(the reference's documented constraint, ``ralm_tiktok.py:203-213``) — so
+batch B's device compute overlaps batch A's network+scan and vice versa.
+
+On TPU the same state machine additionally benefits from JAX's async
+dispatch: the device step for one batch is enqueued while the host blocks
+on the other batch's socket.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chamjax.config import ModelConfig
+from chamjax.models import (
+    TransformerParams,
+    decoder_step,
+    init_kv_cache,
+)
+from chamjax.retrieval.interface import BaseRetriever
+from chamjax.serving.profiling import StepProfiler
+
+
+class _BatchState:
+    def __init__(self, cfg: ModelConfig, batch: int):
+        self.cache = init_kv_cache(cfg, batch)
+        self.tokens = jnp.ones((batch,), jnp.int32)
+        self.step = 0
+        self.sent = False
+        self.finished = False
+        self.pending_hidden: Optional[np.ndarray] = None
+
+
+class TikTokDecoder:
+    """Two-batch pipelined decoder-only RALM (reference
+    ``ralmTikTokDecoder``)."""
+
+    def __init__(
+        self,
+        params: TransformerParams,
+        cfg: ModelConfig,
+        retriever: BaseRetriever,
+        batch_size: int,
+        retrieval_interval: Optional[int] = None,
+        nprobe: int = 32,
+        k: Optional[int] = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.retriever = retriever
+        self.batch = batch_size
+        self.interval = retrieval_interval or cfg.retrieval_interval
+        self.nprobe = nprobe
+        self.k = k or cfg.k
+        self.prof = StepProfiler()
+        self.reset_inference_state()
+
+    def reset_inference_state(self) -> None:
+        self.states: Dict[str, _BatchState] = {
+            "tik": _BatchState(self.cfg, self.batch),
+            "tok": _BatchState(self.cfg, self.batch),
+        }
+        self.in_flight: deque = deque()   # FIFO of batch names with sent reqs
+        self.prof.reset()
+
+    # --- primitive steps (reference :100-196) ---
+
+    def _model_step(self, st: _BatchState) -> np.ndarray:
+        logits, hidden, st.cache = decoder_step(
+            self.params, st.tokens, st.cache, self.cfg.attention_heads)
+        st.tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return np.asarray(hidden, np.float32)
+
+    def single_retrieve_step_send(self, name: str) -> None:
+        st = self.states[name]
+        with self.prof.model_span():
+            query = self._model_step(st)
+        self.retriever.retrieve_send(query, self.nprobe, self.k)
+        st.sent = True
+        self.in_flight.append(name)
+
+    def single_retrieve_step_recv(self, name: str) -> None:
+        st = self.states[name]
+        with self.prof.retriever_span():
+            self.retriever.retrieve_recv(self.batch, self.k)
+        st.sent = False
+        st.step += 1
+        self.in_flight.popleft()
+
+    def single_inference_step(self, name: str) -> None:
+        st = self.states[name]
+        with self.prof.model_span():
+            self._model_step(st)
+        st.step += 1
+
+    # --- scheduler loop (reference :197-239) ---
+
+    def batch_inference(self, num_step: int) -> None:
+        states = self.states
+        import time
+        t_start = time.perf_counter()
+        while not all(s.finished for s in states.values()):
+            progressed = False
+            for name in ("tik", "tok"):
+                st = states[name]
+                if st.finished:
+                    continue
+                if st.step >= num_step:
+                    st.finished = True
+                    continue
+                retrieval_step = st.step % self.interval == 0
+                if retrieval_step and not st.sent:
+                    self.single_retrieve_step_send(name)
+                    progressed = True
+                elif st.sent:
+                    # FIFO: only the oldest in-flight request may recv
+                    if self.in_flight and self.in_flight[0] == name \
+                            and self.retriever.poll():
+                        self.single_retrieve_step_recv(name)
+                        progressed = True
+                else:
+                    self.single_inference_step(name)
+                    progressed = True
+            if not progressed:
+                # both batches blocked on their own requests: block on the
+                # oldest (the reference busy-polls; we yield briefly)
+                if self.in_flight:
+                    self.single_retrieve_step_recv(self.in_flight[0])
+        total = time.perf_counter() - t_start
+        self.prof.time_step.append(total)
+
+    def throughput_tokens_per_sec(self, num_step: int) -> float:
+        total = self.prof.time_step[-1]
+        return 2 * self.batch * num_step / total
+
+    def get_profiling(self):
+        return self.prof.get_profiling()

@@ -1,0 +1,95 @@
+"""Index-build unit tests: k-means, PQ, OPQ, packed layout."""
+
+import numpy as np
+import pytest
+
+from chamjax.config import IndexConfig
+from chamjax.index import (
+    kmeans, kmeans_assign, train_pq, pq_encode, pq_decode, train_opq,
+    build_ivfpq, PackedIVF,
+)
+
+
+def test_kmeans_clusters_recoverable(rng):
+    centers = rng.standard_normal((8, 16)).astype(np.float32) * 10
+    x = (centers[rng.integers(0, 8, 2000)]
+         + rng.standard_normal((2000, 16)).astype(np.float32) * 0.1)
+    cent = kmeans(x, 8, iters=10, seed=1)
+    assert cent.shape == (8, 16)
+    # every true center should have a learned centroid nearby
+    d = ((centers[:, None] - cent[None]) ** 2).sum(-1).min(1)
+    assert np.all(d < 1.0)
+
+
+def test_kmeans_assign_matches_argmin(rng):
+    x = rng.standard_normal((300, 8)).astype(np.float32)
+    cent = rng.standard_normal((16, 8)).astype(np.float32)
+    a = kmeans_assign(x, cent, chunk=100)
+    ref = np.argmin(((x[:, None] - cent[None]) ** 2).sum(-1), axis=1)
+    np.testing.assert_array_equal(a, ref)
+
+
+def test_pq_reconstruction_beats_random(rng):
+    x = rng.standard_normal((4000, 32)).astype(np.float32)
+    cb = train_pq(x, m=4, iters=10)
+    assert cb.shape == (4, 256, 8)
+    codes = pq_encode(x, cb)
+    assert codes.shape == (4000, 4) and codes.dtype == np.uint8
+    xhat = pq_decode(codes, cb)
+    err = ((x - xhat) ** 2).sum(-1).mean()
+    base = (x ** 2).sum(-1).mean()
+    assert err < 0.7 * base  # quantization must explain real variance
+
+
+def test_pq_encode_is_nearest_codeword(rng):
+    x = rng.standard_normal((200, 16)).astype(np.float32)
+    cb = train_pq(x, m=2, iters=5)
+    codes = pq_encode(x, cb)
+    for mm in range(2):
+        sub = x[:, mm * 8:(mm + 1) * 8]
+        d = ((sub[:, None] - cb[mm][None]) ** 2).sum(-1)
+        # chosen codeword's distance must equal the true minimum to float
+        # tolerance (argmin ties may break differently across formulations)
+        chosen = d[np.arange(len(sub)), codes[:, mm].astype(np.int64)]
+        np.testing.assert_allclose(chosen, d.min(axis=1), rtol=1e-4, atol=1e-4)
+
+
+def test_opq_reduces_error(rng):
+    # correlated dims → OPQ rotation should (weakly) improve reconstruction
+    z = rng.standard_normal((3000, 8)).astype(np.float32)
+    mix = rng.standard_normal((8, 32)).astype(np.float32)
+    x = z @ mix
+    R, cb = train_opq(x, m=4, outer_iters=3, pq_iters=5)
+    # R orthogonal
+    np.testing.assert_allclose(R @ R.T, np.eye(32), atol=1e-3)
+    xr = x @ R
+    err_opq = ((xr - pq_decode(pq_encode(xr, cb), cb)) ** 2).sum(-1).mean()
+    cb0 = train_pq(x, m=4, iters=5)
+    err_pq = ((x - pq_decode(pq_encode(x, cb0), cb0)) ** 2).sum(-1).mean()
+    assert err_opq < err_pq * 1.05  # allow noise; typically much better
+
+
+def test_build_packed_layout(rng, tmp_path):
+    x = rng.standard_normal((5000, 32)).astype(np.float32)
+    cfg = IndexConfig(dim=32, nlist=16, m=4, list_pad=64)
+    idx = build_ivfpq(x, cfg, kmeans_iters=5, pq_iters=5)
+    assert idx.ntotal == 5000
+    assert idx.codes.shape[1] == 4
+    # starts aligned, lens consistent, ids partition the dataset
+    assert np.all(idx.list_start % 64 == 0)
+    assert idx.list_len.sum() == 5000
+    valid = idx.ids[idx.ids >= 0]
+    assert sorted(valid.tolist()) == list(range(5000))
+    # every stored row's code matches its vector's encoding
+    for l in [0, 7, 15]:
+        s, ln = idx.list_start[l], idx.list_len[l]
+        rows = idx.ids[s:s + ln]
+        assert np.all(rows >= 0)
+    # save/load roundtrip
+    p = str(tmp_path / "idx.npz")
+    idx.save(p)
+    idx2 = PackedIVF.load(p)
+    np.testing.assert_array_equal(idx.codes, idx2.codes)
+    np.testing.assert_array_equal(idx.ids, idx2.ids)
+    assert idx2.cfg == cfg
+    assert idx2.opq_R is None

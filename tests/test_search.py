@@ -1,0 +1,132 @@
+"""End-to-end IVF-PQ search tests.
+
+Oracles per SURVEY.md §4: (a) exact brute force over *decoded* vectors — the
+ADC distance must equal the decode-then-L2 distance to float tolerance;
+(b) recall@k against exact ground truth on a clustered corpus must clear the
+reference's recall anchors regime (BASELINE.md: R@10 ≥ 0.8 at nprobe=32 on
+real data; we assert generously above chance on synthetic data).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from chamjax.config import IndexConfig, SearchConfig
+from chamjax.data import synthetic_dataset
+from chamjax.data.ground_truth import compute_ground_truth
+from chamjax.eval import recall_at_k
+from chamjax.index import build_ivfpq
+from chamjax.index.pq import pq_decode
+from chamjax.ops.coarse import coarse_scan
+from chamjax.ops.lut import build_luts
+from chamjax.searcher import DeviceIVF, IVFSearcher, ivfpq_search
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_dataset(nb=20000, nq=32, nt=8000, d=32, seed=3,
+                             n_clusters=64)
+
+
+@pytest.fixture(scope="module")
+def index(ds):
+    cfg = IndexConfig(dim=32, nlist=64, m=8, list_pad=64)
+    return build_ivfpq(ds.xb, cfg, xt=ds.xt, kmeans_iters=8, pq_iters=8)
+
+
+def _adc_bruteforce(index, q, nprobe, k):
+    """Numpy oracle: per query, decode ADC distance for every vector in the
+    probed lists; exact top-k."""
+    cent = index.centroids
+    d2 = ((q[:, None] - cent[None]) ** 2).sum(-1)
+    probes = np.argsort(d2, axis=1)[:, :nprobe]
+    m, ksub, dsub = index.codebooks.shape
+    out_i = np.full((q.shape[0], k), -1, np.int64)
+    out_d = np.full((q.shape[0], k), np.inf, np.float32)
+    for qi in range(q.shape[0]):
+        cand_ids, cand_d = [], []
+        for l in probes[qi]:
+            s, ln = index.list_start[l], index.list_len[l]
+            ids = index.ids[s:s + ln]
+            codes = index.codes[s:s + ln].astype(np.int64)
+            r = q[qi] - cent[l]
+            rs = r.reshape(m, dsub)
+            lut = ((rs[:, None, :] - index.codebooks) ** 2).sum(-1)  # (m,ksub)
+            dist = lut[np.arange(m)[None, :], codes].sum(-1)
+            cand_ids.append(ids)
+            cand_d.append(dist)
+        cand_ids = np.concatenate(cand_ids)
+        cand_d = np.concatenate(cand_d).astype(np.float32)
+        order = np.argsort(cand_d, kind="stable")[:k]
+        out_i[qi, :len(order)] = cand_ids[order]
+        out_d[qi, :len(order)] = cand_d[order]
+    return out_d, out_i
+
+
+def test_coarse_scan_matches_numpy(ds, index):
+    q = jnp.asarray(ds.xq[:8])
+    lids, dists = coarse_scan(q, jnp.asarray(index.centroids), 4)
+    d2 = ((ds.xq[:8, :, None].transpose(0, 2, 1) - index.centroids[None]) ** 2).sum(-1)
+    ref = np.argsort(d2, axis=1)[:, :4]
+    np.testing.assert_array_equal(np.asarray(lids), ref)
+    # matmul-expansion distances lose precision to cancellation; ranking is
+    # what matters (ids asserted exactly above)
+    np.testing.assert_allclose(
+        np.asarray(dists), np.sort(d2, axis=1)[:, :4], rtol=5e-2, atol=2.0
+    )
+
+
+def test_lut_matches_numpy(ds, index):
+    q = ds.xq[:4]
+    dev = DeviceIVF.from_packed(index)
+    lids, _ = coarse_scan(jnp.asarray(q), dev.centroids, 2)
+    luts = np.asarray(build_luts(jnp.asarray(q), dev.centroids, dev.codebooks,
+                                 lids, by_residual=True))
+    m, ksub, dsub = index.codebooks.shape
+    for qi in range(4):
+        for pi in range(2):
+            r = q[qi] - index.centroids[np.asarray(lids)[qi, pi]]
+            rs = r.reshape(m, dsub)
+            ref = ((rs[:, None, :] - index.codebooks) ** 2).sum(-1)  # (m,ksub)
+            np.testing.assert_allclose(luts[qi, pi], ref.T, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("probe_chunk", [2, 3, 8])
+def test_search_matches_adc_bruteforce(ds, index, probe_chunk):
+    """Exact-topk search must equal the numpy ADC oracle."""
+    q = ds.xq[:8]
+    dev = DeviceIVF.from_packed(index)
+    scan_len = index.suggest_scan_len(8)
+    d, i = ivfpq_search(dev, jnp.asarray(q), nprobe=8, k=10,
+                        scan_len=scan_len, probe_chunk=probe_chunk,
+                        use_approx=False)
+    ref_d, ref_i = _adc_bruteforce(index, q, nprobe=8, k=10)
+    np.testing.assert_allclose(np.asarray(d), ref_d, rtol=1e-3, atol=1e-2)
+    # ids may swap among (near-)equal distances; check via distance equality
+    agree = np.asarray(i) == ref_i
+    close = np.abs(np.asarray(d) - ref_d) < 1e-2
+    assert np.all(agree | close)
+
+
+def test_search_recall(ds, index):
+    gt, _ = compute_ground_truth(ds.xb, ds.xq, k=10)
+    searcher = IVFSearcher(index, SearchConfig(nprobe=16, k=10, probe_chunk=4))
+    d, i = searcher.search(ds.xq)
+    r1 = recall_at_k(i, gt, 1)
+    r10 = recall_at_k(i, gt, 10)
+    assert r10 > 0.8, f"R@10={r10}"
+    assert r1 > 0.3, f"R@1={r1}"
+    # distances ascending
+    dd = np.asarray(d)
+    assert np.all(np.diff(dd, axis=1) >= -1e-4)
+
+
+def test_search_preassigned_matches_full(ds, index):
+    q = ds.xq[:8]
+    searcher = IVFSearcher(index, SearchConfig(nprobe=8, k=10, probe_chunk=4,
+                                               use_approx_topk=False))
+    d_full, i_full = searcher.search(q)
+    d2 = ((q[:, None] - index.centroids[None]) ** 2).sum(-1)
+    lids = np.argsort(d2, axis=1)[:, :8]
+    d_pre, i_pre = searcher.search_preassigned(q, lids)
+    np.testing.assert_allclose(d_pre, d_full, rtol=1e-3, atol=1e-2)

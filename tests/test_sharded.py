@@ -1,0 +1,74 @@
+"""Mesh-sharded search tests on the 8-virtual-device CPU mesh.
+
+Validates the Phase-3 contract (SURVEY.md §7): shard inverted lists over a
+mesh axis, per-shard scan + top-k, all_gather merge — results must equal
+the single-device search exactly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chamjax.config import IndexConfig, SearchConfig
+from chamjax.data import synthetic_dataset
+from chamjax.index import build_ivfpq
+from chamjax.parallel import make_mesh, shard_index, sharded_search
+from chamjax.parallel.sharded_search import place_sharded
+from chamjax.searcher import IVFSearcher
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = synthetic_dataset(nb=20000, nq=16, nt=8000, d=32, seed=3,
+                           n_clusters=64)
+    cfg = IndexConfig(dim=32, nlist=64, m=8, list_pad=128)
+    idx = build_ivfpq(ds.xb, cfg, xt=ds.xt, kmeans_iters=6, pq_iters=6)
+    return ds, idx
+
+
+def test_shard_index_partitions_everything(setup):
+    _, idx = setup
+    sh = shard_index(idx, 4)
+    assert sh.codes_t.shape[0] == 4
+    # every list owned exactly once; lengths preserved
+    lens = np.asarray(sh.list_len)
+    assert np.all((lens > 0).sum(axis=0) <= 1)
+    np.testing.assert_array_equal(lens.sum(axis=0), idx.list_len)
+    # all vector ids present exactly once
+    all_ids = np.asarray(sh.ids).ravel()
+    valid = np.sort(all_ids[all_ids >= 0])
+    np.testing.assert_array_equal(valid, np.arange(idx.ntotal))
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_matches_single_device(setup, n_shards):
+    ds, idx = setup
+    assert len(jax.devices()) >= 8, "conftest must force the 8-dev CPU mesh"
+    mesh = make_mesh((("lists", n_shards),),
+                     devices=jax.devices()[:n_shards])
+    sh = place_sharded(shard_index(idx, n_shards), mesh)
+    scan_len = idx.suggest_scan_len(8)
+    d_sh, i_sh = sharded_search(
+        sh, jnp.asarray(ds.xq), mesh=mesh, nprobe=8, k=10,
+        scan_len=scan_len, use_approx=False, backend="xla")
+
+    single = IVFSearcher(idx, SearchConfig(nprobe=8, k=10, backend="xla",
+                                           use_approx_topk=False))
+    d_1, i_1 = single.search(ds.xq)
+    np.testing.assert_allclose(np.asarray(d_sh), d_1, rtol=1e-4, atol=1e-3)
+    # id ties may reorder among equal distances only
+    same = np.asarray(i_sh) == i_1
+    close = np.abs(np.asarray(d_sh) - d_1) < 1e-3
+    assert np.all(same | close)
+
+
+def test_sharded_search_is_replicated(setup):
+    ds, idx = setup
+    mesh = make_mesh((("lists", 4),), devices=jax.devices()[:4])
+    sh = place_sharded(shard_index(idx, 4), mesh)
+    d_sh, i_sh = sharded_search(
+        sh, jnp.asarray(ds.xq[:4]), mesh=mesh, nprobe=4, k=5,
+        scan_len=idx.suggest_scan_len(4), use_approx=False, backend="xla")
+    assert d_sh.shape == (4, 5)
+    assert np.all(np.diff(np.asarray(d_sh), axis=1) >= -1e-5)
