@@ -1,0 +1,142 @@
+"""RALM worker process — one LM replica in the disaggregated serving mesh.
+
+Parity with the reference's GPU worker (``experiments/GPU_process.py:160-263``):
+builds the transformer from a YAML config/preset, connects an
+``ExternalRetriever`` to the coordinator (or runs Dummy/Local), barrier-syncs,
+runs warmup + timed ``batch_inference`` (sequential or tik-tok), and saves
+per-step profiling + summary stats into the shared ResultStore keyed
+``[model][architecture][interval][batch]``.
+
+Usage (standalone, dummy retriever):
+    python benchmarks/ralm_worker.py --config configs/Dec-S.yaml \
+        --retriever dummy --batch 32 --seq_len 64 --scheduler sequential
+Under the launcher it gets --retriever external --worker_id i.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from chamjax.config import ExperimentConfig, MODEL_PRESETS   # noqa: E402
+from chamjax.utils import ResultStore                         # noqa: E402
+
+
+def build_retriever(args, cfg):
+    if args.retriever == "dummy":
+        from chamjax.retrieval.interface import DummyRetriever
+        return DummyRetriever(default_k=cfg.model.k)
+    if args.retriever == "external":
+        from chamjax.retrieval.external import ExternalRetriever
+        r = ExternalRetriever(
+            cfg.service.coordinator_host, cfg.service.coordinator_port,
+            args.batch, cfg.model.embed_dim, cfg.model.k)
+        r.sync_with_coordinator()
+        return r
+    if args.retriever == "local":
+        from chamjax.config import IndexConfig, SearchConfig
+        from chamjax.data import synthetic_dataset
+        from chamjax.index import build_ivfpq
+        from chamjax.retrieval.local import LocalRetriever
+        ds = synthetic_dataset(nb=args.local_nb, nq=8, nt=args.local_nb // 5,
+                               d=cfg.model.embed_dim, seed=0, n_clusters=256)
+        idx = build_ivfpq(
+            ds.xb, IndexConfig(dim=cfg.model.embed_dim,
+                               nlist=min(1024, args.local_nb // 64),
+                               m=cfg.model.embed_dim // 32),
+            xt=ds.xt)
+        return LocalRetriever(idx, SearchConfig(nprobe=args.nprobe,
+                                                k=cfg.model.k))
+    raise ValueError(args.retriever)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None, help="YAML experiment config")
+    ap.add_argument("--preset", default=None,
+                    choices=list(MODEL_PRESETS) + [None])
+    ap.add_argument("--retriever", default="dummy",
+                    choices=["dummy", "external", "local"])
+    ap.add_argument("--scheduler", default="sequential",
+                    choices=["sequential", "tiktok"])
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--seq_len", type=int, default=0,
+                    help="steps to generate (0 = model max_seq_len)")
+    ap.add_argument("--interval", type=int, default=0,
+                    help="retrieval interval override")
+    ap.add_argument("--nprobe", type=int, default=32)
+    ap.add_argument("--warmup", type=int, default=4)
+    ap.add_argument("--local_nb", type=int, default=200_000)
+    ap.add_argument("--worker_id", type=int, default=0)
+    ap.add_argument("--out", default="results/ralm.pkl")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    from chamjax.models import init_decoder, init_encoder_decoder
+    from chamjax.serving.ralm import RalmDecoder, RalmEncoderDecoder
+    from chamjax.serving.tiktok import TikTokDecoder
+
+    cfg = (ExperimentConfig.from_yaml(args.config) if args.config
+           else ExperimentConfig())
+    if args.preset:
+        cfg = ExperimentConfig(**{**cfg.__dict__, "model":
+                                  MODEL_PRESETS[args.preset]})
+    mcfg = cfg.model
+    interval = args.interval or mcfg.retrieval_interval
+    seq_len = args.seq_len or mcfg.max_seq_len
+    key = jax.random.PRNGKey(args.seed)
+    retriever = build_retriever(args, cfg)
+
+    if args.scheduler == "tiktok":
+        assert mcfg.model_type == "decoder", "tik-tok: decoder-only for now"
+        params = init_decoder(key, mcfg)
+        loop = TikTokDecoder(params, mcfg, retriever, args.batch,
+                             retrieval_interval=interval, nprobe=args.nprobe)
+        loop.batch_inference(args.warmup)
+        loop.reset_inference_state()
+        loop.batch_inference(seq_len)
+        tps = loop.throughput_tokens_per_sec(seq_len)
+    elif mcfg.model_type == "decoder":
+        params = init_decoder(key, mcfg)
+        loop = RalmDecoder(params, mcfg, retriever, args.batch,
+                           retrieval_interval=interval, nprobe=args.nprobe)
+        loop.multi_steps(args.warmup)
+        loop.reset_inference_state()
+        loop.batch_inference(seq_len)
+        tps = loop.prof.stats(args.batch)["throughput_tokens_per_sec"]
+    else:
+        enc_params, dec_params = init_encoder_decoder(key, mcfg)
+        loop = RalmEncoderDecoder(enc_params, dec_params, mcfg, retriever,
+                                  args.batch, retrieval_interval=interval,
+                                  nprobe=args.nprobe)
+        loop.multi_steps(args.warmup)
+        loop.reset_inference_state()
+        loop.batch_inference(seq_len)
+        tps = loop.prof.stats(args.batch)["throughput_tokens_per_sec"]
+
+    stats = loop.prof.stats(args.batch)
+    print(f"[worker {args.worker_id}] {args.scheduler} "
+          f"{mcfg.model_type} b={args.batch} interval={interval}: "
+          f"{tps:.1f} tok/s", flush=True)
+    loop.prof.print_stats(args.batch)
+
+    model_name = (args.preset or
+                  (os.path.splitext(os.path.basename(args.config))[0]
+                   if args.config else "custom"))
+    arch = f"{args.scheduler}-{args.retriever}"
+    store = ResultStore(args.out, load=True)
+    store.put((model_name, arch, interval, args.batch,
+               f"worker{args.worker_id}"),
+              {**stats, "throughput_tokens_per_sec": tps})
+    store.save()
+    retriever.close()
+
+
+if __name__ == "__main__":
+    main()

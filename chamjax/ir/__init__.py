@@ -1,0 +1,14 @@
+"""IR benchmark harness — the BEIR-equivalent retrieval-quality subsystem.
+
+Rebuild of the reference's vendored BEIR fork (``beir/`` — SURVEY.md §2.6):
+qrels-based evaluation (NDCG/MAP/Recall/P@k + custom metrics), dense exact
+search as chunked TPU matmuls, ANN search backed by the chamjax IVF-PQ
+index, a lexical BM25 baseline, and a rerank stage.
+"""
+
+from chamjax.ir.dataloader import GenericDataLoader       # noqa: F401
+from chamjax.ir.evaluation import EvaluateRetrieval       # noqa: F401
+from chamjax.ir.dense import DenseRetrievalExactSearch    # noqa: F401
+from chamjax.ir.ann import DenseRetrievalIVFPQSearch      # noqa: F401
+from chamjax.ir.lexical import BM25Search                 # noqa: F401
+from chamjax.ir.rerank import Rerank, MaxSimReranker      # noqa: F401

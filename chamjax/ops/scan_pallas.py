@@ -150,7 +150,7 @@ def adc_scan_distances(
                 lambda i, starts, lens: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # codes stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # codes stay in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, n_groups, 8, LANES),

@@ -1,0 +1,162 @@
+"""Analytical performance model for TPU IVF-PQ search and RALM serving.
+
+TPU-native analogue of the reference's closed-form models
+(``performance_modeling/perf_model.py:1-80`` — FPGA PQ-scan QPS is
+DRAM-bandwidth-bound at ``32 GB/s / (nprobe/nlist · dbsize · m)``;
+``performance_modeling/FPGA_LUT_construction.py`` — LUT cycle model).
+Here the rooflines are a TPU chip's: HBM bandwidth bounds the PQ-code scan,
+the MXU bounds LUT construction and the coarse scan, and ICI bounds the
+all-gather merge of per-shard top-k.
+
+Used both for sanity-checking measured numbers (SURVEY.md §6) and for
+choosing configs (e.g. expected QPS before building a 1B index).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class TpuSpec:
+    """Per-chip hardware parameters. Defaults = TPU v5e (one chip)."""
+
+    name: str = "v5e"
+    hbm_gbps: float = 819.0        # HBM bandwidth, GB/s
+    bf16_tflops: float = 394.0     # MXU peak, bf16
+    f32_tflops: float = 98.5       # MXU peak, fp32 (bf16/4 on v5e)
+    vmem_mb: float = 128.0
+    ici_gbps: float = 400.0        # per-link bidirectional, approx
+
+
+V5E = TpuSpec()
+V5P = TpuSpec(name="v5p", hbm_gbps=2765.0, bf16_tflops=459.0,
+              f32_tflops=114.75, ici_gbps=1200.0)
+
+
+# ---------------------------------------------------------------------------
+# Vector search components
+# ---------------------------------------------------------------------------
+
+def scan_bytes_per_query(dbsize: int, nlist: int, nprobe: int, m: int,
+                         id_bytes: int = 8) -> float:
+    """HBM bytes touched per query by the PQ-code scan.
+
+    Expected rows scanned = nprobe/nlist · dbsize (uniform-list assumption,
+    same as the reference's model); each row reads m code bytes.  Top-k
+    candidates additionally read id_bytes per *selected* row, which is
+    negligible and ignored (ids are gathered only for ~k rows).
+    """
+    rows = dbsize * nprobe / nlist
+    return rows * m
+
+
+def scan_qps_roofline(dbsize: int, nlist: int, nprobe: int, m: int,
+                      spec: TpuSpec = V5E, efficiency: float = 1.0) -> float:
+    """Bandwidth-bound QPS ceiling for the PQ scan on one chip.
+
+    Reference model form: ``QPS = BW / (nprobe/nlist · dbsize · m)``
+    (``performance_modeling/perf_model.py:39-46`` with BW=32 GB/s for the
+    4-channel FPGA).  A v5e's 819 GB/s is ~25x the U250's scan bandwidth, so
+    the same SIFT1000M/PQ16/nprobe32 point's ceiling moves from ~2k QPS to
+    ~52k QPS per chip.
+    """
+    return efficiency * spec.hbm_gbps * 1e9 / scan_bytes_per_query(
+        dbsize, nlist, nprobe, m)
+
+
+def lut_flops_per_query(nprobe: int, m: int, dsub: int, ksub: int = 256
+                        ) -> float:
+    """LUT construction FLOPs: nprobe · ksub · m · dsub MACs (residual
+    distance table). Maps to one batched matmul/einsum on the MXU
+    (vs the reference's M spatial sub-PEs, ``LUT_construction.hpp:241-305``).
+    """
+    return 2.0 * nprobe * ksub * m * dsub
+
+
+def coarse_flops_per_query(nlist: int, dim: int) -> float:
+    """Coarse quantizer scan: one (1 x dim) @ (dim x nlist) matmul."""
+    return 2.0 * nlist * dim
+
+
+def search_latency_model(dbsize: int, nlist: int, nprobe: int, m: int,
+                         dim: int, batch: int, spec: TpuSpec = V5E,
+                         scan_efficiency: float = 0.6,
+                         mxu_efficiency: float = 0.5) -> dict:
+    """Per-batch latency decomposition (seconds) for the fused search."""
+    ksub = 256
+    dsub = dim // m
+    t_coarse = batch * coarse_flops_per_query(nlist, dim) / (
+        mxu_efficiency * spec.bf16_tflops * 1e12)
+    t_lut = batch * lut_flops_per_query(nprobe, m, dsub, ksub) / (
+        mxu_efficiency * spec.f32_tflops * 1e12)
+    t_scan = batch * scan_bytes_per_query(dbsize, nlist, nprobe, m) / (
+        scan_efficiency * spec.hbm_gbps * 1e9)
+    total = t_coarse + t_lut + t_scan
+    return {
+        "t_coarse_s": t_coarse, "t_lut_s": t_lut, "t_scan_s": t_scan,
+        "t_total_s": total, "qps": batch / total,
+        "scan_fraction": t_scan / total,
+    }
+
+
+def sharded_merge_bytes(k: int, n_shards: int, batch: int,
+                        id_bytes: int = 8, dist_bytes: int = 4) -> float:
+    """ICI bytes for all-gathering per-shard top-k before the final merge
+    (replaces the reference coordinator's TCP gather,
+    ``retriever_coordinator_server.py:252-274``)."""
+    return batch * k * n_shards * (id_bytes + dist_bytes)
+
+
+# ---------------------------------------------------------------------------
+# RALM serving components
+# ---------------------------------------------------------------------------
+
+def decoder_step_flops(embed_dim: int, ffn_dim: int, layers: int,
+                       batch: int, kv_len: int) -> float:
+    """FLOPs for one incremental decode step (per token per batch):
+    qkv+out projections (4·d²) + FFN (2·d·ffn) + attention over the KV cache
+    (2·d·kv_len), times 2 for MAC→FLOP."""
+    per_token = layers * (2.0 * (4 * embed_dim ** 2 + 2 * embed_dim * ffn_dim
+                                 + 2 * embed_dim * kv_len))
+    return batch * per_token
+
+
+def decoder_step_latency(embed_dim: int, ffn_dim: int, layers: int,
+                         batch: int, kv_len: int, spec: TpuSpec = V5E,
+                         dtype_bytes: int = 2) -> dict:
+    """Incremental decoding is weight-bandwidth-bound at small batch: every
+    step streams all weights from HBM.  Returns both bounds."""
+    weight_bytes = layers * (4 * embed_dim ** 2 + 2 * embed_dim * ffn_dim
+                             ) * dtype_bytes
+    kv_bytes = 2 * layers * batch * kv_len * embed_dim * dtype_bytes
+    t_mem = (weight_bytes + kv_bytes) / (spec.hbm_gbps * 1e9)
+    t_flops = decoder_step_flops(embed_dim, ffn_dim, layers, batch, kv_len
+                                 ) / (spec.bf16_tflops * 1e12)
+    t = max(t_mem, t_flops)
+    return {"t_mem_s": t_mem, "t_flops_s": t_flops, "t_step_s": t,
+            "tokens_per_sec": batch / t}
+
+
+def ralm_throughput_model(model: dict, dbsize: int, nlist: int, nprobe: int,
+                          m: int, dim: int, batch: int,
+                          retrieval_interval: int = 1, tiktok: bool = True,
+                          spec: TpuSpec = V5E) -> dict:
+    """Tokens/sec for the RALM loop: decode step + retrieval every
+    ``retrieval_interval`` steps; tik-tok overlaps the two (reference
+    ``ralm_tiktok.py:197-239``), so the pipelined step time is
+    max(decode, retrieval/interval) instead of the sum."""
+    dec = decoder_step_latency(model["embed_dim"], model["ffn_embed_dim"],
+                               model["layers"], batch,
+                               kv_len=model.get("max_seq_len", 512) // 2,
+                               spec=spec)
+    ret = search_latency_model(dbsize, nlist, nprobe, m, dim, batch,
+                               spec=spec)
+    per_step_ret = ret["t_total_s"] / retrieval_interval
+    if tiktok:
+        t_step = max(dec["t_step_s"], per_step_ret)
+    else:
+        t_step = dec["t_step_s"] + per_step_ret
+    return {"t_decode_s": dec["t_step_s"], "t_retrieval_s": ret["t_total_s"],
+            "t_step_s": t_step, "tokens_per_sec": batch / t_step,
+            "overlap_gain": (dec["t_step_s"] + per_step_ret) / t_step}

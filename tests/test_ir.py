@@ -1,0 +1,163 @@
+"""IR harness tests: metrics vs hand-computed values, loader round-trip,
+dense/ANN/BM25 retrieval quality on a synthetic corpus, rerank."""
+
+import math
+
+import numpy as np
+import pytest
+
+from chamjax.ir import (
+    BM25Search, DenseRetrievalExactSearch, DenseRetrievalIVFPQSearch,
+    EvaluateRetrieval, GenericDataLoader, MaxSimReranker,
+)
+from chamjax.ir.dataloader import save_beir_dataset
+from chamjax.ir.dense import HashingEncoder
+from chamjax.ir import metrics as M
+
+
+# --- metrics: hand-computed oracles ----------------------------------------
+
+QRELS = {"q1": {"d1": 2, "d2": 1}, "q2": {"d3": 1}}
+RESULTS = {
+    "q1": {"d1": 0.9, "d9": 0.8, "d2": 0.7},   # ranks: d1, d9, d2
+    "q2": {"d8": 0.9, "d3": 0.5},              # ranks: d8, d3
+}
+
+
+def test_ndcg_hand_computed():
+    # q1: DCG = 2/log2(2) + 0 + 1/log2(4) = 2.5 ; IDCG = 2 + 1/log2(3)
+    dcg1 = 2.0 + 1.0 / math.log2(4)
+    idcg1 = 2.0 + 1.0 / math.log2(3)
+    # q2: DCG = 1/log2(3) ; IDCG = 1
+    expected = (dcg1 / idcg1 + 1.0 / math.log2(3)) / 2
+    assert M.ndcg_at_k(QRELS, RESULTS, 10) == pytest.approx(expected)
+
+
+def test_map_recall_precision_mrr():
+    # q1: hits at rank1 (P=1) and rank3 (P=2/3) → AP = (1 + 2/3)/2
+    # q2: hit at rank2 → AP = 1/2
+    assert M.map_at_k(QRELS, RESULTS, 10) == pytest.approx(
+        ((1 + 2 / 3) / 2 + 0.5) / 2)
+    assert M.recall_at_k(QRELS, RESULTS, 1) == pytest.approx(
+        (0.5 + 0.0) / 2)
+    assert M.recall_at_k(QRELS, RESULTS, 10) == 1.0
+    assert M.precision_at_k(QRELS, RESULTS, 2) == pytest.approx(
+        (0.5 + 0.5) / 2)
+    assert M.mrr_at_k(QRELS, RESULTS, 10) == pytest.approx(
+        (1.0 + 0.5) / 2)
+    assert M.top_k_accuracy(QRELS, RESULTS, 1) == pytest.approx(0.5)
+    # hole: q1 top-3 has 1 unjudged (d9); q2 top-2 has 1 unjudged (d8)
+    assert M.hole_at_k(QRELS, RESULTS, 3) == pytest.approx(
+        (1 / 3 + 1 / 2) / 2)
+
+
+def test_evaluate_retrieval_surface():
+    ndcg, _map, recall, precision = EvaluateRetrieval.evaluate(
+        QRELS, RESULTS, [1, 10])
+    assert set(ndcg) == {"NDCG@1", "NDCG@10"}
+    assert recall["Recall@10"] == 1.0
+    mrr = EvaluateRetrieval.evaluate_custom(QRELS, RESULTS, [10], "mrr")
+    assert mrr["MRR@10"] == pytest.approx(0.75)
+
+
+# --- synthetic corpus: loader + retrieval quality ---------------------------
+
+TOPICS = {
+    "cooking": "recipe oven bake flour sugar butter pastry dough dessert",
+    "space": "rocket orbit satellite launch astronaut planet telescope",
+    "finance": "market stock bond yield portfolio dividend equity trade",
+    "biology": "cell protein enzyme gene dna membrane organism tissue",
+}
+
+
+def _make_corpus(n_per_topic=30, seed=0):
+    rng = np.random.default_rng(seed)
+    corpus, queries, qrels = {}, {}, {}
+    for ti, (topic, vocab) in enumerate(TOPICS.items()):
+        words = vocab.split()
+        for i in range(n_per_topic):
+            did = f"{topic}-{i}"
+            text = " ".join(rng.choice(words, size=12))
+            corpus[did] = {"title": topic, "text": text}
+        qid = f"q-{topic}"
+        queries[qid] = " ".join(rng.choice(words, size=6))
+        qrels[qid] = {f"{topic}-{i}": 1 for i in range(n_per_topic)}
+    return corpus, queries, qrels
+
+
+def test_dataloader_roundtrip(tmp_path):
+    corpus, queries, qrels = _make_corpus(5)
+    save_beir_dataset(str(tmp_path), corpus, queries, qrels)
+    c2, q2, r2 = GenericDataLoader(str(tmp_path)).load("test")
+    assert c2.keys() == corpus.keys()
+    assert q2 == queries
+    assert r2 == qrels
+
+
+def test_dense_exact_search_quality():
+    corpus, queries, qrels = _make_corpus()
+    model = HashingEncoder(dim=128)
+    searcher = DenseRetrievalExactSearch(model, corpus_chunk_size=50)
+    results = searcher.search(corpus, queries, top_k=10)
+    ndcg, _, recall, _ = EvaluateRetrieval.evaluate(qrels, results, [10])
+    # topic vocabularies are disjoint → near-perfect topical retrieval
+    assert ndcg["NDCG@10"] > 0.9
+
+
+def test_ann_ivfpq_search_matches_topics():
+    corpus, queries, qrels = _make_corpus(n_per_topic=64)
+    from chamjax.config import IndexConfig
+    model = HashingEncoder(dim=128)
+    searcher = DenseRetrievalIVFPQSearch(
+        model, IndexConfig(dim=128, nlist=8, m=16, list_pad=64), nprobe=8)
+    results = searcher.search(corpus, queries, top_k=10)
+    ndcg, _, _, _ = EvaluateRetrieval.evaluate(qrels, results, [10])
+    assert ndcg["NDCG@10"] > 0.8
+
+
+def test_ann_save_load(tmp_path):
+    corpus, queries, _ = _make_corpus(n_per_topic=64)
+    from chamjax.config import IndexConfig
+    model = HashingEncoder(dim=128)
+    s = DenseRetrievalIVFPQSearch(
+        model, IndexConfig(dim=128, nlist=8, m=16, list_pad=64), nprobe=8)
+    s.index_corpus(corpus)
+    s.save(str(tmp_path))
+    s2 = DenseRetrievalIVFPQSearch(model, nprobe=8)
+    s2.load(str(tmp_path))
+    r1 = s.search(corpus, queries, top_k=5)
+    r2 = s2.search(corpus, queries, top_k=5)
+    assert r1.keys() == r2.keys()
+    for qid in r1:
+        assert list(r1[qid]) == list(r2[qid])
+
+
+def test_bm25_search_quality():
+    corpus, queries, qrels = _make_corpus()
+    results = BM25Search().search(corpus, queries, top_k=10)
+    ndcg, _, _, _ = EvaluateRetrieval.evaluate(qrels, results, [10])
+    assert ndcg["NDCG@10"] > 0.9
+    # scores must be positive BM25 values sorted desc
+    for qid, docs in results.items():
+        vals = list(docs.values())
+        assert vals == sorted(vals, reverse=True)
+
+
+def test_maxsim_rerank_improves_noisy_firststage():
+    corpus, queries, qrels = _make_corpus()
+    # first stage: correct candidate set but randomly shuffled scores
+    rng = np.random.default_rng(3)
+    bm25 = BM25Search().search(corpus, queries, top_k=20)
+    noisy = {qid: {d: float(rng.random()) for d in docs}
+             for qid, docs in bm25.items()}
+    # pollute with off-topic docs
+    all_dids = list(corpus.keys())
+    for qid in noisy:
+        for d in rng.choice(all_dids, size=10, replace=False):
+            noisy[qid][str(d)] = float(rng.random() + 0.5)
+    rer = MaxSimReranker(dim=64, max_tokens=16)
+    reranked = rer.rerank(corpus, queries, noisy, top_k=10)
+    ndcg_before, *_ = EvaluateRetrieval.evaluate(qrels, noisy, [10])
+    ndcg_after, *_ = EvaluateRetrieval.evaluate(qrels, reranked, [10])
+    assert ndcg_after["NDCG@10"] > ndcg_before["NDCG@10"]
+    assert ndcg_after["NDCG@10"] > 0.8

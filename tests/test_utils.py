@@ -1,0 +1,122 @@
+"""Tests for the experiment-layer utilities: result store, probabilistic
+sizing, analytic perf model."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from chamjax.index import sizing
+from chamjax.utils import ResultStore
+from chamjax import perf_model as pm
+
+
+# --- ResultStore (reference nested-dict pickle contract) -------------------
+
+def test_result_store_roundtrip(tmp_path):
+    path = str(tmp_path / "res.pkl")
+    s = ResultStore(path)
+    key = ("SIFT1M", "IVF1024,PQ16", "1tpu", 100, 32, 8)
+    assert s.should_run(key)
+    s.put(key, {"QPS": 1000.0, "R@10": 0.9})
+    s.save()
+
+    # reload: cached point is skipped unless overwrite
+    s2 = ResultStore(path, load=True, overwrite=False)
+    assert not s2.should_run(key)
+    assert s2.get(key)["QPS"] == 1000.0
+    s3 = ResultStore(path, load=True, overwrite=True)
+    assert s3.should_run(key)
+
+    # update merges metrics into an existing leaf
+    s2.update(key, latency_ms=1.5)
+    assert s2.get(key)["latency_ms"] == 1.5
+    assert s2.get(key)["R@10"] == 0.9
+
+    # walk yields leaves
+    leaves = list(s2.walk())
+    assert len(leaves) == 1
+    assert leaves[0][0] == tuple(str(k) for k in key)
+
+    # json sidecar written
+    assert os.path.exists(path + ".json")
+
+
+def test_result_store_no_load(tmp_path):
+    path = str(tmp_path / "res.pkl")
+    ResultStore(path).put(("a",), {"x": 1}) or ResultStore(path).save
+    s = ResultStore(path, load=False)
+    assert s.d == {}
+
+
+# --- probabilistic partial-k sizing (reference queue-sizing model) ----------
+
+def test_binom_tail_exact():
+    # P(B(2, 0.5) > 0) = 0.75 ; > 1 = 0.25 ; > 2 = 0
+    assert math.isclose(sizing.binom_tail(2, 0.5, 0), 0.75, rel_tol=1e-12)
+    assert math.isclose(sizing.binom_tail(2, 0.5, 1), 0.25, rel_tol=1e-12)
+    assert sizing.binom_tail(2, 0.5, 2) == 0.0
+
+
+def test_partial_k_matches_reference_regime():
+    # The reference's L1 table (constants.hpp:22-31): for topK=100 spread
+    # over 2*ADC_PE_NUM queues, truncated lengths are 10-38 — i.e. far less
+    # than 100.  Our model must land in the same regime: k_part << k and
+    # monotone in n_parts.
+    k = 100
+    k32 = sizing.partial_k(k, 32, p_fail=1e-4)
+    k8 = sizing.partial_k(k, 8, p_fail=1e-4)
+    k2 = sizing.partial_k(k, 2, p_fail=1e-4)
+    assert k32 < k8 < k2 <= k
+    assert 5 <= k32 <= 25          # ~15 expected
+    assert sizing.partial_k(k, 1) == k
+    # the bound must actually hold
+    assert sizing.overflow_probability(k, 32, k32) < 1e-4
+    assert sizing.overflow_probability(k, 32, k32 - 2) > 1e-4
+
+
+def test_expected_recall_loss_small():
+    k_part = sizing.partial_k(100, 16, p_fail=1e-4)
+    assert sizing.expected_recall_loss(100, 16, k_part) < 1e-4
+
+
+def test_scan_len_quantile():
+    sizes = [100] * 99 + [10_000]
+    sl = sizing.scan_len_for_quantile(sizes, nprobe=8, quantile=0.99, pad=128)
+    assert sl <= 10_000 and sl % 128 == 0
+    assert sizing.truncated_mass(sizes, sl) <= 0.5
+    assert sizing.truncated_mass(sizes, 10_000) == 0.0
+
+
+# --- analytic perf model ----------------------------------------------------
+
+def test_scan_qps_roofline_reference_point():
+    # Reference model point (perf_model.py:39-46): SIFT1000M, nlist=32768,
+    # nprobe=32, m=16 at 32 GB/s ⇒ ~2048 QPS.  Same formula at the FPGA's
+    # bandwidth must reproduce that; v5e HBM must beat it ~25x.
+    fpga = pm.TpuSpec(name="u250", hbm_gbps=32.0)
+    qps_fpga = pm.scan_qps_roofline(10**9, 32768, 32, 16, spec=fpga)
+    assert 1800 < qps_fpga < 2300
+    qps_v5e = pm.scan_qps_roofline(10**9, 32768, 32, 16, spec=pm.V5E)
+    assert qps_v5e / qps_fpga > 20
+
+
+def test_search_latency_model_shape():
+    out = pm.search_latency_model(10**8, 4096, 32, 16, 128, batch=32)
+    assert out["t_total_s"] > 0 and 0 < out["scan_fraction"] < 1
+    assert out["qps"] == pytest.approx(32 / out["t_total_s"])
+    # at 100M scale the scan dominates LUT+coarse
+    assert out["scan_fraction"] > 0.5
+
+
+def test_ralm_throughput_overlap_gain():
+    model = {"embed_dim": 512, "ffn_embed_dim": 2048, "layers": 24,
+             "max_seq_len": 512}
+    tik = pm.ralm_throughput_model(model, 10**8, 4096, 32, 16, 512,
+                                   batch=64, tiktok=True)
+    seq = pm.ralm_throughput_model(model, 10**8, 4096, 32, 16, 512,
+                                   batch=64, tiktok=False)
+    # overlap can only help, and by at most 2x
+    assert 1.0 <= seq["t_step_s"] / tik["t_step_s"] <= 2.0
+    assert tik["tokens_per_sec"] >= seq["tokens_per_sec"]
