@@ -22,6 +22,15 @@ import numpy as np
 
 
 def _read_vecs(path: str, dtype, item_bytes: int) -> np.ndarray:
+    # native fast path (sequential fread into a contiguous buffer,
+    # chamjax/native/src/chamnet.cpp); falls back to numpy below
+    try:
+        from chamjax import native
+        if native.available():
+            elem = {np.float32: "f", np.uint8: "b", np.int32: "i"}[dtype]
+            return native.read_vecs(path, elem)
+    except Exception:
+        pass
     raw = np.fromfile(path, dtype=np.uint8)
     if raw.size == 0:
         return np.empty((0, 0), dtype=dtype)

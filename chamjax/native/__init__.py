@@ -1,0 +1,117 @@
+"""Native (C++) runtime components, bound via ctypes.
+
+The reference's runtime-critical paths are native: the FPGA accelerator and
+its OpenCL host program (C++), with only the relay tier in Python.  Here the
+TPU compute path is JAX/Pallas; this package supplies the native *runtime*
+around it:
+
+- ``cham_coordinator_run``: epoll relay data plane (see ``src/chamnet.cpp``)
+  replacing the Python poll loop of ``RetrieveCoordinator``.
+- ``cham_read_vecs``: sequential-read vecs-file loader.
+
+The shared library compiles on demand with g++ (cached next to the source);
+callers must handle ``NativeUnavailable`` and fall back to the pure-Python
+implementations — the Python and native paths are behaviorally identical.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
+_BUILD_DIR = os.path.join(os.path.dirname(__file__), "build")
+_LIB_PATH = os.path.join(_BUILD_DIR, "libchamnet.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> str:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    src = os.path.join(_SRC_DIR, "chamnet.cpp")
+    if (not os.path.exists(_LIB_PATH)
+            or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
+        cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+               "-o", _LIB_PATH, src]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            detail = getattr(e, "stderr", str(e))
+            raise NativeUnavailable(f"chamnet build failed: {detail}") from e
+    return _LIB_PATH
+
+
+def load() -> ctypes.CDLL:
+    """Build (if stale) and load libchamnet; raises NativeUnavailable."""
+    global _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(_build())
+            lib.cham_coordinator_run.restype = ctypes.c_longlong
+            lib.cham_coordinator_run.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_longlong, ctypes.c_longlong,
+                ctypes.c_char_p, ctypes.c_longlong,
+            ]
+            lib.cham_read_vecs.restype = ctypes.c_longlong
+            lib.cham_read_vecs.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_longlong,
+                ctypes.c_longlong, ctypes.c_void_p,
+            ]
+            lib.cham_vecs_dim.restype = ctypes.c_longlong
+            lib.cham_vecs_dim.argtypes = [ctypes.c_char_p]
+            _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except NativeUnavailable:
+        return False
+
+
+# --- high-level wrappers -----------------------------------------------------
+
+def coordinator_run(host: str, port: int, n_clients: int,
+                    request_bytes: int, answer_bytes: int,
+                    engine_addrs, queries_per_client: int = 0) -> int:
+    """Blocking native coordinator. engine_addrs: [(host, port), ...].
+    Returns total answered queries."""
+    lib = load()
+    spec = ";".join(f"{h}:{p}" for h, p in engine_addrs)
+    rc = lib.cham_coordinator_run(
+        host.encode(), port, n_clients, request_bytes, answer_bytes,
+        spec.encode(), queries_per_client)
+    if rc < 0:
+        raise RuntimeError(f"native coordinator failed: code {rc}")
+    return int(rc)
+
+
+def read_vecs(path: str, elem: str = "f", max_rows: int = -1):
+    """Read an fvecs/bvecs/ivecs file into a contiguous array natively."""
+    import numpy as np
+
+    lib = load()
+    dim = lib.cham_vecs_dim(path.encode())
+    if dim <= 0:
+        raise IOError(f"cannot read vecs header from {path} (code {dim})")
+    elem_size, dtype = {"f": (4, np.float32), "b": (1, np.uint8),
+                        "i": (4, np.int32)}[elem]
+    if max_rows < 0:
+        row_bytes = 4 + dim * elem_size
+        max_rows = os.path.getsize(path) // row_bytes
+    out = np.empty((max_rows, dim), dtype)
+    rows = lib.cham_read_vecs(path.encode(), elem_size, dim, max_rows,
+                              out.ctypes.data_as(ctypes.c_void_p))
+    if rows < 0:
+        raise IOError(f"native vecs read failed: code {rows}")
+    return out[:rows]

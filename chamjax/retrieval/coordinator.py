@@ -166,3 +166,33 @@ class RetrieveCoordinator:
                 s.close()
             except OSError:
                 pass
+
+
+class NativeCoordinator:
+    """Drop-in replacement for ``RetrieveCoordinator.start()`` backed by the
+    C++ epoll data plane (``chamjax/native/src/chamnet.cpp``).
+
+    The Python coordinator relays every frame through the interpreter — the
+    same serialization point the reference notes in its poll loop.  The
+    native loop does accept/barrier/round-robin-scatter/origin-gather with
+    zero per-frame Python involvement.  Same wire format, same topology.
+    """
+
+    def __init__(self, host: str, port: int, n_clients: int,
+                 batch_size: int, dim: int, k: int,
+                 engine_addrs: List[tuple],
+                 queries_per_client: Optional[int] = None):
+        self.host, self.port = host, port
+        self.n_clients = n_clients
+        self.request_bytes = wire.request_nbytes(batch_size, dim)
+        self.answer_bytes = wire.answer_nbytes(batch_size, k)
+        self.engine_addrs = engine_addrs
+        self.queries_per_client = queries_per_client or 0
+        self.answered_query_cnt = 0
+
+    def start(self) -> None:
+        from chamjax import native
+        self.answered_query_cnt = native.coordinator_run(
+            self.host, self.port, self.n_clients,
+            self.request_bytes, self.answer_bytes,
+            self.engine_addrs, self.queries_per_client)

@@ -1,0 +1,129 @@
+"""Native (C++) runtime tests: build+load, vecs IO parity, and the epoll
+coordinator relaying a full loopback topology identically to the Python
+coordinator."""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from chamjax import native
+
+HOST = "127.0.0.1"
+_port_counter = [31000 + (os.getpid() % 9000)]
+
+
+def next_port():
+    _port_counter[0] += 1
+    return _port_counter[0]
+
+
+def connect_retry(make, attempts=50):
+    for _ in range(attempts):
+        try:
+            return make()
+        except (ConnectionRefusedError, OSError):
+            time.sleep(0.05)
+    raise ConnectionError("server never came up")
+
+
+def test_native_builds_and_loads():
+    assert native.available(), "libchamnet must compile in this image"
+    lib = native.load()
+    assert lib.cham_vecs_dim(b"/nonexistent") < 0
+
+
+def test_native_read_vecs_parity(tmp_path):
+    from chamjax.data.datasets import read_fvecs, write_fvecs
+
+    x = np.random.default_rng(0).standard_normal((100, 24)).astype(np.float32)
+    path = str(tmp_path / "x.fvecs")
+    write_fvecs(path, x)
+    # native path
+    got = native.read_vecs(path, "f")
+    np.testing.assert_array_equal(got, x)
+    # the reader integration (read_fvecs now routes through native)
+    np.testing.assert_array_equal(read_fvecs(path), x)
+    # partial read
+    np.testing.assert_array_equal(native.read_vecs(path, "f", max_rows=7),
+                                  x[:7])
+
+
+def test_native_coordinator_relay():
+    """2 clients -> native coordinator -> 2 random-answer engines; every
+    client must get its own answers back in FIFO order."""
+    from chamjax.retrieval.coordinator import NativeCoordinator
+    from chamjax.retrieval.external import ExternalRetriever
+    from chamjax.retrieval.server import RandomAnswerServer
+
+    batch, dim, k = 4, 16, 10
+    n_clients, n_requests = 2, 6
+    eng_ports = [next_port(), next_port()]
+    coord_port = next_port()
+
+    engines = [RandomAnswerServer(HOST, p, batch_size=batch, dim=dim, seed=s)
+               for s, p in enumerate(eng_ports)]
+    for e in engines:
+        threading.Thread(target=e.start, daemon=True).start()
+    time.sleep(0.2)
+
+    coord = NativeCoordinator(
+        HOST, coord_port, n_clients, batch, dim, k,
+        engine_addrs=[(HOST, p) for p in eng_ports],
+        queries_per_client=n_requests)
+    ct = threading.Thread(target=coord.start, daemon=True)
+    ct.start()
+
+    clients = [connect_retry(
+        lambda: ExternalRetriever(HOST, coord_port, batch, dim, k))
+        for _ in range(n_clients)]
+    for c in clients:
+        c.sync_with_coordinator()
+
+    rng = np.random.default_rng(0)
+    for _ in range(n_requests):
+        for c in clients:
+            q = rng.standard_normal((batch, dim)).astype(np.float32)
+            res = c.retrieve(q, nprobe=8, k=k)
+            assert res.ids.shape == (batch, k)
+            assert res.dists.shape == (batch, k)
+            assert np.all(np.diff(res.dists, axis=1) >= 0)
+
+    for c in clients:
+        c.close()
+    ct.join(timeout=10)
+    assert not ct.is_alive(), "native coordinator must terminate"
+    assert coord.answered_query_cnt == n_clients * n_requests
+    for e in engines:
+        e.stop()
+
+
+def test_native_coordinator_runs_until_disconnect():
+    """queries_per_client=0 -> relay until clients hang up."""
+    from chamjax.retrieval.coordinator import NativeCoordinator
+    from chamjax.retrieval.external import ExternalRetriever
+    from chamjax.retrieval.server import RandomAnswerServer
+
+    batch, dim, k = 2, 8, 5
+    eng_port, coord_port = next_port(), next_port()
+    eng = RandomAnswerServer(HOST, eng_port, batch_size=batch, dim=dim)
+    threading.Thread(target=eng.start, daemon=True).start()
+    time.sleep(0.2)
+
+    coord = NativeCoordinator(HOST, coord_port, 1, batch, dim, k,
+                              engine_addrs=[(HOST, eng_port)])
+    ct = threading.Thread(target=coord.start, daemon=True)
+    ct.start()
+
+    c = connect_retry(
+        lambda: ExternalRetriever(HOST, coord_port, batch, dim, k))
+    c.sync_with_coordinator()
+    q = np.zeros((batch, dim), np.float32)
+    res = c.retrieve(q, nprobe=4, k=k)
+    assert res.ids.shape == (batch, k)
+    c.close()
+    ct.join(timeout=10)
+    assert not ct.is_alive()
+    eng.stop()
