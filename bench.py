@@ -3,16 +3,15 @@
 
 Mirrors the reference's flagship measurement (BASELINE.md: SIFT-class
 index, k=100, nprobe=32, batch-128 queries — 1FPGA-1GPU sustains ~1.9k QPS,
-p50 26 ms at batch 128), scaled to the corpus that fits this environment
-(1M × 128-d, IVF1024, PQ16 — per-query scan work nprobe/nlist·N = 31k codes
-matches the reference's SIFT1000M/IVF32768 ratio of ~0.98M codes per query
-scaled by corpus).
+p50 26 ms at batch 128; b=1 p50 1.09 ms), scaled to the corpus that fits
+this environment (1M × 128-d, IVF4096, PQ16).
 
-Methodology: steady-state serving throughput — distinct query batches
-pre-staged on device, executions queued back-to-back, one final block
-(measures true device dataflow incl. HBM scan; excludes this rig's
-tunnel-inflated host↔device copies).  p50 latency is reported separately
-with a per-call device sync.
+Methodology: the axon tunnel acks dispatches before execution, so
+``block_until_ready`` alone under-measures; device time is taken as the
+slope between N=small and N=large back-to-back dispatch runs, each closed
+by pulling one element of the LAST result (program order ⇒ the pull
+completes only after every prior step).  Recall gate: R@10 on 256 held-out
+queries vs exact ground truth.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -22,6 +21,16 @@ import os
 import time
 
 import numpy as np
+
+
+def _slope_ms(run, n_small=4, n_large=36):
+    """Device ms/call via two-point dispatch-slope measurement."""
+    ts = {}
+    for n in (n_small, n_large):
+        t0 = time.perf_counter()
+        run(n)
+        ts[n] = time.perf_counter() - t0
+    return (ts[n_large] - ts[n_small]) / (n_large - n_small) * 1e3
 
 
 def main() -> None:
@@ -37,22 +46,20 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
 
-    nb, d, nlist, m = 1_000_000, 128, 1024, 16
+    nb, d, nlist, m = 1_000_000, 128, 4096, 16
     batch, nprobe, k = 128, 32, 100
-    n_batches = 64
 
-    nq = batch * (n_batches + 1) + 256
+    nq = batch * 65 + 256
     ds = synthetic_dataset(nb=nb, nq=nq, nt=100_000, d=d, seed=42,
                            n_clusters=4096)
-    # cache key covers everything that changes index/gt content
-    key = f"v2_{nb}_{d}_{nlist}_{m}_{nq}"
+    key = f"v3_{nb}_{d}_{nlist}_{m}_{nq}"
     cache = os.environ.get("CHAMJAX_BENCH_INDEX",
                            f"/tmp/chamjax_bench_idx_{key}.npz")
     if os.path.exists(cache):
         idx = PackedIVF.load(cache)
     else:
         idx = build_ivfpq(
-            ds.xb, IndexConfig(dim=d, nlist=nlist, m=m, list_pad=512),
+            ds.xb, IndexConfig(dim=d, nlist=nlist, m=m, list_pad=128),
             xt=ds.xt, kmeans_iters=10, pq_iters=10,
         )
         idx.save(cache)
@@ -65,35 +72,53 @@ def main() -> None:
         np.save(gt_cache, gt)
 
     dev = DeviceIVF.from_packed(idx)
-    scan_len = idx.suggest_scan_len(nprobe, 0.98)
-    scan_len = max(1024, scan_len - scan_len % 1024)
-    kw = dict(nprobe=nprobe, k=k, scan_len=scan_len, by_residual=True,
-              use_approx=True, recall_target=0.99, backend="pallas",
-              tile=0)
+    # window budget: length-weighted mean segments per probe + headroom
+    from chamjax.ops.scan_seg import SEG
+    lens = idx.list_len.astype(np.float64)
+    w_mean = float((lens * np.ceil(lens / SEG)).sum() / lens.sum())
+    W = int(np.ceil(nprobe * w_mean * 1.2)) + 4
+    kw = dict(nprobe=nprobe, k=k, windows=W, by_residual=True,
+              use_approx=True, recall_target=0.99, backend="seg")
 
     # quality gate: recall@10 on 256 held-out queries
     d_r, i_r = ivfpq_search(dev, jnp.asarray(ds.xq[:256]), **kw)
     r10 = recall_at_k(np.asarray(i_r), gt, 10)
 
-    # throughput: distinct batches, queued, one block
+    # throughput at batch=128 (dispatch-slope)
     qs = [jnp.asarray(ds.xq[256 + i * batch: 256 + (i + 1) * batch])
-          for i in range(n_batches + 1)]
-    jax.block_until_ready(qs)
-    out = ivfpq_search(dev, qs[-1], **kw)     # warmup/compile
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    outs = [ivfpq_search(dev, q, **kw) for q in qs[:n_batches]]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    qps = n_batches * batch / dt
+          for i in range(40)]
+    _ = np.asarray(qs[-1][0, 0])
+    out = ivfpq_search(dev, qs[0], **kw)
+    _ = np.asarray(out[0][0, 0])                     # compile + settle
 
-    # latency: per-call sync (includes one dispatch+sync round trip)
-    lat = []
-    for i in range(20):
+    def run_b128(n):
+        outs = [ivfpq_search(dev, q, **kw) for q in qs[:n]]
+        np.asarray(outs[-1][0][0, 0])
+    ms_batch = _slope_ms(run_b128)
+    qps = batch / ms_batch * 1e3
+
+    # batch=1 device latency: chain S sequential searches inside ONE
+    # compiled lax.scan (carry-dependent), so dispatch overhead amortizes
+    # away and the slope over S is pure per-query device time.
+    import functools as ft
+
+    @ft.partial(jax.jit, static_argnames=("steps",))
+    def chained_b1(dev, qstack, steps):
+        def body(acc, q):
+            dd, _ii = ivfpq_search(dev, q[None, :] + acc, **kw)
+            return dd[0, 0] * 0.0, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), qstack[:steps])
+        return acc
+
+    qstack = jnp.asarray(ds.xq[256:256 + 80])
+    for steps in (8, 72):
+        _ = np.asarray(chained_b1(dev, qstack, steps))   # compile
+    t = {}
+    for steps in (8, 72):
         t0 = time.perf_counter()
-        jax.block_until_ready(ivfpq_search(dev, qs[i % n_batches], **kw))
-        lat.append(time.perf_counter() - t0)
-    p50_ms = float(np.median(lat)) * 1e3
+        np.asarray(chained_b1(dev, qstack, steps))
+        t[steps] = time.perf_counter() - t0
+    ms_b1 = (t[72] - t[8]) / 64 * 1e3
 
     baseline_qps = 1932.0   # reference 1FPGA-1GPU tik-tok b=128 (BASELINE.md)
     result = {
@@ -101,9 +126,10 @@ def main() -> None:
         "value": round(qps, 1),
         "unit": "QPS",
         "vs_baseline": round(qps / baseline_qps, 3),
-        "p50_ms_b128": round(p50_ms, 3),
+        "ms_per_batch128": round(ms_batch, 3),
+        "ms_per_query_b1": round(ms_b1, 4),
         "recall_at_10": round(float(r10), 4),
-        "scan_len": scan_len,
+        "windows": W,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

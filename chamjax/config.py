@@ -80,10 +80,14 @@ class SearchConfig:
     approx_recall_target: float = 0.99
     # Distance compute dtype ("float32" | "bfloat16").
     dtype: str = "float32"
-    # Scan backend: "pallas" (fused TPU kernel) or "xla" (reference path).
-    backend: str = "pallas"
+    # Scan backend: "seg" (segmented Pallas kernel, work ∝ true list length),
+    # "pallas" (padded-window Pallas kernel), or "xla" (gather fallback).
+    backend: str = "seg"
     # Pallas code-tile width (columns per DMA block); 0 = auto from list_pad.
     tile: int = 0
+    # Segmented backend: static per-query window budget (0 = auto-sized from
+    # the index's list-length distribution, IVFSearcher._auto_windows).
+    scan_windows: int = 0
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,213 @@
+"""Segmented Pallas ADC scan — work proportional to true list length.
+
+The padded-window kernel (``scan_pallas.py``) scans a fixed ``scan_len`` per
+probe, so imbalanced k-means lists force 3-5x wasted work (the p99 list sets
+the window).  This kernel is the TPU realization of the FPGA's per-cell
+iteration table (``DRAM_utils.hpp:45-102``: iterations = ceil(num_vec/PE)):
+
+- every inverted list is viewed as ``ceil(len/SEG)`` uniform SEG-row
+  *segments*;
+- a query's probed lists expand into a flat window list (probe-major, so
+  nearest centroids claim windows first), padded/truncated to a static
+  budget ``W`` per query — the scan budget is global per query instead of
+  per list, which both balances work and degrades gracefully (far probes
+  drop first);
+- grid = one program per window; the *next* window's code slab DMA is
+  issued one grid step ahead (cross-step double buffering — the FPGA's
+  double-buffered ADC, ``ADC.hpp:105-257``), so HBM latency never sits on
+  the critical path;
+- LUT blocks are indexed through a scalar-prefetched ``lut_idx`` map, so
+  consecutive segments of the same probe reuse the already-resident LUT
+  block (Pallas skips equal-index refetches).
+
+Distance compute per 128-lane tile: two dynamic lane gathers (low/high LUT
+half, index = code & 127) + select + sublane-sum — the VPU equivalent of the
+FPGA's M-banked BRAM lookup PEs (``ADC.hpp:33-102``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from chamjax.ops.topk import select_topk
+
+LANES = 128
+SEG = 1024            # rows per segment = one (8, 128) f32 output block
+
+
+def _adc_seg_kernel(starts_ref, lens_ref, lutidx_ref, lut_ref, codes_hbm,
+                    out_ref, scratch, sems):
+    i = pl.program_id(0)
+    nw = pl.num_programs(0)
+    ln = lens_ref[i]
+
+    def dma(slot, w):
+        start = pl.multiple_of(starts_ref[w], LANES)
+        return pltpu.make_async_copy(
+            codes_hbm.at[:, pl.ds(start, SEG)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    # prologue: the first window issues its own DMA
+    for sl in (0, 1):
+        @pl.when((i == 0) & (i % 2 == sl) & (ln > 0))
+        def _(sl=sl):
+            dma(sl, i).start()
+
+    # cross-step prefetch: issue window i+1's DMA now
+    @pl.when(i + 1 < nw)
+    def _():
+        nxt_ln = lens_ref[i + 1]
+        for sl in (0, 1):
+            @pl.when(((i + 1) % 2 == sl) & (nxt_ln > 0))
+            def _(sl=sl):
+                dma(sl, i + 1).start()
+
+    lut = lut_ref[0]                        # (m, 256) f32
+    lut_lo = lut[:, :LANES]
+    lut_hi = lut[:, LANES:]
+
+    for sl in (0, 1):
+        @pl.when((i % 2 == sl) & (ln > 0))
+        def _(sl=sl):
+            dma(sl, i).wait()
+            codes = scratch[sl].astype(jnp.int32)          # (m, SEG)
+            for t in range(SEG // LANES):
+                cc = codes[:, t * LANES:(t + 1) * LANES]
+                idx = cc & (LANES - 1)
+                glo = jnp.take_along_axis(lut_lo, idx, axis=1)
+                ghi = jnp.take_along_axis(lut_hi, idx, axis=1)
+                g = jnp.where(cc < LANES, glo, ghi)        # (m, 128)
+                dist = jnp.sum(g, axis=0)                  # (128,)
+                pos = t * LANES + jax.lax.broadcasted_iota(
+                    jnp.int32, (LANES,), 0)
+                out_ref[0, t, :] = jnp.where(pos < ln, dist, jnp.inf)
+
+    @pl.when(ln <= 0)
+    def _():
+        out_ref[0] = jnp.full((SEG // LANES, LANES), jnp.inf, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def adc_scan_segments(
+    codes_t: jax.Array,      # (m, n_pad_seg) uint8 — SEG-overread-padded
+    starts: jax.Array,       # (bW,) int32 — window start columns
+    lens: jax.Array,         # (bW,) int32 — valid rows (0 = skip)
+    lut_idx: jax.Array,      # (bW,) int32 — row into luts per window
+    luts: jax.Array,         # (n_lut, m, 256) float32
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns ``dists (bW, SEG) float32`` (+inf on padding/skips)."""
+    bw = starts.shape[0]
+    _n_lut, m, ksub = luts.shape
+    assert ksub == 256, "kernel is specialized for 8-bit PQ"
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,           # starts, lens, lut_idx
+        grid=(bw,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, m, 256),
+                lambda i, starts, lens, lutidx: (lutidx[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),      # codes stay in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SEG // LANES, LANES),
+            lambda i, starts, lens, lutidx: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, m, SEG), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _adc_seg_kernel,
+        out_shape=jax.ShapeDtypeStruct((bw, SEG // LANES, LANES),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, lens, lut_idx, luts, codes_t)
+    return out.reshape(bw, SEG)
+
+
+def expand_windows(
+    list_ids: jax.Array,     # (b, nprobe) int32 — probed cells, rank order
+    list_start: jax.Array,   # (nlist,) int32
+    list_len: jax.Array,     # (nlist,) int32
+    *,
+    windows: int,            # W — static per-query window budget
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Probe list → flat window table (probe-major, trailing pads len=0).
+
+    Returns ``(starts (b,W), lens (b,W), probe (b,W), valid (b,W))``.
+    """
+    b, nprobe = list_ids.shape
+    seg_cnt = (list_len[list_ids] + SEG - 1) // SEG        # (b, nprobe)
+    off = jnp.cumsum(seg_cnt, axis=1)                      # inclusive
+    w = jnp.arange(windows, dtype=off.dtype)
+    probe = jax.vmap(
+        lambda o: jnp.searchsorted(o, w, side="right"))(off)  # (b, W)
+    valid = w[None, :] < off[:, -1:]
+    probe_c = jnp.minimum(probe, nprobe - 1).astype(jnp.int32)
+    base = jnp.where(probe_c > 0,
+                     jnp.take_along_axis(
+                         off, jnp.maximum(probe_c - 1, 0), axis=1), 0)
+    seg_within = (w[None, :] - base).astype(jnp.int32)
+    lid = jnp.take_along_axis(list_ids, probe_c, axis=1)
+    starts = (list_start[lid] + seg_within * SEG).astype(jnp.int32)
+    lens = jnp.clip(list_len[lid] - seg_within * SEG, 0, SEG)
+    lens = jnp.where(valid, lens, 0).astype(jnp.int32)
+    starts = jnp.where(valid, starts, 0).astype(jnp.int32)
+    return starts, lens, probe_c, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("windows", "k", "use_approx", "recall_target",
+                     "interpret"),
+)
+def scan_lists_seg(
+    codes_t: jax.Array,      # (m, n_pad_seg) uint8
+    ids: jax.Array,          # (n_pad_seg,) int32
+    list_start: jax.Array,   # (nlist,) int32
+    list_len: jax.Array,     # (nlist,) int32
+    luts: jax.Array,         # (b, nprobe, ksub, m) float32 (XLA layout)
+    list_ids: jax.Array,     # (b, nprobe) int32
+    *,
+    windows: int,
+    k: int,
+    use_approx: bool = True,
+    recall_target: float = 0.99,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Segmented scan + selection. Returns ``(dists (b,k), ids (b,k))``."""
+    b, nprobe, ksub, m = luts.shape
+    starts, lens, probe, _valid = expand_windows(
+        list_ids, list_start, list_len, windows=windows)
+    lut_idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * nprobe
+               + probe).reshape(-1)
+    luts_k = luts.transpose(0, 1, 3, 2).reshape(b * nprobe, m, ksub)
+    dists = adc_scan_segments(
+        codes_t, starts.reshape(-1), lens.reshape(-1), lut_idx, luts_k,
+        interpret=interpret,
+    )                                                   # (bW, SEG)
+    flat = dists.reshape(b, windows * SEG)
+    best_d, pos = select_topk(
+        flat, k, use_approx=use_approx, recall_target=recall_target)
+    win = pos // SEG
+    off = pos % SEG
+    row = jnp.take_along_axis(starts, win, axis=1) + off
+    best_i = ids[row]
+    best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)
+    return best_d, best_i

@@ -20,66 +20,58 @@ from chamjax.index.ivf import PackedIVF
 from chamjax.ops.coarse import coarse_scan
 from chamjax.ops.lut import build_luts
 from chamjax.ops.scan_pallas import scan_lists_pallas
+from chamjax.ops.scan_seg import scan_lists_seg
 from chamjax.ops.scan_xla import scan_lists_xla
 
 
 class DeviceIVF(NamedTuple):
-    """Device-resident index arrays (a pytree — jit/pjit friendly)."""
+    """Device-resident index arrays (a pytree — jit/pjit friendly).
+
+    ``codes_t``/``ids`` carry ``SEG`` extra padding rows so the segmented
+    kernel's fixed-size window DMAs may overread past the last list
+    (results there are masked by the per-window length).
+    """
 
     centroids: jax.Array     # (nlist, d) f32
     codebooks: jax.Array     # (m, ksub, dsub) f32
-    codes_t: jax.Array       # (m, n_pad) uint8 — transposed (SoA) packed codes
-    ids: jax.Array           # (n_pad,) int32
+    codes_t: jax.Array       # (m, n_pad + SEG) uint8 — transposed (SoA) codes
+    ids: jax.Array           # (n_pad + SEG,) int32
     list_start: jax.Array    # (nlist,) int32
     list_len: jax.Array      # (nlist,) int32
     opq_R: Optional[jax.Array] = None  # (d, d) f32 or None
 
     @staticmethod
     def from_packed(index: PackedIVF, device=None) -> "DeviceIVF":
+        from chamjax.ops.scan_seg import SEG
         put = functools.partial(jax.device_put, device=device)
+        codes_t = np.ascontiguousarray(index.codes.T)
+        codes_t = np.pad(codes_t, ((0, 0), (0, SEG)))
+        ids = np.pad(index.ids, (0, SEG), constant_values=-1)
         return DeviceIVF(
             centroids=put(index.centroids),
             codebooks=put(index.codebooks),
-            codes_t=put(np.ascontiguousarray(index.codes.T)),
-            ids=put(index.ids),
+            codes_t=put(codes_t),
+            ids=put(ids),
             list_start=put(index.list_start),
             list_len=put(index.list_len),
             opq_R=put(index.opq_R) if index.opq_R is not None else None,
         )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "nprobe", "k", "scan_len", "probe_chunk", "by_residual",
-        "use_approx", "recall_target", "backend", "tile", "interpret",
-    ),
-)
-def ivfpq_search(
-    index: DeviceIVF,
-    queries: jax.Array,          # (b, d) float32
-    *,
-    nprobe: int,
-    k: int,
-    scan_len: int,
-    probe_chunk: int = 8,
-    by_residual: bool = True,
-    use_approx: bool = True,
-    recall_target: float = 0.99,
-    backend: str = "pallas",
-    tile: int = 0,
-    interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Full IVF-PQ search. Returns ``(dists (b, k) f32, ids (b, k) int32)``."""
-    from chamjax.ops.scan_pallas import GROUP
-    if backend == "pallas" and scan_len % GROUP:
-        backend = "xla"        # kernel slabs cover GROUP rows
-    q = queries
-    if index.opq_R is not None:
-        q = jnp.dot(q, index.opq_R, precision=jax.lax.Precision.HIGHEST)
-    list_ids, _ = coarse_scan(q, index.centroids, nprobe)
-    luts = build_luts(q, index.centroids, index.codebooks, list_ids,
-                      by_residual=by_residual)
+def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
+                   windows, probe_chunk, use_approx, recall_target,
+                   backend, tile, interpret):
+    # Pallas kernels only compile for TPU; anywhere else run interpreted
+    # (tests / debugging) — backend choice stays explicit.
+    interpret = interpret or jax.default_backend() != "tpu"
+    if backend == "seg":
+        return scan_lists_seg(
+            index.codes_t, index.ids, index.list_start, index.list_len,
+            luts, list_ids,
+            windows=windows, k=k,
+            use_approx=use_approx, recall_target=recall_target,
+            interpret=interpret,
+        )
     if backend == "pallas":
         return scan_lists_pallas(
             index.codes_t, index.ids, index.list_start, index.list_len,
@@ -98,7 +90,49 @@ def ivfpq_search(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "scan_len", "by_residual",
+    static_argnames=(
+        "nprobe", "k", "scan_len", "windows", "probe_chunk", "by_residual",
+        "use_approx", "recall_target", "backend", "tile", "interpret",
+    ),
+)
+def ivfpq_search(
+    index: DeviceIVF,
+    queries: jax.Array,          # (b, d) float32
+    *,
+    nprobe: int,
+    k: int,
+    scan_len: int = 0,
+    windows: int = 0,
+    probe_chunk: int = 8,
+    by_residual: bool = True,
+    use_approx: bool = True,
+    recall_target: float = 0.99,
+    backend: str = "seg",
+    tile: int = 0,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full IVF-PQ search. Returns ``(dists (b, k) f32, ids (b, k) int32)``."""
+    from chamjax.ops.scan_pallas import GROUP
+    if backend == "seg" and windows <= 0:
+        windows = 2 * nprobe       # conservative default; searcher sizes it
+    if backend == "pallas" and scan_len % GROUP:
+        backend = "xla"        # kernel slabs cover GROUP rows
+    q = queries
+    if index.opq_R is not None:
+        q = jnp.dot(q, index.opq_R, precision=jax.lax.Precision.HIGHEST)
+    list_ids, _ = coarse_scan(q, index.centroids, nprobe)
+    luts = build_luts(q, index.centroids, index.codebooks, list_ids,
+                      by_residual=by_residual)
+    return _dispatch_scan(
+        index, luts, list_ids, k=k, scan_len=scan_len, windows=windows,
+        probe_chunk=probe_chunk, use_approx=use_approx,
+        recall_target=recall_target, backend=backend, tile=tile,
+        interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "scan_len", "windows", "by_residual",
                      "use_approx", "recall_target", "backend", "tile",
                      "interpret"),
 )
@@ -110,10 +144,11 @@ def ivfpq_search_preassigned(
     k: int,
     nprobe: int,
     scan_len: int = 4096,
+    windows: int = 0,
     by_residual: bool = True,
     use_approx: bool = True,
     recall_target: float = 0.99,
-    backend: str = "pallas",
+    backend: str = "seg",
     tile: int = 0,
     interpret: bool = False,
 ):
@@ -121,6 +156,8 @@ def ivfpq_search_preassigned(
     contract (reference ``retrieve_with_lists`` /
     ``faiss.contrib.ivf_tools.search_preassigned``)."""
     from chamjax.ops.scan_pallas import GROUP
+    if backend == "seg" and windows <= 0:
+        windows = 2 * nprobe
     if backend == "pallas" and scan_len % GROUP:
         backend = "xla"        # kernel slabs cover GROUP rows
     q = queries
@@ -128,20 +165,11 @@ def ivfpq_search_preassigned(
         q = jnp.dot(q, index.opq_R, precision=jax.lax.Precision.HIGHEST)
     luts = build_luts(q, index.centroids, index.codebooks, list_ids,
                       by_residual=by_residual)
-    if backend == "pallas":
-        return scan_lists_pallas(
-            index.codes_t, index.ids, index.list_start, index.list_len,
-            luts, list_ids,
-            scan_len=scan_len, tile=tile, k=k,
-            use_approx=use_approx, recall_target=recall_target,
-            interpret=interpret,
-        )
-    return scan_lists_xla(
-        index.codes_t, index.ids, index.list_start, index.list_len,
-        luts, list_ids,
-        scan_len=scan_len, probe_chunk=min(8, nprobe), k=k,
-        use_approx=use_approx, recall_target=recall_target,
-    )
+    return _dispatch_scan(
+        index, luts, list_ids, k=k, scan_len=scan_len, windows=windows,
+        probe_chunk=min(8, nprobe), use_approx=use_approx,
+        recall_target=recall_target, backend=backend, tile=tile,
+        interpret=interpret)
 
 
 class IVFSearcher:
@@ -156,10 +184,12 @@ class IVFSearcher:
         self.dev = DeviceIVF.from_packed(index, device=device)
         self.backend = search_cfg.backend
         self.tile = search_cfg.tile
-        if self.backend == "pallas" and index.cfg.nbits != 8:
-            self.backend = "xla"   # kernel is specialized for 8-bit PQ
+        if self.backend in ("pallas", "seg") and index.cfg.nbits != 8:
+            self.backend = "xla"   # kernels are specialized for 8-bit PQ
         # interpret mode lets the kernel run on CPU (tests / debugging)
         self.interpret = jax.default_backend() != "tpu"
+        self.windows = search_cfg.scan_windows or self._auto_windows(
+            search_cfg.nprobe)
         self.scan_len = index.suggest_scan_len(search_cfg.nprobe, scan_quantile)
         # never let a window run past the packed array's tail padding
         max_scan = index.n_pad - int(index.list_start.max())
@@ -179,17 +209,37 @@ class IVFSearcher:
                         self.tile = c
                         break
 
+    def _auto_windows(self, nprobe: int) -> int:
+        """Static per-query window budget for the segmented backend.
+
+        Probed lists are length-biased (a query lands in heavy cells more
+        often), so the expected segments per probe is the *length-weighted*
+        mean of ceil(len/SEG) — the same argument the reference's iteration
+        table realizes per cell (``DRAM_utils.hpp:45-102``).  20% headroom +
+        slack covers the tail; truncation then drops farthest probes first.
+        """
+        from chamjax.ops.scan_seg import SEG
+        lens = self.packed.list_len.astype(np.float64)
+        segs = np.ceil(lens / SEG)
+        total = lens.sum()
+        w_mean = float((lens * segs).sum() / total) if total else 1.0
+        w = int(np.ceil(nprobe * w_mean * 1.2)) + 4
+        return min(w, int(segs.sum()))
+
     def search(self, queries: np.ndarray,
                nprobe: Optional[int] = None,
                k: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
         """Returns ``(dists (b,k) f32, ids (b,k) int64)`` — the system-wide
         ``(queries) → (ids, dists)`` contract of SURVEY.md §0."""
         q = jnp.asarray(queries, jnp.float32)
+        np_ = nprobe or self.scfg.nprobe
         d, i = ivfpq_search(
             self.dev, q,
-            nprobe=nprobe or self.scfg.nprobe,
+            nprobe=np_,
             k=k or self.scfg.k,
             scan_len=self.scan_len,
+            windows=(self.windows if np_ == self.scfg.nprobe
+                     else self._auto_windows(np_)),
             probe_chunk=self.scfg.probe_chunk,
             by_residual=self.cfg.by_residual,
             use_approx=self.scfg.use_approx_topk,
@@ -202,10 +252,14 @@ class IVFSearcher:
                            k: Optional[int] = None):
         q = jnp.asarray(queries, jnp.float32)
         li = jnp.asarray(list_ids, jnp.int32)
+        np_ = li.shape[1]
         d, i = ivfpq_search_preassigned(
             self.dev, q, li,
-            k=k or self.scfg.k, nprobe=li.shape[1],
-            scan_len=self.scan_len, by_residual=self.cfg.by_residual,
+            k=k or self.scfg.k, nprobe=np_,
+            scan_len=self.scan_len,
+            windows=(self.windows if np_ == self.scfg.nprobe
+                     else self._auto_windows(np_)),
+            by_residual=self.cfg.by_residual,
             use_approx=self.scfg.use_approx_topk,
             recall_target=self.scfg.approx_recall_target,
             backend=self.backend, tile=self.tile, interpret=self.interpret,

@@ -1,0 +1,107 @@
+"""Segmented-scan tests: window expansion vs a numpy oracle, full seg search
+vs brute-force ADC (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from chamjax.config import IndexConfig, SearchConfig
+from chamjax.data import synthetic_dataset
+from chamjax.index import build_ivfpq
+from chamjax.ops.scan_seg import SEG, expand_windows
+from chamjax.searcher import DeviceIVF, IVFSearcher, ivfpq_search
+
+
+def test_expand_windows_oracle():
+    rng = np.random.default_rng(0)
+    nlist = 16
+    list_len = rng.integers(0, 3 * SEG, nlist).astype(np.int32)
+    list_len[3] = 0                      # empty cell
+    list_start = np.zeros(nlist, np.int32)
+    pos = 0
+    for i in range(nlist):
+        list_start[i] = pos
+        pos += int(np.ceil(max(list_len[i], 1) / 128) * 128)
+    b, nprobe, W = 3, 5, 12
+    list_ids = np.stack([rng.permutation(nlist)[:nprobe] for _ in range(b)])
+
+    starts, lens, probe, valid = map(np.asarray, expand_windows(
+        jnp.asarray(list_ids, jnp.int32), jnp.asarray(list_start),
+        jnp.asarray(list_len), windows=W))
+
+    for r in range(b):
+        # oracle: probe-major enumeration of SEG-row segments
+        exp = []
+        for p, lid in enumerate(list_ids[r]):
+            ln = int(list_len[lid])
+            for s in range(int(np.ceil(ln / SEG))):
+                exp.append((list_start[lid] + s * SEG,
+                            min(SEG, ln - s * SEG), p))
+        exp = exp[:W]
+        got = [(starts[r, w], lens[r, w], probe[r, w])
+               for w in range(W) if valid[r, w]]
+        assert got == [tuple(map(int, e)) for e in exp]
+        # padding windows are len-0
+        for w in range(len(exp), W):
+            assert lens[r, w] == 0
+
+
+@pytest.fixture(scope="module")
+def small_index():
+    ds = synthetic_dataset(nb=20_000, nq=32, nt=5000, d=32, seed=3,
+                           n_clusters=64)
+    idx = build_ivfpq(ds.xb, IndexConfig(dim=32, nlist=32, m=8, list_pad=128),
+                      xt=ds.xt, kmeans_iters=4, pq_iters=4)
+    return ds, idx
+
+
+def _adc_oracle(idx, q, list_ids, k):
+    """Exact ADC over the probed lists in numpy."""
+    from chamjax.ops.lut import build_luts
+    luts = np.asarray(build_luts(
+        jnp.asarray(q), jnp.asarray(idx.centroids),
+        jnp.asarray(idx.codebooks), jnp.asarray(list_ids),
+        by_residual=True))
+    out_i = []
+    for r in range(q.shape[0]):
+        cand_d, cand_i = [], []
+        for p, lid in enumerate(list_ids[r]):
+            s, ln = int(idx.list_start[lid]), int(idx.list_len[lid])
+            c = idx.codes[s:s + ln]
+            lut = luts[r, p]
+            d = lut[c, np.arange(c.shape[1])[None, :]].sum(1)
+            cand_d.append(d)
+            cand_i.append(idx.ids[s:s + ln])
+        cand_d = np.concatenate(cand_d)
+        cand_i = np.concatenate(cand_i)
+        out_i.append(cand_i[np.argsort(cand_d, kind="stable")[:k]])
+    return np.stack(out_i)
+
+
+def test_seg_search_matches_adc_oracle(small_index):
+    ds, idx = small_index
+    dev = DeviceIVF.from_packed(idx)
+    nprobe, k = 8, 10
+    from chamjax.ops.coarse import coarse_scan
+    list_ids = np.asarray(coarse_scan(
+        jnp.asarray(ds.xq), dev.centroids, nprobe)[0])
+    oracle = _adc_oracle(idx, ds.xq, list_ids, k)
+    d, i = ivfpq_search(dev, jnp.asarray(ds.xq), nprobe=nprobe, k=k,
+                        windows=64, use_approx=False, backend="seg",
+                        interpret=True)
+    i = np.asarray(i)
+    overlap = np.mean([len(set(i[r]) & set(oracle[r])) / k
+                       for r in range(i.shape[0])])
+    assert overlap > 0.99, f"seg scan disagrees with ADC oracle: {overlap}"
+    assert np.all(np.diff(np.asarray(d), axis=1) >= 0)
+
+
+def test_searcher_seg_backend_recall(small_index):
+    ds, idx = small_index
+    from chamjax.data.ground_truth import compute_ground_truth
+    from chamjax.eval import recall_at_k
+    gt, _ = compute_ground_truth(ds.xb, ds.xq, k=10)
+    s = IVFSearcher(idx, SearchConfig(nprobe=16, k=10, backend="seg"))
+    assert s.backend == "seg" and s.windows >= 16
+    d, i = s.search(ds.xq)
+    assert recall_at_k(i, gt, 10) > 0.7
