@@ -52,14 +52,15 @@ def main() -> None:
     nq = batch * 65 + 256
     ds = synthetic_dataset(nb=nb, nq=nq, nt=100_000, d=d, seed=42,
                            n_clusters=4096)
-    key = f"v3_{nb}_{d}_{nlist}_{m}_{nq}"
+    key = f"v4_{nb}_{d}_{nlist}_{m}_{nq}"
     cache = os.environ.get("CHAMJAX_BENCH_INDEX",
                            f"/tmp/chamjax_bench_idx_{key}.npz")
     if os.path.exists(cache):
         idx = PackedIVF.load(cache)
     else:
         idx = build_ivfpq(
-            ds.xb, IndexConfig(dim=d, nlist=nlist, m=m, list_pad=128),
+            ds.xb, IndexConfig(dim=d, nlist=nlist, m=m, list_pad=128,
+                               balanced=True, balance_factor=1.3),
             xt=ds.xt, kmeans_iters=10, pq_iters=10,
         )
         idx.save(cache)
@@ -73,12 +74,13 @@ def main() -> None:
 
     dev = DeviceIVF.from_packed(idx)
     # window budget: length-weighted mean segments per probe + headroom
-    from chamjax.ops.scan_seg import SEG
+    seg, group = 512, 8        # measured best on v5e (scan_seg_multi.py)
     lens = idx.list_len.astype(np.float64)
-    w_mean = float((lens * np.ceil(lens / SEG)).sum() / lens.sum())
+    w_mean = float((lens * np.ceil(lens / seg)).sum() / lens.sum())
     W = int(np.ceil(nprobe * w_mean * 1.2)) + 4
-    kw = dict(nprobe=nprobe, k=k, windows=W, by_residual=True,
-              use_approx=True, recall_target=0.99, backend="seg")
+    kw = dict(nprobe=nprobe, k=k, windows=W, seg=seg, group=group,
+              by_residual=True, use_approx=True, recall_target=0.99,
+              backend="seg")
 
     # quality gate: recall@10 on 256 held-out queries
     d_r, i_r = ivfpq_search(dev, jnp.asarray(ds.xq[:256]), **kw)

@@ -41,6 +41,12 @@ class IndexConfig:
     # the reference's 64-byte-entry padding,
     # ``extract_Enzian_U250_required_data.py:296-360``).
     list_pad: int = 128
+    # Capacity-balanced assignment: cap each list at
+    # ceil(ntotal/nlist * balance_factor); boundary points displace to their
+    # next-nearest cell with room.  Bounds the probed-list length bias that
+    # multiplies scan work (see ops/scan_seg.py).
+    balanced: bool = False
+    balance_factor: float = 1.3
 
     @property
     def ksub(self) -> int:
@@ -88,6 +94,9 @@ class SearchConfig:
     # Segmented backend: static per-query window budget (0 = auto-sized from
     # the index's list-length distribution, IVFSearcher._auto_windows).
     scan_windows: int = 0
+    # Windows processed per kernel grid step (amortizes per-step machinery;
+    # 8 measured best on v5e).
+    seg_group: int = 8
 
 
 @dataclass(frozen=True)

@@ -18,7 +18,9 @@ from typing import Optional, Tuple
 import numpy as np
 
 from chamjax.config import IndexConfig
-from chamjax.index.kmeans import kmeans, assign as kmeans_assign
+from chamjax.index.kmeans import (
+    kmeans, assign as kmeans_assign, assign_balanced,
+)
 from chamjax.index.pq import train_pq, pq_encode, train_opq
 
 INVALID_ID = np.int32(-1)
@@ -176,7 +178,11 @@ def build_ivfpq(
         print(f"[build] PQ m={cfg.m} nbits={cfg.nbits}", flush=True)
     codebooks = train_pq(train_vecs, cfg.m, nbits=cfg.nbits, iters=pq_iters, seed=seed)
 
-    assignment = kmeans_assign(xb_r, centroids)
+    if cfg.balanced:
+        cap = int(np.ceil(xb.shape[0] / cfg.nlist * cfg.balance_factor))
+        assignment = assign_balanced(xb_r, centroids, cap=cap)
+    else:
+        assignment = kmeans_assign(xb_r, centroids)
     enc_vecs = xb_r - centroids[assignment] if cfg.by_residual else xb_r
     codes = pq_encode(enc_vecs, codebooks)
 

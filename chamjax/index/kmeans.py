@@ -49,6 +49,61 @@ def assign(x: np.ndarray, centroids: np.ndarray, chunk: int = 1 << 18) -> np.nda
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("c",))
+def _topc_chunk(x: jax.Array, cent: jax.Array, c: int):
+    logits = jnp.dot(x, cent.T, precision=jax.lax.Precision.HIGHEST)
+    cn = jnp.sum(cent * cent, axis=1)
+    scores = 2.0 * logits - cn[None, :]
+    vals, idx = jax.lax.top_k(scores, c)
+    return idx.astype(jnp.int32), -vals     # (n, c) ids, partial distances
+
+
+def assign_balanced(
+    x: np.ndarray,
+    centroids: np.ndarray,
+    cap: Optional[int] = None,
+    n_cand: int = 8,
+    chunk: int = 1 << 18,
+) -> np.ndarray:
+    """Capacity-constrained assignment: each point goes to its nearest
+    centroid *with room*, among its ``n_cand`` nearest.
+
+    Probed inverted lists are length-biased (queries land in heavy cells),
+    so imbalance directly multiplies scan work; capping list size bounds
+    that factor.  A point displaced to its j-th nearest cell (j < n_cand
+    ≪ nprobe) is still found because that cell is almost surely probed.
+    Points are processed confident-first (smallest best-distance), so
+    boundary points — the ones cheapest to displace — move.  Overflow (all
+    candidates full) falls back to the nearest centroid.
+    """
+    n = x.shape[0]
+    k = centroids.shape[0]
+    if cap is None:
+        cap = int(np.ceil(n / k * 1.3))
+    cent = jnp.asarray(centroids, jnp.float32)
+    cand = np.empty((n, n_cand), np.int32)
+    best_d = np.empty((n,), np.float32)
+    for i in range(0, n, chunk):
+        xi = jnp.asarray(x[i : i + chunk], jnp.float32)
+        ids, dd = _topc_chunk(xi, cent, n_cand)
+        cand[i : i + xi.shape[0]] = np.asarray(ids)
+        best_d[i : i + xi.shape[0]] = np.asarray(dd[:, 0])
+    order = np.argsort(best_d, kind="stable")
+    counts = np.zeros(k, np.int64)
+    out = np.empty(n, np.int32)
+    cand_ordered = cand[order]
+    for row, cands in zip(order.tolist(), cand_ordered.tolist()):
+        for cl in cands:
+            if counts[cl] < cap:
+                out[row] = cl
+                counts[cl] += 1
+                break
+        else:
+            out[row] = cands[0]
+            counts[cands[0]] += 1
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _kmeanspp_init(x: jax.Array, k: int, key: jax.Array) -> jax.Array:
     """k-means++ (D²-sampling) seeding as one compiled fori_loop."""

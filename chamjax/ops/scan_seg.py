@@ -38,11 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 from chamjax.ops.topk import select_topk
 
 LANES = 128
-SEG = 1024            # rows per segment = one (8, 128) f32 output block
+SEG = 1024            # default rows per segment (one (8, 128) f32 block)
+MAX_SEG = 2048        # DeviceIVF overread padding covers any seg <= this
 
 
 def _adc_seg_kernel(starts_ref, lens_ref, lutidx_ref, lut_ref, codes_hbm,
-                    out_ref, scratch, sems):
+                    out_ref, scratch, sems, *, seg: int):
     i = pl.program_id(0)
     nw = pl.num_programs(0)
     ln = lens_ref[i]
@@ -50,7 +51,7 @@ def _adc_seg_kernel(starts_ref, lens_ref, lutidx_ref, lut_ref, codes_hbm,
     def dma(slot, w):
         start = pl.multiple_of(starts_ref[w], LANES)
         return pltpu.make_async_copy(
-            codes_hbm.at[:, pl.ds(start, SEG)],
+            codes_hbm.at[:, pl.ds(start, seg)],
             scratch.at[slot],
             sems.at[slot],
         )
@@ -78,8 +79,8 @@ def _adc_seg_kernel(starts_ref, lens_ref, lutidx_ref, lut_ref, codes_hbm,
         @pl.when((i % 2 == sl) & (ln > 0))
         def _(sl=sl):
             dma(sl, i).wait()
-            codes = scratch[sl].astype(jnp.int32)          # (m, SEG)
-            for t in range(SEG // LANES):
+            codes = scratch[sl].astype(jnp.int32)          # (m, seg)
+            for t in range(seg // LANES):
                 cc = codes[:, t * LANES:(t + 1) * LANES]
                 idx = cc & (LANES - 1)
                 glo = jnp.take_along_axis(lut_lo, idx, axis=1)
@@ -92,23 +93,25 @@ def _adc_seg_kernel(starts_ref, lens_ref, lutidx_ref, lut_ref, codes_hbm,
 
     @pl.when(ln <= 0)
     def _():
-        out_ref[0] = jnp.full((SEG // LANES, LANES), jnp.inf, jnp.float32)
+        out_ref[0] = jnp.full((seg // LANES, LANES), jnp.inf, jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("seg", "interpret"))
 def adc_scan_segments(
-    codes_t: jax.Array,      # (m, n_pad_seg) uint8 — SEG-overread-padded
+    codes_t: jax.Array,      # (m, n_pad_seg) uint8 — MAX_SEG-overread-padded
     starts: jax.Array,       # (bW,) int32 — window start columns
     lens: jax.Array,         # (bW,) int32 — valid rows (0 = skip)
     lut_idx: jax.Array,      # (bW,) int32 — row into luts per window
     luts: jax.Array,         # (n_lut, m, 256) float32
     *,
+    seg: int = SEG,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns ``dists (bW, SEG) float32`` (+inf on padding/skips)."""
+    """Returns ``dists (bW, seg) float32`` (+inf on padding/skips)."""
     bw = starts.shape[0]
     _n_lut, m, ksub = luts.shape
     assert ksub == 256, "kernel is specialized for 8-bit PQ"
+    assert seg % LANES == 0 and seg <= MAX_SEG, seg
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,           # starts, lens, lut_idx
@@ -122,23 +125,23 @@ def adc_scan_segments(
             pl.BlockSpec(memory_space=pl.ANY),      # codes stay in HBM
         ],
         out_specs=pl.BlockSpec(
-            (1, SEG // LANES, LANES),
+            (1, seg // LANES, LANES),
             lambda i, starts, lens, lutidx: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, m, SEG), jnp.uint8),
+            pltpu.VMEM((2, m, seg), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        _adc_seg_kernel,
-        out_shape=jax.ShapeDtypeStruct((bw, SEG // LANES, LANES),
+        functools.partial(_adc_seg_kernel, seg=seg),
+        out_shape=jax.ShapeDtypeStruct((bw, seg // LANES, LANES),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts, lens, lut_idx, luts, codes_t)
-    return out.reshape(bw, SEG)
+    return out.reshape(bw, seg)
 
 
 def expand_windows(
@@ -147,13 +150,14 @@ def expand_windows(
     list_len: jax.Array,     # (nlist,) int32
     *,
     windows: int,            # W — static per-query window budget
+    seg: int = SEG,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Probe list → flat window table (probe-major, trailing pads len=0).
 
     Returns ``(starts (b,W), lens (b,W), probe (b,W), valid (b,W))``.
     """
     b, nprobe = list_ids.shape
-    seg_cnt = (list_len[list_ids] + SEG - 1) // SEG        # (b, nprobe)
+    seg_cnt = (list_len[list_ids] + seg - 1) // seg        # (b, nprobe)
     off = jnp.cumsum(seg_cnt, axis=1)                      # inclusive
     w = jnp.arange(windows, dtype=off.dtype)
     probe = jax.vmap(
@@ -165,8 +169,8 @@ def expand_windows(
                          off, jnp.maximum(probe_c - 1, 0), axis=1), 0)
     seg_within = (w[None, :] - base).astype(jnp.int32)
     lid = jnp.take_along_axis(list_ids, probe_c, axis=1)
-    starts = (list_start[lid] + seg_within * SEG).astype(jnp.int32)
-    lens = jnp.clip(list_len[lid] - seg_within * SEG, 0, SEG)
+    starts = (list_start[lid] + seg_within * seg).astype(jnp.int32)
+    lens = jnp.clip(list_len[lid] - seg_within * seg, 0, seg)
     lens = jnp.where(valid, lens, 0).astype(jnp.int32)
     starts = jnp.where(valid, starts, 0).astype(jnp.int32)
     return starts, lens, probe_c, valid
@@ -174,7 +178,7 @@ def expand_windows(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("windows", "k", "use_approx", "recall_target",
+    static_argnames=("windows", "seg", "k", "use_approx", "recall_target",
                      "interpret"),
 )
 def scan_lists_seg(
@@ -186,6 +190,7 @@ def scan_lists_seg(
     list_ids: jax.Array,     # (b, nprobe) int32
     *,
     windows: int,
+    seg: int = SEG,
     k: int,
     use_approx: bool = True,
     recall_target: float = 0.99,
@@ -194,19 +199,19 @@ def scan_lists_seg(
     """Segmented scan + selection. Returns ``(dists (b,k), ids (b,k))``."""
     b, nprobe, ksub, m = luts.shape
     starts, lens, probe, _valid = expand_windows(
-        list_ids, list_start, list_len, windows=windows)
+        list_ids, list_start, list_len, windows=windows, seg=seg)
     lut_idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * nprobe
                + probe).reshape(-1)
     luts_k = luts.transpose(0, 1, 3, 2).reshape(b * nprobe, m, ksub)
     dists = adc_scan_segments(
         codes_t, starts.reshape(-1), lens.reshape(-1), lut_idx, luts_k,
-        interpret=interpret,
-    )                                                   # (bW, SEG)
-    flat = dists.reshape(b, windows * SEG)
+        seg=seg, interpret=interpret,
+    )                                                   # (bW, seg)
+    flat = dists.reshape(b, windows * seg)
     best_d, pos = select_topk(
         flat, k, use_approx=use_approx, recall_target=recall_target)
-    win = pos // SEG
-    off = pos % SEG
+    win = pos // seg
+    off = pos % seg
     row = jnp.take_along_axis(starts, win, axis=1) + off
     best_i = ids[row]
     best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)

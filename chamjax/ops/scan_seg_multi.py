@@ -1,0 +1,190 @@
+"""Multi-window segmented ADC scan: G windows per grid step.
+
+The single-window kernel (``scan_seg.py``) pays a fixed ~200ns per grid
+step (output-block machinery + sequencing), which dominates once segments
+are small.  This variant processes ``G`` windows per step — G code-slab
+DMAs in flight per step (double-buffered across steps ⇒ 2G slots), G LUT
+blocks bound through G scalar-prefetched index maps — amortizing the fixed
+cost G-fold.  Structure otherwise identical to ``scan_seg.py`` (see its
+docstring for the FPGA lineage).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from chamjax.ops.scan_seg import MAX_SEG, expand_windows
+from chamjax.ops.topk import select_topk
+
+LANES = 128
+
+
+def _adc_multi_kernel(starts_ref, lens_ref, lutidx_ref, *rest,
+                      seg: int, group: int):
+    lut_refs = rest[:group]
+    codes_hbm = rest[group]
+    out_ref = rest[group + 1]
+    scratch, sems = rest[group + 2], rest[group + 3]
+    i = pl.program_id(0)
+    nw = pl.num_programs(0)
+
+    def dma(slot, w):
+        start = pl.multiple_of(starts_ref[w], LANES)
+        return pltpu.make_async_copy(
+            codes_hbm.at[:, pl.ds(start, seg)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    # prologue: step 0 issues its own G DMAs
+    @pl.when(i == 0)
+    def _():
+        for j in range(group):
+            @pl.when(lens_ref[j] > 0)
+            def _(j=j):
+                dma(j, j).start()
+
+    # cross-step prefetch: issue step i+1's G DMAs now
+    @pl.when(i + 1 < nw)
+    def _():
+        for sl in (0, 1):
+            @pl.when((i + 1) % 2 == sl)
+            def _(sl=sl):
+                for j in range(group):
+                    w = (i + 1) * group + j
+
+                    @pl.when(lens_ref[w] > 0)
+                    def _(j=j, w=w):
+                        dma(sl * group + j, w).start()
+
+    for sl in (0, 1):
+        @pl.when(i % 2 == sl)
+        def _(sl=sl):
+            for j in range(group):
+                w = i * group + j
+                ln = lens_ref[w]
+                lut = lut_refs[j][0]               # (m, 256)
+                lut_lo = lut[:, :LANES]
+                lut_hi = lut[:, LANES:]
+
+                @pl.when(ln > 0)
+                def _(j=j, w=w, ln=ln, lut_lo=lut_lo, lut_hi=lut_hi):
+                    dma(sl * group + j, w).wait()
+                    codes = scratch[sl * group + j].astype(jnp.int32)
+                    for t in range(seg // LANES):
+                        cc = codes[:, t * LANES:(t + 1) * LANES]
+                        idx = cc & (LANES - 1)
+                        glo = jnp.take_along_axis(lut_lo, idx, axis=1)
+                        ghi = jnp.take_along_axis(lut_hi, idx, axis=1)
+                        g = jnp.where(cc < LANES, glo, ghi)
+                        dist = jnp.sum(g, axis=0)
+                        pos = t * LANES + jax.lax.broadcasted_iota(
+                            jnp.int32, (LANES,), 0)
+                        out_ref[j, t, :] = jnp.where(pos < ln, dist, jnp.inf)
+
+                @pl.when(ln <= 0)
+                def _(j=j):
+                    out_ref[j] = jnp.full((seg // LANES, LANES), jnp.inf,
+                                          jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("seg", "group", "interpret"))
+def adc_scan_segments_multi(
+    codes_t: jax.Array,      # (m, n_pad_seg) uint8 — MAX_SEG-overread-padded
+    starts: jax.Array,       # (bW,) int32 — bW % group == 0
+    lens: jax.Array,         # (bW,) int32
+    lut_idx: jax.Array,      # (bW,) int32
+    luts: jax.Array,         # (n_lut, m, 256) float32
+    *,
+    seg: int,
+    group: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns ``dists (bW, seg) float32`` (+inf on padding/skips)."""
+    bw = starts.shape[0]
+    _n_lut, m, ksub = luts.shape
+    assert ksub == 256 and seg % LANES == 0 and seg <= MAX_SEG
+    assert bw % group == 0, (bw, group)
+
+    def lut_spec(j):
+        return pl.BlockSpec(
+            (1, m, 256),
+            lambda i, starts, lens, lutidx, j=j: (lutidx[i * group + j], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bw // group,),
+        in_specs=[lut_spec(j) for j in range(group)] + [
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, seg // LANES, LANES),
+            lambda i, starts, lens, lutidx: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * group, m, seg), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2 * group,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_adc_multi_kernel, seg=seg, group=group),
+        out_shape=jax.ShapeDtypeStruct((bw, seg // LANES, LANES),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, lens, lut_idx, *([luts] * group), codes_t)
+    return out.reshape(bw, seg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("windows", "seg", "group", "k", "use_approx",
+                     "recall_target", "interpret"),
+)
+def scan_lists_seg_multi(
+    codes_t: jax.Array,
+    ids: jax.Array,
+    list_start: jax.Array,
+    list_len: jax.Array,
+    luts: jax.Array,         # (b, nprobe, ksub, m)
+    list_ids: jax.Array,     # (b, nprobe)
+    *,
+    windows: int,
+    seg: int,
+    group: int = 4,
+    k: int,
+    use_approx: bool = True,
+    recall_target: float = 0.99,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Segmented multi-window scan + selection."""
+    b, nprobe, ksub, m = luts.shape
+    windows = -(-windows // group) * group      # round W up to group multiple
+    starts, lens, probe, _valid = expand_windows(
+        list_ids, list_start, list_len, windows=windows, seg=seg)
+    lut_idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * nprobe
+               + probe).reshape(-1)
+    luts_k = luts.transpose(0, 1, 3, 2).reshape(b * nprobe, m, ksub)
+    dists = adc_scan_segments_multi(
+        codes_t, starts.reshape(-1), lens.reshape(-1), lut_idx, luts_k,
+        seg=seg, group=group, interpret=interpret,
+    )
+    flat = dists.reshape(b, windows * seg)
+    best_d, pos = select_topk(
+        flat, k, use_approx=use_approx, recall_target=recall_target)
+    win = pos // seg
+    off = pos % seg
+    row = jnp.take_along_axis(starts, win, axis=1) + off
+    best_i = ids[row]
+    best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)
+    return best_d, best_i

@@ -21,6 +21,7 @@ from chamjax.ops.coarse import coarse_scan
 from chamjax.ops.lut import build_luts
 from chamjax.ops.scan_pallas import scan_lists_pallas
 from chamjax.ops.scan_seg import scan_lists_seg
+from chamjax.ops.scan_seg_multi import scan_lists_seg_multi
 from chamjax.ops.scan_xla import scan_lists_xla
 
 
@@ -42,11 +43,11 @@ class DeviceIVF(NamedTuple):
 
     @staticmethod
     def from_packed(index: PackedIVF, device=None) -> "DeviceIVF":
-        from chamjax.ops.scan_seg import SEG
+        from chamjax.ops.scan_seg import MAX_SEG
         put = functools.partial(jax.device_put, device=device)
         codes_t = np.ascontiguousarray(index.codes.T)
-        codes_t = np.pad(codes_t, ((0, 0), (0, SEG)))
-        ids = np.pad(index.ids, (0, SEG), constant_values=-1)
+        codes_t = np.pad(codes_t, ((0, 0), (0, MAX_SEG)))
+        ids = np.pad(index.ids, (0, MAX_SEG), constant_values=-1)
         return DeviceIVF(
             centroids=put(index.centroids),
             codebooks=put(index.codebooks),
@@ -59,16 +60,24 @@ class DeviceIVF(NamedTuple):
 
 
 def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
-                   windows, probe_chunk, use_approx, recall_target,
-                   backend, tile, interpret):
+                   windows, seg, group, probe_chunk, use_approx,
+                   recall_target, backend, tile, interpret):
     # Pallas kernels only compile for TPU; anywhere else run interpreted
     # (tests / debugging) — backend choice stays explicit.
     interpret = interpret or jax.default_backend() != "tpu"
     if backend == "seg":
+        if group > 1:
+            return scan_lists_seg_multi(
+                index.codes_t, index.ids, index.list_start, index.list_len,
+                luts, list_ids,
+                windows=windows, seg=seg, group=group, k=k,
+                use_approx=use_approx, recall_target=recall_target,
+                interpret=interpret,
+            )
         return scan_lists_seg(
             index.codes_t, index.ids, index.list_start, index.list_len,
             luts, list_ids,
-            windows=windows, k=k,
+            windows=windows, seg=seg, k=k,
             use_approx=use_approx, recall_target=recall_target,
             interpret=interpret,
         )
@@ -91,8 +100,9 @@ def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nprobe", "k", "scan_len", "windows", "probe_chunk", "by_residual",
-        "use_approx", "recall_target", "backend", "tile", "interpret",
+        "nprobe", "k", "scan_len", "windows", "seg", "group", "probe_chunk",
+        "by_residual", "use_approx", "recall_target", "backend", "tile",
+        "interpret",
     ),
 )
 def ivfpq_search(
@@ -103,6 +113,8 @@ def ivfpq_search(
     k: int,
     scan_len: int = 0,
     windows: int = 0,
+    seg: int = 1024,
+    group: int = 1,
     probe_chunk: int = 8,
     by_residual: bool = True,
     use_approx: bool = True,
@@ -125,16 +137,16 @@ def ivfpq_search(
                       by_residual=by_residual)
     return _dispatch_scan(
         index, luts, list_ids, k=k, scan_len=scan_len, windows=windows,
-        probe_chunk=probe_chunk, use_approx=use_approx,
+        seg=seg, group=group, probe_chunk=probe_chunk, use_approx=use_approx,
         recall_target=recall_target, backend=backend, tile=tile,
         interpret=interpret)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "scan_len", "windows", "by_residual",
-                     "use_approx", "recall_target", "backend", "tile",
-                     "interpret"),
+    static_argnames=("k", "nprobe", "scan_len", "windows", "seg", "group",
+                     "by_residual", "use_approx", "recall_target", "backend",
+                     "tile", "interpret"),
 )
 def ivfpq_search_preassigned(
     index: DeviceIVF,
@@ -145,6 +157,8 @@ def ivfpq_search_preassigned(
     nprobe: int,
     scan_len: int = 4096,
     windows: int = 0,
+    seg: int = 1024,
+    group: int = 1,
     by_residual: bool = True,
     use_approx: bool = True,
     recall_target: float = 0.99,
@@ -167,9 +181,9 @@ def ivfpq_search_preassigned(
                       by_residual=by_residual)
     return _dispatch_scan(
         index, luts, list_ids, k=k, scan_len=scan_len, windows=windows,
-        probe_chunk=min(8, nprobe), use_approx=use_approx,
-        recall_target=recall_target, backend=backend, tile=tile,
-        interpret=interpret)
+        seg=seg, group=group, probe_chunk=min(8, nprobe),
+        use_approx=use_approx, recall_target=recall_target, backend=backend,
+        tile=tile, interpret=interpret)
 
 
 class IVFSearcher:
@@ -188,6 +202,10 @@ class IVFSearcher:
             self.backend = "xla"   # kernels are specialized for 8-bit PQ
         # interpret mode lets the kernel run on CPU (tests / debugging)
         self.interpret = jax.default_backend() != "tpu"
+        self.seg = self._auto_seg()
+        # multi-window steps amortize per-step machinery; 8 is the sweet
+        # spot measured on v5e (scan_seg_multi.py)
+        self.group = search_cfg.seg_group
         self.windows = search_cfg.scan_windows or self._auto_windows(
             search_cfg.nprobe)
         self.scan_len = index.suggest_scan_len(search_cfg.nprobe, scan_quantile)
@@ -209,18 +227,28 @@ class IVFSearcher:
                         self.tile = c
                         break
 
+    def _auto_seg(self) -> int:
+        """Segment size: smallest 128-multiple power-of-two covering the
+        p90 list, clamped [256, MAX_SEG] — keeps per-window padding waste
+        low without inflating the window count."""
+        from chamjax.ops.scan_seg import MAX_SEG
+        p90 = float(np.quantile(self.packed.list_len, 0.90)) or 1.0
+        seg = 256
+        while seg < min(p90, MAX_SEG):
+            seg *= 2
+        return min(seg, MAX_SEG)
+
     def _auto_windows(self, nprobe: int) -> int:
         """Static per-query window budget for the segmented backend.
 
         Probed lists are length-biased (a query lands in heavy cells more
         often), so the expected segments per probe is the *length-weighted*
-        mean of ceil(len/SEG) — the same argument the reference's iteration
+        mean of ceil(len/seg) — the same argument the reference's iteration
         table realizes per cell (``DRAM_utils.hpp:45-102``).  20% headroom +
         slack covers the tail; truncation then drops farthest probes first.
         """
-        from chamjax.ops.scan_seg import SEG
         lens = self.packed.list_len.astype(np.float64)
-        segs = np.ceil(lens / SEG)
+        segs = np.ceil(lens / self.seg)
         total = lens.sum()
         w_mean = float((lens * segs).sum() / total) if total else 1.0
         w = int(np.ceil(nprobe * w_mean * 1.2)) + 4
@@ -240,6 +268,7 @@ class IVFSearcher:
             scan_len=self.scan_len,
             windows=(self.windows if np_ == self.scfg.nprobe
                      else self._auto_windows(np_)),
+            seg=self.seg, group=self.group,
             probe_chunk=self.scfg.probe_chunk,
             by_residual=self.cfg.by_residual,
             use_approx=self.scfg.use_approx_topk,
@@ -259,6 +288,7 @@ class IVFSearcher:
             scan_len=self.scan_len,
             windows=(self.windows if np_ == self.scfg.nprobe
                      else self._auto_windows(np_)),
+            seg=self.seg, group=self.group,
             by_residual=self.cfg.by_residual,
             use_approx=self.scfg.use_approx_topk,
             recall_target=self.scfg.approx_recall_target,

@@ -12,7 +12,8 @@ import pytest
 from chamjax import native
 
 HOST = "127.0.0.1"
-_port_counter = [31000 + (os.getpid() % 9000)]
+# 42000+ range: disjoint from test_service's 20000-40000 pid-derived range
+_port_counter = [42000 + (os.getpid() % 8000)]
 
 
 def next_port():
