@@ -32,6 +32,7 @@ from chamjax.ops.lut import build_luts
 from chamjax.ops.coarse import coarse_scan
 from chamjax.ops.scan_xla import scan_lists_xla
 from chamjax.ops.scan_pallas import scan_lists_pallas
+from chamjax.ops.scan_seg_multi import scan_lists_seg_multi
 from chamjax.ops.topk import merge_topk
 
 
@@ -108,8 +109,9 @@ def place_sharded(sh: ShardedIVF, mesh: Mesh, axis: str = "lists"
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "nprobe", "k", "scan_len",
-                     "by_residual", "use_approx", "backend", "interpret"),
+    static_argnames=("mesh", "axis", "nprobe", "k", "scan_len", "windows",
+                     "seg", "group", "by_residual", "use_approx", "backend",
+                     "interpret"),
 )
 def sharded_search(
     sh: ShardedIVF,
@@ -119,7 +121,10 @@ def sharded_search(
     axis: str = "lists",
     nprobe: int,
     k: int,
-    scan_len: int,
+    scan_len: int = 0,
+    windows: int = 0,
+    seg: int = 512,
+    group: int = 8,
     by_residual: bool = True,
     use_approx: bool = True,
     backend: str = "pallas",
@@ -141,7 +146,17 @@ def sharded_search(
         list_ids, _ = coarse_scan(q, centroids, nprobe)
         luts = build_luts(q, centroids, codebooks, list_ids,
                           by_residual=by_residual)
-        if backend == "pallas":
+        if backend == "seg":
+            # per-shard window budget: probed lists split ~evenly across
+            # shards (foreign lists are len-0 ⇒ zero segments), so the
+            # global budget divides by the shard count, with headroom.
+            n_sh = mesh.shape[axis]
+            w_sh = max(group, -(-max(windows, 2 * nprobe) // n_sh) * 2)
+            local_d, local_i = scan_lists_seg_multi(
+                codes_t, ids, list_start, list_len, luts, list_ids,
+                windows=w_sh, seg=seg, group=group, k=k,
+                use_approx=use_approx, interpret=interpret)
+        elif backend == "pallas":
             local_d, local_i = scan_lists_pallas(
                 codes_t, ids, list_start, list_len, luts, list_ids,
                 scan_len=scan_len, k=k, use_approx=use_approx,

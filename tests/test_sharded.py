@@ -72,3 +72,24 @@ def test_sharded_search_is_replicated(setup):
         scan_len=idx.suggest_scan_len(4), use_approx=False, backend="xla")
     assert d_sh.shape == (4, 5)
     assert np.all(np.diff(np.asarray(d_sh), axis=1) >= -1e-5)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_seg_backend_matches_single_device(setup, n_shards):
+    """Segmented kernel under shard_map must agree with the single-device
+    seg search (same index, exact top-k)."""
+    ds, idx = setup
+    mesh = make_mesh((("lists", n_shards),),
+                     devices=jax.devices()[:n_shards])
+    sh = place_sharded(shard_index(idx, n_shards), mesh)
+    d_sh, i_sh = sharded_search(
+        sh, jnp.asarray(ds.xq[:8]), mesh=mesh, nprobe=8, k=10,
+        windows=32, seg=256, group=4, use_approx=False, backend="seg",
+        interpret=True)
+    single = IVFSearcher(idx, SearchConfig(nprobe=8, k=10, backend="seg",
+                                           use_approx_topk=False))
+    d_ref, i_ref = single.search(ds.xq[:8])
+    np.testing.assert_allclose(np.asarray(d_sh), d_ref, rtol=1e-4, atol=1e-3)
+    agree = np.asarray(i_sh) == i_ref
+    close = np.abs(np.asarray(d_sh) - d_ref) < 1e-2
+    assert np.all(agree | close)
