@@ -80,7 +80,7 @@ def main() -> None:
     import jax
     from chamjax.models import init_decoder, init_encoder_decoder
     from chamjax.serving.ralm import RalmDecoder, RalmEncoderDecoder
-    from chamjax.serving.tiktok import TikTokDecoder
+    from chamjax.serving.tiktok import TikTokDecoder, TikTokEncoderDecoder
 
     cfg = (ExperimentConfig.from_yaml(args.config) if args.config
            else ExperimentConfig())
@@ -94,10 +94,17 @@ def main() -> None:
     retriever = build_retriever(args, cfg)
 
     if args.scheduler == "tiktok":
-        assert mcfg.model_type == "decoder", "tik-tok: decoder-only for now"
-        params = init_decoder(key, mcfg)
-        loop = TikTokDecoder(params, mcfg, retriever, args.batch,
-                             retrieval_interval=interval, nprobe=args.nprobe)
+        if mcfg.model_type == "decoder":
+            params = init_decoder(key, mcfg)
+            loop = TikTokDecoder(params, mcfg, retriever, args.batch,
+                                 retrieval_interval=interval,
+                                 nprobe=args.nprobe)
+        else:
+            enc_params, dec_params = init_encoder_decoder(key, mcfg)
+            loop = TikTokEncoderDecoder(enc_params, dec_params, mcfg,
+                                        retriever, args.batch,
+                                        retrieval_interval=interval,
+                                        nprobe=args.nprobe)
         loop.batch_inference(args.warmup)
         loop.reset_inference_state()
         loop.batch_inference(seq_len)

@@ -147,3 +147,144 @@ class TikTokDecoder:
 
     def get_profiling(self):
         return self.prof.get_profiling()
+
+
+class _EncDecBatchState(_BatchState):
+    def __init__(self, cfg: ModelConfig, batch: int):
+        super().__init__(cfg, batch)
+        self.cross_kv = None
+
+
+class TikTokEncoderDecoder:
+    """Two-batch pipelined encoder-decoder RALM (reference
+    ``ralmTikTokEncoderDecoder``, ``ralm_tiktok.py:291-end``): the retrieval
+    step is split so that encoding the query, the remote retrieval, and
+    encoding the retrieved tokens for cross-attention all overlap the other
+    micro-batch's decode steps."""
+
+    def __init__(
+        self,
+        enc_params,
+        dec_params,
+        cfg: ModelConfig,
+        retriever: BaseRetriever,
+        batch_size: int,
+        retrieval_interval: Optional[int] = None,
+        nprobe: int = 32,
+        k: Optional[int] = None,
+        retrieval_token_len: Optional[int] = None,
+    ):
+        self.enc = enc_params
+        self.dec = dec_params
+        self.cfg = cfg
+        self.retriever = retriever
+        self.batch = batch_size
+        self.interval = retrieval_interval or cfg.retrieval_interval
+        self.nprobe = nprobe
+        self.k = k or cfg.k
+        self.tok_len = retrieval_token_len or cfg.retrieval_token_len
+        self.prof = StepProfiler()
+        self.reset_inference_state()
+
+    def reset_inference_state(self) -> None:
+        self.states: Dict[str, _EncDecBatchState] = {
+            "tik": _EncDecBatchState(self.cfg, self.batch),
+            "tok": _EncDecBatchState(self.cfg, self.batch),
+        }
+        self.in_flight: deque = deque()
+        self.prof.reset()
+
+    # --- primitive steps ---
+
+    def single_retrieve_step_send(self, name: str) -> None:
+        """Encode the query tokens, fire the retrieval (non-blocking)."""
+        from chamjax.models.transformer import encoder_forward
+        st = self.states[name]
+        with self.prof.model_span():
+            q_tokens = jnp.broadcast_to(st.tokens[:, None], (self.batch, 1))
+            enc_q = encoder_forward(self.enc, q_tokens,
+                                    self.cfg.attention_heads)
+            query = np.asarray(enc_q[:, -1, :], np.float32)
+        self.retriever.retrieve_send(query, self.nprobe, self.k)
+        st.sent = True
+        self.in_flight.append(name)
+
+    def single_retrieve_step_recv(self, name: str) -> None:
+        """Drain the answer, encode retrieved tokens → fresh cross K/V."""
+        from chamjax.models.transformer import (
+            build_cross_kv, encoder_forward,
+        )
+        from chamjax.serving.ralm import _ids_to_tokens
+        st = self.states[name]
+        with self.prof.retriever_span():
+            res = self.retriever.retrieve_recv(self.batch, self.k)
+        with self.prof.model_span():
+            ids = (res.ids if res is not None
+                   else np.zeros((self.batch, self.k), np.int64))
+            ret_tokens = _ids_to_tokens(ids, self.tok_len,
+                                        self.cfg.vocab_size)
+            ret_tokens = ret_tokens[:, : self.cfg.max_seq_len]
+            enc_out = encoder_forward(self.enc, jnp.asarray(ret_tokens),
+                                      self.cfg.attention_heads)
+            st.cross_kv = build_cross_kv(self.dec, enc_out,
+                                         self.cfg.attention_heads)
+        st.sent = False
+        self.in_flight.popleft()
+
+    def single_inference_step(self, name: str) -> None:
+        st = self.states[name]
+        with self.prof.model_span():
+            logits, _hidden, st.cache = decoder_step(
+                self.dec, st.tokens, st.cache, self.cfg.attention_heads,
+                cross_kv=st.cross_kv)
+            st.tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        st.step += 1
+
+    # --- scheduler loop (same state machine as the decoder twin; here a
+    # retrieval step is send → recv(refresh cross-KV) → decode, so recv does
+    # not consume the step itself) ---
+
+    def batch_inference(self, num_step: int) -> None:
+        import time
+        states = self.states
+        for st in states.values():
+            st._last_ret = -1           # step whose retrieval has completed
+        t_start = time.perf_counter()
+        while not all(s.finished for s in states.values()):
+            progressed = False
+            for name in ("tik", "tok"):
+                st = states[name]
+                if st.finished:
+                    continue
+                if st.step >= num_step:
+                    st.finished = True
+                    continue
+                due = (st.step % self.interval == 0
+                       and st._last_ret != st.step)
+                if due and not st.sent:
+                    self.single_retrieve_step_send(name)
+                    progressed = True
+                elif st.sent:
+                    # FIFO: only the oldest in-flight request may recv
+                    if self.in_flight and self.in_flight[0] == name \
+                            and self.retriever.poll():
+                        self.single_retrieve_step_recv(name)
+                        st._last_ret = st.step
+                        progressed = True
+                else:
+                    self.single_inference_step(name)
+                    progressed = True
+            if not progressed and self.in_flight:
+                # both batches blocked on their own requests: block on oldest
+                name = self.in_flight[0]
+                self.single_retrieve_step_recv(name)
+                states[name]._last_ret = states[name].step
+        total = time.perf_counter() - t_start
+        self.prof.time_step.append(total)
+
+    def throughput_tokens_per_sec(self, num_step: int) -> float:
+        total = self.prof.time_step[-1]
+        return 2 * self.batch * num_step / total
+
+    def get_profiling(self):
+        return self.prof.get_profiling()
