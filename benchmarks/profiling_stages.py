@@ -1,0 +1,162 @@
+"""Stage-level profiling study of the IVF-PQ search pipeline.
+
+Parity with the reference's kernel-stage classification suite
+(``Faiss_experiments/MICRO_GPU_profiling/profiling_stages.py`` — nsys-style
+decomposition of Faiss GPU kernels vs batch/nlist/nprobe/topK): measures
+each pipeline stage (coarse scan, LUT construction, window expansion, ADC
+scan, top-k selection) with dispatch-slope timing, sweeps a config axis,
+and compares against the analytic roofline (``chamjax.perf_model``).
+
+    python benchmarks/profiling_stages.py --sweep batch --values 8 32 128
+    python benchmarks/profiling_stages.py --sweep nprobe --values 8 16 32 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from chamjax.utils import ResultStore                          # noqa: E402
+
+
+def chained_ms(make_step, steps_small=8, steps_large=40):
+    """Per-call device ms via a carry-dependent lax.scan chain: the stage
+    runs `steps` times inside ONE dispatch (a scalar carry perturbs the
+    input, serializing iterations), so tunnel jitter amortizes away."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def run(steps):
+        def body(acc, _):
+            return make_step(acc), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=steps)
+        return acc
+
+    for s in (steps_small, steps_large):
+        np.asarray(run(s))                       # compile
+    ts = {}
+    for s in (steps_small, steps_large):
+        t0 = time.perf_counter()
+        np.asarray(run(s))
+        ts[s] = time.perf_counter() - t0
+    return (ts[steps_large] - ts[steps_small]) / (
+        steps_large - steps_small) * 1e3
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from chamjax import perf_model as pm
+    from chamjax.config import IndexConfig
+    from chamjax.data import synthetic_dataset
+    from chamjax.index import build_ivfpq, PackedIVF
+    from chamjax.ops.coarse import coarse_scan
+    from chamjax.ops.lut import build_luts
+    from chamjax.ops.scan_seg import expand_windows
+    from chamjax.ops.scan_seg_multi import (
+        adc_scan_segments_multi, scan_lists_seg_multi,
+    )
+    from chamjax.ops.topk import select_topk
+    from chamjax.searcher import DeviceIVF
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nb", type=int, default=1_000_000)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--nlist", type=int, default=4096)
+    ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--sweep", choices=["batch", "nprobe", "k"],
+                    default="batch")
+    ap.add_argument("--values", type=int, nargs="+", default=[8, 32, 128])
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--nprobe", type=int, default=32)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--seg", type=int, default=512)
+    ap.add_argument("--group", type=int, default=8)
+    ap.add_argument("--out", default="results/profiling_stages.pkl")
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
+    ds = synthetic_dataset(nb=args.nb, nq=8192, nt=100_000, d=args.d,
+                           seed=42, n_clusters=4096)
+    cache = (f"/tmp/chamjax_prof_idx_{args.nb}_{args.d}_{args.nlist}"
+             f"_{args.m}.npz")
+    if os.path.exists(cache):
+        idx = PackedIVF.load(cache)
+    else:
+        idx = build_ivfpq(ds.xb, IndexConfig(
+            dim=args.d, nlist=args.nlist, m=args.m, balanced=True),
+            xt=ds.xt, kmeans_iters=8, pq_iters=8)
+        idx.save(cache)
+    dev = DeviceIVF.from_packed(idx)
+    lens = idx.list_len.astype(np.float64)
+    store = ResultStore(args.out, load=True, overwrite=True)
+
+    for v in args.values:
+        batch = v if args.sweep == "batch" else args.batch
+        nprobe = v if args.sweep == "nprobe" else args.nprobe
+        k = v if args.sweep == "k" else args.k
+        segs = np.ceil(lens / args.seg)
+        w_mean = float((lens * segs).sum() / lens.sum())
+        W = int(np.ceil(nprobe * w_mean * 1.2)) + 4
+        W = -(-W // args.group) * args.group
+
+        q0 = jnp.asarray(np.resize(ds.xq[:batch], (batch, args.d)))
+        li, _ = coarse_scan(q0, dev.centroids, nprobe)
+        luts0 = build_luts(q0, dev.centroids, dev.codebooks, li,
+                           by_residual=True)
+        starts, lens_w, probe, _ = expand_windows(
+            li, dev.list_start, dev.list_len, windows=W, seg=args.seg)
+        lut_idx = (jnp.arange(batch, dtype=jnp.int32)[:, None] * nprobe
+                   + probe).reshape(-1)
+        luts_k0 = luts0.transpose(0, 1, 3, 2).reshape(
+            batch * nprobe, args.m, 256)
+        dists0 = adc_scan_segments_multi(
+            dev.codes_t, starts.reshape(-1), lens_w.reshape(-1), lut_idx,
+            luts_k0, seg=args.seg, group=args.group).reshape(batch, -1)
+
+        def dep(out):
+            return out.reshape(-1)[0].astype(jnp.float32) * 0.0
+
+        t_coarse = chained_ms(lambda acc: dep(coarse_scan(
+            q0 + acc, dev.centroids, nprobe)[1]))
+        t_lut = chained_ms(lambda acc: dep(build_luts(
+            q0 + acc, dev.centroids, dev.codebooks, li, by_residual=True)))
+        t_scan = chained_ms(lambda acc: dep(adc_scan_segments_multi(
+            dev.codes_t, starts.reshape(-1), lens_w.reshape(-1), lut_idx,
+            luts_k0 + acc, seg=args.seg, group=args.group)))
+        t_topk = chained_ms(lambda acc: dep(select_topk(
+            dists0 + acc, k)[0]))
+        t_full = chained_ms(lambda acc: dep(scan_lists_seg_multi(
+            dev.codes_t, dev.ids, dev.list_start, dev.list_len,
+            build_luts(q0 + acc, dev.centroids, dev.codebooks,
+                       coarse_scan(q0 + acc, dev.centroids, nprobe)[0],
+                       by_residual=True),
+            coarse_scan(q0 + acc, dev.centroids, nprobe)[0],
+            windows=W, seg=args.seg, group=args.group, k=k)[0]))
+
+        model = pm.search_latency_model(args.nb, args.nlist, nprobe,
+                                        args.m, args.d, batch)
+        res = {
+            "coarse_ms": round(t_coarse, 4), "lut_ms": round(t_lut, 4),
+            "scan_ms": round(t_scan, 4), "topk_ms": round(t_topk, 4),
+            "full_ms": round(t_full, 4),
+            "model_total_ms": round(model["t_total_s"] * 1e3, 4),
+            "qps": round(batch / t_full * 1e3, 1),
+        }
+        store.put((f"nb{args.nb}", args.sweep, v), res)
+        store.save()
+        print(f"{args.sweep}={v} (b={batch} nprobe={nprobe} k={k} W={W}): "
+              f"{res}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
