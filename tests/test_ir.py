@@ -161,3 +161,11 @@ def test_maxsim_rerank_improves_noisy_firststage():
     ndcg_after, *_ = EvaluateRetrieval.evaluate(qrels, reranked, [10])
     assert ndcg_after["NDCG@10"] > ndcg_before["NDCG@10"]
     assert ndcg_after["NDCG@10"] > 0.8
+
+
+def test_sparse_search_quality():
+    from chamjax.ir.sparse import SparseSearch
+    corpus, queries, qrels = _make_corpus()
+    results = SparseSearch().search(corpus, queries, top_k=10)
+    ndcg, _, _, _ = EvaluateRetrieval.evaluate(qrels, results, [10])
+    assert ndcg["NDCG@10"] > 0.9
