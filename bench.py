@@ -79,7 +79,7 @@ def main() -> None:
     w_mean = float((lens * np.ceil(lens / seg)).sum() / lens.sum())
     W = int(np.ceil(nprobe * w_mean * 1.2)) + 4
     kw = dict(nprobe=nprobe, k=k, windows=W, seg=seg, group=group,
-              by_residual=True, use_approx=True, recall_target=0.99,
+              by_residual=True, use_approx=True, recall_target=0.9,
               backend="seg")
 
     # quality gate: recall@10 on 256 held-out queries

@@ -83,7 +83,10 @@ class SearchConfig:
     # priority queues (``hierarchical_priority_queue.hpp``), with recall
     # governed the same way the reference sizes queues probabilistically.
     use_approx_topk: bool = True
-    approx_recall_target: float = 0.99
+    # Per-element selection recall for approx_min_k.  End recall is PQ-noise
+    # dominated: measured on the 1M bench, 0.9 here costs zero R@10 vs 0.99
+    # while cutting selection time ~12x (see benchmarks/profiling_stages.py).
+    approx_recall_target: float = 0.9
     # Distance compute dtype ("float32" | "bfloat16").
     dtype: str = "float32"
     # Scan backend: "seg" (segmented Pallas kernel, work ∝ true list length),
