@@ -185,3 +185,68 @@ def sharded_search(
     )
     return fn(sh.centroids, sh.codebooks, sh.codes_t, sh.ids,
               sh.list_start, sh.list_len, queries)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "batch_axis", "nprobe", "k", "scan_len",
+                     "windows", "seg", "group", "by_residual", "use_approx",
+                     "backend", "interpret"),
+)
+def sharded_search_2d(
+    sh: ShardedIVF,
+    queries: jax.Array,          # (b, d) — sharded over batch_axis
+    *,
+    mesh: Mesh,
+    axis: str = "lists",
+    batch_axis: str = "data",
+    nprobe: int,
+    k: int,
+    scan_len: int = 0,
+    windows: int = 0,
+    seg: int = 512,
+    group: int = 8,
+    by_residual: bool = True,
+    use_approx: bool = True,
+    backend: str = "seg",
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """2-D mesh search: queries split over ``batch_axis`` (data parallel),
+    inverted lists split over ``axis`` — the multi-chip serving layout.
+
+    Each (data, lists) device scans its list shard for its query shard;
+    the top-k merge all-gathers only along ``axis`` (queries never move),
+    so ICI traffic per chip is b/D_data · k · D_lists candidate rows.
+    Returns ``(dists, ids)`` sharded over ``batch_axis``.
+    """
+
+    def shard_fn(centroids, codebooks, codes_t, ids, list_start, list_len, q):
+        codes_t, ids = codes_t[0], ids[0]
+        list_start, list_len = list_start[0], list_len[0]
+        list_ids, _ = coarse_scan(q, centroids, nprobe)
+        luts = build_luts(q, centroids, codebooks, list_ids,
+                          by_residual=by_residual)
+        n_sh = mesh.shape[axis]
+        w_sh = max(group, -(-max(windows, 2 * nprobe) // n_sh) * 2)
+        local_d, local_i = scan_lists_seg_multi(
+            codes_t, ids, list_start, list_len, luts, list_ids,
+            windows=w_sh, seg=seg, group=group, k=k,
+            use_approx=use_approx, interpret=interpret)
+        all_d = jax.lax.all_gather(local_d, axis)     # (S, b_local, k)
+        all_i = jax.lax.all_gather(local_i, axis)
+        S, b = all_d.shape[0], all_d.shape[1]
+        flat_d = jnp.moveaxis(all_d, 0, 1).reshape(b, S * k)
+        flat_i = jnp.moveaxis(all_i, 0, 1).reshape(b, S * k)
+        neg, pos = jax.lax.top_k(-flat_d, k)
+        return -neg, jnp.take_along_axis(flat_i, pos, axis=1)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis),
+                  P(batch_axis)),
+        out_specs=(P(batch_axis), P(batch_axis)),
+        check_vma=False,
+    )
+    return fn(sh.centroids, sh.codebooks, sh.codes_t, sh.ids,
+              sh.list_start, sh.list_len, queries)

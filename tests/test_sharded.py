@@ -93,3 +93,25 @@ def test_sharded_seg_backend_matches_single_device(setup, n_shards):
     agree = np.asarray(i_sh) == i_ref
     close = np.abs(np.asarray(d_sh) - d_ref) < 1e-2
     assert np.all(agree | close)
+
+
+def test_sharded_2d_data_and_lists(setup):
+    """2-D mesh (data x lists): batch-sharded queries, list-sharded codes;
+    results must match the single-device seg search."""
+    from chamjax.parallel.sharded_search import sharded_search_2d
+    ds, idx = setup
+    mesh = make_mesh((("data", 2), ("lists", 4)), devices=jax.devices()[:8])
+    sh = place_sharded(shard_index(idx, 4), mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    q = jax.device_put(jnp.asarray(ds.xq[:8]),
+                       NamedSharding(mesh, P("data")))
+    d_sh, i_sh = sharded_search_2d(
+        sh, q, mesh=mesh, nprobe=8, k=10, windows=32, seg=256, group=4,
+        use_approx=False, backend="seg", interpret=True)
+    single = IVFSearcher(idx, SearchConfig(nprobe=8, k=10, backend="seg",
+                                           use_approx_topk=False))
+    d_ref, i_ref = single.search(ds.xq[:8])
+    np.testing.assert_allclose(np.asarray(d_sh), d_ref, rtol=1e-4, atol=1e-3)
+    agree = np.asarray(i_sh) == i_ref
+    close = np.abs(np.asarray(d_sh) - d_ref) < 1e-2
+    assert np.all(agree | close)
