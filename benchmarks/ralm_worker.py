@@ -19,8 +19,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from chamjax.config import ExperimentConfig, MODEL_PRESETS   # noqa: E402
@@ -113,10 +111,10 @@ def main() -> None:
         params = init_decoder(key, mcfg)
         loop = RalmDecoder(params, mcfg, retriever, args.batch,
                            retrieval_interval=interval, nprobe=args.nprobe)
-        loop.multi_steps(args.warmup)
+        loop.batch_inference(args.warmup)
         loop.reset_inference_state()
         loop.batch_inference(seq_len)
-        tps = loop.prof.stats(args.batch)["throughput_tokens_per_sec"]
+        tps = loop.throughput_tokens_per_sec(seq_len)
     else:
         enc_params, dec_params = init_encoder_decoder(key, mcfg)
         loop = RalmEncoderDecoder(enc_params, dec_params, mcfg, retriever,

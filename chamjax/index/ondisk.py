@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Iterator, Optional, Union
+from typing import Iterator
 
 import numpy as np
 

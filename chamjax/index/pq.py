@@ -10,7 +10,7 @@ FPGA's M LUT-construction sub-PEs (``SRC/LUT_construction.hpp:140-212``).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

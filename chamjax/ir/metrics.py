@@ -15,7 +15,7 @@ mrr / recall_cap / hole / top_k_accuracy).  Conventions follow trec_eval:
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 Qrels = Dict[str, Dict[str, int]]
 Results = Dict[str, Dict[str, float]]

@@ -9,8 +9,6 @@ inserts the all-reduces over ICI.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

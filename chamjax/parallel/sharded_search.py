@@ -33,7 +33,6 @@ from chamjax.ops.coarse import coarse_scan
 from chamjax.ops.scan_xla import scan_lists_xla
 from chamjax.ops.scan_pallas import scan_lists_pallas
 from chamjax.ops.scan_seg_multi import scan_lists_seg_multi
-from chamjax.ops.topk import merge_topk
 
 
 class ShardedIVF(NamedTuple):

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import select
 import socket
-import struct
 from collections import deque
 from typing import Dict, List, Optional
 

@@ -13,7 +13,7 @@ import select
 import socket
 import struct
 from collections import deque
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -11,8 +11,6 @@ interchangeable.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
-
 import numpy as np
 
 

@@ -41,6 +41,25 @@ class LocalRetriever(BaseRetriever):
         dists, ids = self.searcher.search(queries, nprobe=nprobe, k=k)
         return RetrievalResult(ids=ids, dists=dists)
 
+    def retrieve_device(self, queries, nprobe: int, k: int
+                        ) -> RetrievalResult:
+        """Fused path: device arrays in, device arrays out — the RALM loop
+        chains decode → search without any host transfer (the reference's
+        per-step GPU→host→socket hop, ``ralm.py:123-133``, eliminated)."""
+        from chamjax.searcher import ivfpq_search
+        s = self.searcher
+        d, i = ivfpq_search(
+            s.dev, queries,
+            nprobe=nprobe or s.scfg.nprobe, k=k or s.scfg.k,
+            scan_len=s.scan_len, windows=s.windows, seg=s.seg,
+            group=s.group, probe_chunk=s.scfg.probe_chunk,
+            by_residual=s.cfg.by_residual,
+            use_approx=s.scfg.use_approx_topk,
+            recall_target=s.scfg.approx_recall_target,
+            backend=s.backend, tile=s.tile, interpret=s.interpret,
+        )
+        return RetrievalResult(ids=i, dists=d)
+
     def retrieve_with_lists(self, queries: np.ndarray, list_ids: np.ndarray,
                             k: int) -> RetrievalResult:
         dists, ids = self.searcher.search_preassigned(queries, list_ids, k=k)

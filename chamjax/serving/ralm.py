@@ -89,6 +89,15 @@ class RalmDecoder:
             return self.query_set[self.step_count % len(self.query_set)]
         return np.asarray(hidden, np.float32)
 
+    @property
+    def _device_path(self) -> bool:
+        """Fused path: when the retriever can consume device arrays and no
+        query replay is requested, the whole step chain (decode → retrieve)
+        stays on device with zero per-step host transfers — the reference's
+        per-step GPU→host→socket hop eliminated, not just hidden."""
+        return (hasattr(self.retriever, "retrieve_device")
+                and not self.use_query_set)
+
     def single_step(self) -> None:
         with self.prof.step_span():
             with self.prof.model_span():
@@ -97,12 +106,16 @@ class RalmDecoder:
                     self.cfg.attention_heads,
                 )
                 self.tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                hidden.block_until_ready()
+                if not self._device_path:
+                    hidden.block_until_ready()
             if self.step_count % self.interval == 0:
-                query = self._query_vector(hidden)
                 with self.prof.retriever_span():
-                    self.last_result = self.retriever.retrieve(
-                        query, self.nprobe, self.k)
+                    if self._device_path:
+                        self.last_result = self.retriever.retrieve_device(
+                            hidden.astype(jnp.float32), self.nprobe, self.k)
+                    else:
+                        self.last_result = self.retriever.retrieve(
+                            self._query_vector(hidden), self.nprobe, self.k)
             else:
                 self.prof.time_retriever.append(0.0)
         self.step_count += 1
@@ -112,7 +125,22 @@ class RalmDecoder:
             self.single_step()
 
     def batch_inference(self, num_step: Optional[int] = None) -> None:
+        """Runs ``num_step`` steps; ``self.total_wall_s`` then holds the
+        true wall-clock including a final device sync (per-step spans are
+        dispatch times on the fused device path)."""
+        import time
+        t0 = time.perf_counter()
         self.multi_steps(num_step or self.cfg.max_seq_len)
+        # force completion of the full on-device chain
+        np.asarray(self.tokens)
+        if self.last_result is not None:
+            np.asarray(self.last_result.ids).shape
+        self.total_wall_s = time.perf_counter() - t0
+
+    def throughput_tokens_per_sec(self, num_step: Optional[int] = None
+                                  ) -> float:
+        n = num_step or self.step_count
+        return self.batch * n / self.total_wall_s
 
     # profiling surface parity (reference ``get_profiling`` /
     # ``print_profiling_stats``)

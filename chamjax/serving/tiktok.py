@@ -19,7 +19,6 @@ from __future__ import annotations
 from collections import deque
 from typing import Dict, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
