@@ -11,6 +11,7 @@ from chamjax.data.datasets import (  # noqa: F401
     mmap_bvecs,
     load_dataset,
     synthetic_dataset,
+    synthetic_dataset_device,
     Dataset,
 )
 from chamjax.data.ground_truth import compute_ground_truth  # noqa: F401

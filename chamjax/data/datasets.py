@@ -147,6 +147,55 @@ class Dataset:
         return self.xb.shape[0]
 
 
+def synthetic_dataset_device(
+    name: str = "SYN",
+    nb: int = 100_000,
+    nq: int = 1000,
+    nt: int = 50_000,
+    d: int = 128,
+    seed: int = 0,
+    n_clusters: int = 4096,
+    rank: Optional[int] = None,
+    chunk: int = 1 << 20,
+) -> Dataset:
+    """Clustered synthetic corpus generated ON the accelerator.
+
+    Host-CPU normal sampling is minutes-per-GB on weak vCPUs; the same
+    draws on the TPU are milliseconds, leaving only the device→host pull.
+    Deterministic given the arguments (JAX PRNG — a *different* stream from
+    ``synthetic_dataset``'s numpy draws, so cache keys must distinguish
+    generators)."""
+    import jax
+    import jax.numpy as jnp
+
+    rank = rank or max(4, d // 4)
+    key = jax.random.PRNGKey(seed)
+    k_c, k_p = jax.random.split(key)
+    centers = jax.random.normal(k_c, (n_clusters, d), jnp.float32) * 4.0
+    proj = jax.random.normal(k_p, (rank, d), jnp.float32) / np.sqrt(rank)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def draw_chunk(k, n):
+        k1, k2, k3 = jax.random.split(k, 3)
+        asg = jax.random.randint(k1, (n,), 0, n_clusters)
+        z = jax.random.normal(k2, (n, rank), jnp.float32)
+        noise = jax.random.normal(k3, (n, d), jnp.float32) * 0.05
+        return centers[asg] + jnp.dot(z, proj) + noise
+
+    def draw(n, salt):
+        out = np.empty((n, d), np.float32)
+        for i in range(0, n, chunk):
+            c = min(chunk, n - i)
+            kk = jax.random.fold_in(jax.random.fold_in(key, salt), i)
+            out[i:i + c] = np.asarray(draw_chunk(kk, c))
+        return out
+
+    xb, xt, xq = draw(nb, 1), draw(nt, 2), draw(nq, 3)
+    return Dataset(name=name, xb=xb, xq=xq, xt=xt)
+
+
 def synthetic_dataset(
     name: str = "SYN",
     nb: int = 100_000,

@@ -169,3 +169,31 @@ def test_sparse_search_quality():
     results = SparseSearch().search(corpus, queries, top_k=10)
     ndcg, _, _, _ = EvaluateRetrieval.evaluate(qrels, results, [10])
     assert ndcg["NDCG@10"] > 0.9
+
+
+def test_training_losses_gradients_point_right_way():
+    """The losses must decrease when positives align with queries."""
+    import jax
+    import jax.numpy as jnp
+    from chamjax.ir.train import (
+        bpr_loss, margin_mse_loss, multiple_negatives_ranking_loss,
+    )
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
+    aligned = q + 0.05 * jnp.asarray(rng.standard_normal((8, 16)),
+                                     jnp.float32)
+    random = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
+
+    assert multiple_negatives_ranking_loss(q, aligned) < \
+        multiple_negatives_ranking_loss(q, random)
+    assert bpr_loss(q, aligned, random) < bpr_loss(q, random, aligned)
+    m = jnp.ones((8,), jnp.float32) * 2.0
+    # exact-margin student has zero loss
+    s_q = jnp.ones((8, 4)); s_p = jnp.ones((8, 4)) * 1.0
+    s_n = jnp.ones((8, 4)) * 0.5
+    exact = margin_mse_loss(s_q, s_p, s_n, (s_q * s_p).sum(-1)
+                            - (s_q * s_n).sum(-1))
+    assert float(exact) == pytest.approx(0.0, abs=1e-6)
+    # gradients flow
+    g = jax.grad(lambda p: multiple_negatives_ranking_loss(q, p))(random)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
