@@ -39,9 +39,16 @@ def _accumulate_chunk(x: jax.Array, a: jax.Array, k: int):
     return sums, counts
 
 
+def _cap_chunk(chunk: int, k: int) -> int:
+    """Bound the (chunk, k) score matrix to ~1 GB f32 so assignment fits
+    HBM at any nlist."""
+    return max(4096, min(chunk, (1 << 28) // max(k, 1)))
+
+
 def assign(x: np.ndarray, centroids: np.ndarray, chunk: int = 1 << 18) -> np.ndarray:
     """Chunked nearest-centroid assignment (host-resident data)."""
     cent = jnp.asarray(centroids, jnp.float32)
+    chunk = _cap_chunk(chunk, centroids.shape[0])
     out = np.empty((x.shape[0],), np.int32)
     for i in range(0, x.shape[0], chunk):
         xi = jnp.asarray(x[i : i + chunk], jnp.float32)
@@ -81,6 +88,7 @@ def assign_balanced(
     if cap is None:
         cap = int(np.ceil(n / k * 1.3))
     cent = jnp.asarray(centroids, jnp.float32)
+    chunk = _cap_chunk(chunk, k)
     cand = np.empty((n, n_cand), np.int32)
     best_d = np.empty((n,), np.float32)
     for i in range(0, n, chunk):
@@ -157,6 +165,7 @@ def kmeans(
             jnp.asarray(sample, jnp.float32), k, jax.random.PRNGKey(seed)
         )
 
+    chunk = _cap_chunk(chunk, k)
     for it in range(iters):
         sums = jnp.zeros((k, d), jnp.float32)
         counts = jnp.zeros((k,), jnp.float32)
