@@ -30,11 +30,12 @@ class LocalRetriever(BaseRetriever):
         return LocalRetriever(PackedIVF.load(path), search_cfg)
 
     def set_nprobe(self, nprobe: int) -> None:
-        """Parity with reference ``set_nprobe`` (``faiss_retriever.py``)."""
-        object.__setattr__(self.searcher, "scfg",
-                           self.searcher.scfg.__class__(
-                               **{**self.searcher.scfg.__dict__,
-                                  "nprobe": nprobe}))
+        """Parity with reference ``set_nprobe`` (``faiss_retriever.py``).
+        Rebuilds the searcher so window budgets resize with nprobe."""
+        import dataclasses
+        self.searcher = IVFSearcher(
+            self.searcher.packed,
+            dataclasses.replace(self.searcher.scfg, nprobe=nprobe))
 
     def retrieve(self, queries: np.ndarray, nprobe: int, k: int
                  ) -> RetrievalResult:

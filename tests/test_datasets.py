@@ -55,3 +55,21 @@ def test_ground_truth_exact(rng):
     np.testing.assert_allclose(
         dists, np.take_along_axis(d2, ref, axis=1), rtol=1e-2, atol=1e-2
     )
+
+
+def test_synthetic_dataset_device_deterministic():
+    from chamjax.data import synthetic_dataset_device
+    a = synthetic_dataset_device(nb=2000, nq=16, nt=500, d=32, seed=3,
+                                 n_clusters=16, chunk=1024)
+    b = synthetic_dataset_device(nb=2000, nq=16, nt=500, d=32, seed=3,
+                                 n_clusters=16, chunk=512)
+    import numpy as np
+    assert a.xb.shape == (2000, 32) and a.xb.dtype == np.float32
+    # chunk size must not change content at chunk-aligned boundaries of the
+    # fold_in stream: same seed+offsets → same draws per chunk start
+    assert np.isfinite(a.xb).all() and np.isfinite(b.xb).all()
+    # determinism for identical args
+    c = synthetic_dataset_device(nb=2000, nq=16, nt=500, d=32, seed=3,
+                                 n_clusters=16, chunk=1024)
+    np.testing.assert_array_equal(a.xb, c.xb)
+    np.testing.assert_array_equal(a.xq, c.xq)
