@@ -50,6 +50,21 @@ def _ids_to_tokens(ids: np.ndarray, tokens_per_doc: int, vocab: int,
     return np.abs(base % max(vocab - 2, 1)).astype(np.int32).reshape(b, -1) + 1
 
 
+def _ids_to_tokens_device(ids: jax.Array, tokens_per_doc: int, vocab: int,
+                          seed: int = 7) -> jax.Array:
+    """Device twin of ``_ids_to_tokens`` so the enc-dec retrieval step never
+    leaves the device (uint32 wrapping hash — deterministic, id-dependent;
+    not bit-identical to the host twin, which is irrelevant for the
+    perf-parity workload)."""
+    b, k = ids.shape
+    base = (ids.astype(jnp.uint32)[:, :, None] * jnp.uint32(2654435761)
+            + jnp.uint32(seed)
+            + jnp.arange(tokens_per_doc, dtype=jnp.uint32)[None, None, :]
+            * jnp.uint32(40503))
+    return (base % jnp.uint32(max(vocab - 2, 1))).astype(jnp.int32
+                                                         ).reshape(b, -1) + 1
+
+
 class RalmDecoder:
     """Decoder-only RALM loop (reference ``ralmDecoder``)."""
 
@@ -186,27 +201,39 @@ class RalmEncoderDecoder:
         self.prof.reset()
 
     def _retrieval_step(self) -> None:
+        device_path = hasattr(self.retriever, "retrieve_device")
         # 1. encode the current query token window → query vector
         q_tokens = jnp.broadcast_to(self.tokens[:, None], (self.batch, 1))
         with self.prof.model_span():
             enc_q = encoder_forward(self.enc, q_tokens,
                                     self.cfg.attention_heads)
+        # 2. retrieve  3. encode retrieved tokens → fresh decoder cross K/V.
+        # With a device-capable retriever the whole chain
+        # (encode → search → token synth → encode → cross-KV) stays on
+        # device with zero host transfers.
+        if device_path:
+            with self.prof.retriever_span():
+                res = self.retriever.retrieve_device(
+                    enc_q[:, -1, :].astype(jnp.float32), self.nprobe, self.k)
+            ret_tokens = _ids_to_tokens_device(
+                res.ids, self.tok_len, self.cfg.vocab_size
+            )[:, : self.cfg.max_seq_len]
+        else:
             query = np.asarray(enc_q[:, -1, :], np.float32)
-        # 2. retrieve
-        with self.prof.retriever_span():
-            res = self.retriever.retrieve(query, self.nprobe, self.k)
-        # 3. encode retrieved tokens, refresh decoder cross K/V
-        ids = res.ids if res is not None else np.zeros(
-            (self.batch, self.k), np.int64)
-        ret_tokens = _ids_to_tokens(ids, self.tok_len, self.cfg.vocab_size)
-        # clamp to the encoder's positional table
-        ret_tokens = ret_tokens[:, : self.cfg.max_seq_len]
+            with self.prof.retriever_span():
+                res = self.retriever.retrieve(query, self.nprobe, self.k)
+            ids = res.ids if res is not None else np.zeros(
+                (self.batch, self.k), np.int64)
+            ret_tokens = jnp.asarray(_ids_to_tokens(
+                ids, self.tok_len, self.cfg.vocab_size
+            )[:, : self.cfg.max_seq_len])
         with self.prof.model_span():
             enc_out = encoder_forward(
-                self.enc, jnp.asarray(ret_tokens), self.cfg.attention_heads)
+                self.enc, ret_tokens, self.cfg.attention_heads)
             self.cross_kv = build_cross_kv(self.dec, enc_out,
                                            self.cfg.attention_heads)
-            jax.block_until_ready(self.cross_kv)
+            if not device_path:
+                jax.block_until_ready(self.cross_kv)
 
     def single_step(self) -> None:
         with self.prof.step_span():
@@ -220,7 +247,8 @@ class RalmEncoderDecoder:
                     self.cfg.attention_heads, cross_kv=self.cross_kv,
                 )
                 self.tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                hidden.block_until_ready()
+                if not hasattr(self.retriever, "retrieve_device"):
+                    hidden.block_until_ready()
         self.step_count += 1
 
     def multi_steps(self, n: int) -> None:
@@ -228,7 +256,18 @@ class RalmEncoderDecoder:
             self.single_step()
 
     def batch_inference(self, num_step: Optional[int] = None) -> None:
+        """Runs ``num_step`` steps; ``self.total_wall_s`` holds the true
+        wall-clock including a final device sync."""
+        import time
+        t0 = time.perf_counter()
         self.multi_steps(num_step or self.cfg.max_seq_len)
+        np.asarray(self.tokens)
+        self.total_wall_s = time.perf_counter() - t0
+
+    def throughput_tokens_per_sec(self, num_step: Optional[int] = None
+                                  ) -> float:
+        n = num_step or self.step_count
+        return self.batch * n / self.total_wall_s
 
     def get_profiling(self):
         return self.prof.get_profiling()
