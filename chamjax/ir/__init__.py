@@ -9,6 +9,9 @@ index, a lexical BM25 baseline, and a rerank stage.
 from chamjax.ir.dataloader import GenericDataLoader       # noqa: F401
 from chamjax.ir.evaluation import EvaluateRetrieval       # noqa: F401
 from chamjax.ir.dense import DenseRetrievalExactSearch    # noqa: F401
-from chamjax.ir.ann import DenseRetrievalIVFPQSearch      # noqa: F401
+from chamjax.ir.ann import (                              # noqa: F401
+    BinarySearch, DenseRetrievalIVFPQSearch, FlatIPSearch, PCASearch,
+    PQSearch, SQSearch,
+)
 from chamjax.ir.lexical import BM25Search                 # noqa: F401
 from chamjax.ir.rerank import Rerank, MaxSimReranker      # noqa: F401

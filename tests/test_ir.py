@@ -197,3 +197,53 @@ def test_training_losses_gradients_point_right_way():
     # gradients flow
     g = jax.grad(lambda p: multiple_negatives_ranking_loss(q, p))(random)
     assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
+
+
+# --- quantized / flat search family (faiss_search.py parity) ----------------
+
+@pytest.mark.parametrize("cls,kw,floor", [
+    ("FlatIPSearch", {}, 0.9),          # exact — matches dense search
+    ("PQSearch", {"m": 16}, 0.8),       # ADC over whole corpus
+    ("SQSearch", {}, 0.85),             # 8-bit scalar quantizer ≈ exact
+    ("PCASearch", {"output_dim": 32}, 0.8),
+    ("BinarySearch", {}, 0.7),          # 1 bit/dim + float rescore
+])
+def test_quantized_search_quality(cls, kw, floor):
+    import chamjax.ir as ir
+    corpus, queries, qrels = _make_corpus(n_per_topic=40)
+    model = HashingEncoder(dim=128)
+    searcher = getattr(ir, cls)(model, corpus_chunk_size=64, **kw)
+    results = searcher.search(corpus, queries, top_k=10)
+    ndcg, _, _, _ = EvaluateRetrieval.evaluate(qrels, results, [10])
+    assert ndcg["NDCG@10"] > floor, f"{cls}: {ndcg}"
+
+
+@pytest.mark.parametrize("cls,kw", [
+    ("SQSearch", {}), ("BinarySearch", {}), ("PCASearch", {"output_dim": 32}),
+])
+def test_quantized_search_save_load(cls, kw, tmp_path):
+    import chamjax.ir as ir
+    corpus, queries, _ = _make_corpus(n_per_topic=20)
+    model = HashingEncoder(dim=128)
+    s = getattr(ir, cls)(model, corpus_chunk_size=64, **kw)
+    s.index_corpus(corpus)
+    s.save(str(tmp_path))
+    s2 = getattr(ir, cls)(model, corpus_chunk_size=64, **kw)
+    s2.load(str(tmp_path))
+    r1 = s.search(corpus, queries, top_k=5)
+    r2 = s2.search(corpus, queries, top_k=5)
+    assert r1 == r2
+
+
+def test_flat_ip_matches_exact_search():
+    corpus, queries, _ = _make_corpus(n_per_topic=25)
+    model = HashingEncoder(dim=64)
+    from chamjax.ir import FlatIPSearch
+    exact = DenseRetrievalExactSearch(model, corpus_chunk_size=30)
+    flat = FlatIPSearch(model, corpus_chunk_size=30)
+    r_e = exact.search(corpus, queries, top_k=5)
+    r_f = flat.search(corpus, queries, top_k=5)
+    for qid in r_e:
+        assert list(r_e[qid]) == list(r_f[qid])
+        for did in r_e[qid]:
+            assert r_e[qid][did] == pytest.approx(r_f[qid][did], abs=1e-4)
