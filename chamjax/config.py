@@ -47,6 +47,13 @@ class IndexConfig:
     # multiplies scan work (see ops/scan_seg.py).
     balanced: bool = False
     balance_factor: float = 1.3
+    # Inverted multi-index (the reference's ``IMI2xB,...`` training sweeps,
+    # ``Faiss_experiments/train_cpu.py``): the coarse quantizer is the
+    # cartesian product of two 2^imi-way sub-quantizers over the two halves
+    # of the vector, so nlist = 4^imi.  0 = plain IVF.  L2 to a product
+    # centroid decomposes per half, so assignment and the coarse scan are
+    # factored (see index/imi.py).
+    imi: int = 0
 
     @property
     def ksub(self) -> int:
@@ -61,7 +68,8 @@ class IndexConfig:
     def key(self) -> str:
         """Faiss-style index key string."""
         prefix = f"OPQ{self.m}," if self.opq else ""
-        return f"{prefix}IVF{self.nlist},PQ{self.m}"
+        coarse = f"IMI2x{self.imi}" if self.imi else f"IVF{self.nlist}"
+        return f"{prefix}{coarse},PQ{self.m}"
 
 
 @dataclass(frozen=True)

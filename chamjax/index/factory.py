@@ -27,10 +27,17 @@ from chamjax.index.pq import train_pq, pq_encode, train_opq
 
 
 def parse_index_key(key: str, dim: int) -> IndexConfig:
-    """Faiss-style key string → IndexConfig (``"OPQ16,IVF4096,PQ16"``)."""
+    """Faiss-style key string → IndexConfig: ``"OPQ16,IVF4096,PQ16"`` or the
+    multi-index form ``"IMI2x10,PQ16"`` (reference training sweeps,
+    ``Faiss_experiments/train_cpu.py``)."""
     opq = bool(re.search(r"OPQ(\d+)", key))
-    nlist = int(re.search(r"IVF(\d+)", key).group(1))
     m = int(re.search(r"PQ(\d+)", key).group(1))
+    imi = re.search(r"IMI2x(\d+)", key)
+    if imi:
+        bits = int(imi.group(1))
+        return IndexConfig(dim=dim, nlist=1 << (2 * bits), m=m, opq=opq,
+                           imi=bits)
+    nlist = int(re.search(r"IVF(\d+)", key).group(1))
     return IndexConfig(dim=dim, nlist=nlist, m=m, opq=opq)
 
 
@@ -75,7 +82,14 @@ def train_quantizers(
     if cfg.opq:
         opq_R, _ = train_opq(xt, cfg.m, nbits=cfg.nbits, seed=seed)
         xt = xt @ opq_R
-    centroids = kmeans(xt, cfg.nlist, iters=kmeans_iters, seed=seed)
+    if cfg.imi:
+        assert cfg.nlist == 1 << (2 * cfg.imi), (cfg.nlist, cfg.imi)
+        from chamjax.index.imi import imi_centroids, train_imi
+        cents_a, cents_b = train_imi(xt, cfg.imi, iters=kmeans_iters,
+                                     seed=seed)
+        centroids = imi_centroids(cents_a, cents_b)
+    else:
+        centroids = kmeans(xt, cfg.nlist, iters=kmeans_iters, seed=seed)
     a = assign(xt, centroids)
     train_vecs = xt - centroids[a] if cfg.by_residual else xt
     codebooks = train_pq(train_vecs, cfg.m, nbits=cfg.nbits, iters=pq_iters,
@@ -100,6 +114,14 @@ def populate(
     if cfg.balanced:
         cap = int(np.ceil(xb.shape[0] / cfg.nlist * cfg.balance_factor))
         assignment = assign_balanced(xb_r, trained.centroids, cap=cap)
+    elif cfg.imi:
+        # factored assignment: recover the half codebooks from the grid
+        # (row i·K+j = [a_i ‖ b_j]) and take two small argmins per vector
+        from chamjax.index.imi import assign_imi
+        k = 1 << cfg.imi
+        h = cfg.dim // 2
+        assignment = assign_imi(
+            xb_r, trained.centroids[::k, :h], trained.centroids[:k, h:])
     else:
         assignment = assign(xb_r, trained.centroids)
     enc = (xb_r - trained.centroids[assignment] if cfg.by_residual else xb_r)
