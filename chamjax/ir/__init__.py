@@ -10,8 +10,8 @@ from chamjax.ir.dataloader import GenericDataLoader       # noqa: F401
 from chamjax.ir.evaluation import EvaluateRetrieval       # noqa: F401
 from chamjax.ir.dense import DenseRetrievalExactSearch    # noqa: F401
 from chamjax.ir.ann import (                              # noqa: F401
-    BinarySearch, DenseRetrievalIVFPQSearch, FlatIPSearch, PCASearch,
-    PQSearch, SQSearch,
+    BinarySearch, DenseRetrievalIVFPQSearch, FlatIPSearch, HNSWSearch,
+    HNSWSQSearch, PCASearch, PQSearch, SQSearch,
 )
 from chamjax.ir.lexical import BM25Search                 # noqa: F401
 from chamjax.ir.rerank import Rerank, MaxSimReranker      # noqa: F401

@@ -443,3 +443,65 @@ class BinarySearch(_EncodedSearchBase):
     def _restore(self, state):
         self._bits, self._mean = state["bits"], state["mean"]
         self._sigma = state["sigma"]
+
+
+class HNSWSearch(_EncodedSearchBase):
+    """Graph-ANN search (``HNSWFaissSearch``) on the native HNSW index
+    (``chamjax/native/src/hnsw.cpp`` — the capability the reference vendors
+    hnswlib for).  Host-side C++: the graph walk is pointer-chasing, the one
+    ANN shape that does NOT map to the MXU, so it stays native."""
+
+    _prefix = "hnsw"
+
+    def __init__(self, model, M: int = 16, ef_construction: int = 200,
+                 ef_search: int = 128, **kw):
+        super().__init__(model, **kw)
+        self.M, self.efc, self.ef_search = M, ef_construction, ef_search
+        self._index = None
+
+    def _build(self, emb: np.ndarray) -> None:
+        from chamjax.native import HNSWIndex
+        self._dim = emb.shape[1]
+        self._index = HNSWIndex(self._dim, M=self.M,
+                                ef_construction=self.efc)
+        self._index.add(emb)
+
+    def _score_all(self, q: np.ndarray, top_k: int):
+        labels, dists = self._index.search(
+            q, k=top_k, ef=max(self.ef_search, top_k))
+        return -dists, labels          # negate L2: higher = better
+
+    # HNSW has its own binary format — override save/load wholesale.
+    def save(self, output_dir: str, prefix: Optional[str] = None) -> None:
+        prefix = prefix or self._prefix
+        os.makedirs(output_dir, exist_ok=True)
+        self._index.save(os.path.join(output_dir, f"{prefix}.hnsw"))
+        np.save(os.path.join(output_dir, f"{prefix}_meta.npy"),
+                np.asarray([self._dim], np.int64))
+        np.save(os.path.join(output_dir, f"{prefix}_dids.npy"),
+                np.asarray(self._dids, dtype=object), allow_pickle=True)
+
+    def load(self, input_dir: str, prefix: Optional[str] = None) -> None:
+        from chamjax.native import HNSWIndex
+        prefix = prefix or self._prefix
+        self._dim = int(np.load(os.path.join(
+            input_dir, f"{prefix}_meta.npy"))[0])
+        self._index = HNSWIndex.load_file(
+            os.path.join(input_dir, f"{prefix}.hnsw"), self._dim)
+        self._dids = list(np.load(os.path.join(
+            input_dir, f"{prefix}_dids.npy"), allow_pickle=True))
+
+
+class HNSWSQSearch(HNSWSearch):
+    """Scalar-quantized HNSW (``HNSWSQFaissSearch``): embeddings pass
+    through the 8-bit per-dim affine quantizer before entering the graph, so
+    the stored vectors (and the saved artifact) carry SQ8 precision."""
+
+    _prefix = "hnsw_sq"
+
+    def _build(self, emb: np.ndarray) -> None:
+        vmin = emb.min(axis=0)
+        scale = (emb.max(axis=0) - vmin) / 255.0
+        scale = np.where(scale > 0, scale, 1.0).astype(np.float32)
+        codes = np.clip(np.rint((emb - vmin) / scale), 0, 255)
+        super()._build((codes * scale + vmin).astype(np.float32))

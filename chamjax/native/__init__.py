@@ -35,11 +35,12 @@ class NativeUnavailable(RuntimeError):
 
 def _build() -> str:
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    src = os.path.join(_SRC_DIR, "chamnet.cpp")
+    srcs = [os.path.join(_SRC_DIR, f) for f in ("chamnet.cpp", "hnsw.cpp")]
+    newest = max(os.path.getmtime(s) for s in srcs)
     if (not os.path.exists(_LIB_PATH)
-            or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
+            or os.path.getmtime(_LIB_PATH) < newest):
         cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-               "-o", _LIB_PATH, src]
+               "-o", _LIB_PATH] + srcs
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
@@ -67,6 +68,26 @@ def load() -> ctypes.CDLL:
             ]
             lib.cham_vecs_dim.restype = ctypes.c_longlong
             lib.cham_vecs_dim.argtypes = [ctypes.c_char_p]
+            lib.cham_hnsw_create.restype = ctypes.c_longlong
+            lib.cham_hnsw_create.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64]
+            lib.cham_hnsw_add.restype = ctypes.c_longlong
+            lib.cham_hnsw_add.argtypes = [
+                ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p,
+                ctypes.c_void_p]
+            lib.cham_hnsw_search.restype = ctypes.c_longlong
+            lib.cham_hnsw_search.argtypes = [
+                ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p]
+            lib.cham_hnsw_size.restype = ctypes.c_longlong
+            lib.cham_hnsw_size.argtypes = [ctypes.c_longlong]
+            lib.cham_hnsw_save.restype = ctypes.c_longlong
+            lib.cham_hnsw_save.argtypes = [ctypes.c_longlong,
+                                           ctypes.c_char_p]
+            lib.cham_hnsw_load.restype = ctypes.c_longlong
+            lib.cham_hnsw_load.argtypes = [ctypes.c_char_p]
+            lib.cham_hnsw_free.restype = None
+            lib.cham_hnsw_free.argtypes = [ctypes.c_longlong]
             _lib = lib
     return _lib
 
@@ -115,3 +136,87 @@ def read_vecs(path: str, elem: str = "f", max_rows: int = -1):
     if rows < 0:
         raise IOError(f"native vecs read failed: code {rows}")
     return out[:rows]
+
+
+class HNSWIndex:
+    """Host-side HNSW graph index (native C++; see ``src/hnsw.cpp``).
+
+    The capability the reference gets from vendored hnswlib
+    (``SRC/host.cpp:516-556`` coarse centroid search; BEIR's
+    ``HNSWFaissSearch``), as an original implementation.  L2 metric;
+    normalized vectors make it rank-equivalent to cosine.
+    """
+
+    def __init__(self, dim: int, M: int = 16, ef_construction: int = 200,
+                 seed: int = 42, _handle: int = 0):
+        import numpy as np  # noqa: F401  (kept local: ctypes-only module)
+        self._lib = load()
+        self.dim = dim
+        if _handle:
+            self._h = _handle
+        else:
+            self._h = self._lib.cham_hnsw_create(dim, M, ef_construction,
+                                                 seed)
+            if self._h < 0:
+                raise ValueError("cham_hnsw_create failed")
+
+    def __len__(self) -> int:
+        return int(self._lib.cham_hnsw_size(self._h))
+
+    def add(self, vecs, labels=None) -> int:
+        import numpy as np
+        vecs = np.ascontiguousarray(vecs, np.float32)
+        assert vecs.ndim == 2 and vecs.shape[1] == self.dim, vecs.shape
+        lab_ptr = None
+        if labels is not None:
+            labels = np.ascontiguousarray(labels, np.int64)
+            assert labels.shape == (vecs.shape[0],)
+            lab_ptr = labels.ctypes.data_as(ctypes.c_void_p)
+        rc = self._lib.cham_hnsw_add(
+            self._h, vecs.shape[0], vecs.ctypes.data_as(ctypes.c_void_p),
+            lab_ptr)
+        if rc < 0:
+            raise RuntimeError(f"cham_hnsw_add failed: {rc}")
+        return int(rc)
+
+    def search(self, queries, k: int, ef: int = 0):
+        """Returns ``(labels (n, k) int64, dists (n, k) float32)``,
+        nearest-first (squared L2)."""
+        import numpy as np
+        queries = np.ascontiguousarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        n = queries.shape[0]
+        labels = np.empty((n, k), np.int64)
+        dists = np.empty((n, k), np.float32)
+        rc = self._lib.cham_hnsw_search(
+            self._h, n, queries.ctypes.data_as(ctypes.c_void_p), k,
+            ef or max(2 * k, 64), labels.ctypes.data_as(ctypes.c_void_p),
+            dists.ctypes.data_as(ctypes.c_void_p))
+        if rc < 0:
+            raise RuntimeError(f"cham_hnsw_search failed: {rc}")
+        return labels, dists
+
+    def save(self, path: str) -> None:
+        rc = self._lib.cham_hnsw_save(self._h, path.encode())
+        if rc < 0:
+            raise IOError(f"cham_hnsw_save failed: {rc}")
+
+    @staticmethod
+    def load_file(path: str, dim: int) -> "HNSWIndex":
+        lib = load()
+        h = lib.cham_hnsw_load(path.encode())
+        if h < 0:
+            raise IOError(f"cham_hnsw_load failed: {h}")
+        return HNSWIndex(dim, _handle=h)
+
+    def close(self) -> None:
+        if getattr(self, "_h", 0):
+            self._lib.cham_hnsw_free(self._h)
+            self._h = 0
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -247,3 +247,18 @@ def test_flat_ip_matches_exact_search():
         assert list(r_e[qid]) == list(r_f[qid])
         for did in r_e[qid]:
             assert r_e[qid][did] == pytest.approx(r_f[qid][did], abs=1e-4)
+
+
+def test_hnsw_search_quality(tmp_path):
+    import chamjax.ir as ir
+    corpus, queries, qrels = _make_corpus(n_per_topic=40)
+    model = HashingEncoder(dim=64)
+    for cls in (ir.HNSWSearch, ir.HNSWSQSearch):
+        s = cls(model, M=12, ef_construction=80, ef_search=64)
+        results = s.search(corpus, queries, top_k=10)
+        ndcg, _, _, _ = EvaluateRetrieval.evaluate(qrels, results, [10])
+        assert ndcg["NDCG@10"] > 0.85, (cls.__name__, ndcg)
+    s.save(str(tmp_path))
+    s2 = ir.HNSWSQSearch(model)
+    s2.load(str(tmp_path))
+    assert s.search(corpus, queries, 5) == s2.search(corpus, queries, 5)

@@ -128,3 +128,29 @@ def test_native_coordinator_runs_until_disconnect():
     ct.join(timeout=10)
     assert not ct.is_alive()
     eng.stop()
+
+
+# --- native HNSW graph index -------------------------------------------------
+
+def test_hnsw_recall_and_saveload(tmp_path):
+    """Graph search ≥0.95 R@10 vs brute force; save/load preserves results;
+    incremental adds keep labels."""
+    np_rng = np.random.default_rng(7)
+    from chamjax.native import HNSWIndex
+    xb = np_rng.standard_normal((2500, 24)).astype(np.float32)
+    xq = np_rng.standard_normal((40, 24)).astype(np.float32)
+    idx = HNSWIndex(24, M=16, ef_construction=120)
+    idx.add(xb[:2000])
+    idx.add(xb[2000:], labels=np.arange(2000, 2500))
+    assert len(idx) == 2500
+    lab, dist = idx.search(xq, k=10, ef=120)
+    gt = np.argsort(((xq[:, None] - xb[None]) ** 2).sum(-1), axis=1)[:, :10]
+    rec = np.mean([len(set(lab[i]) & set(gt[i])) / 10
+                   for i in range(len(xq))])
+    assert rec >= 0.95, rec
+    assert np.all(np.diff(dist, axis=1) >= 0)      # nearest-first
+    p = str(tmp_path / "g.hnsw")
+    idx.save(p)
+    idx2 = HNSWIndex.load_file(p, 24)
+    lab2, _ = idx2.search(xq, k=10, ef=120)
+    np.testing.assert_array_equal(lab, lab2)
