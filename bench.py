@@ -18,9 +18,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+
+
+def _note(msg: str) -> None:
+    """Stage progress to stderr (stdout stays the single JSON line)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def _slope_ms(run, n_small=4, n_large=36):
@@ -38,7 +47,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from chamjax.config import IndexConfig
-    from chamjax.data import synthetic_dataset
+    from chamjax.data import synthetic_dataset_device
     from chamjax.data.ground_truth import compute_ground_truth
     from chamjax.eval import recall_at_k
     from chamjax.index import build_ivfpq, PackedIVF
@@ -50,27 +59,40 @@ def main() -> None:
     batch, nprobe, k = 128, 32, 100
 
     nq = batch * 65 + 256
-    ds = synthetic_dataset(nb=nb, nq=nq, nt=100_000, d=d, seed=42,
-                           n_clusters=4096)
-    key = f"v4_{nb}_{d}_{nlist}_{m}_{nq}"
+    # v5: dataset draws moved to the on-device generator (deterministic JAX
+    # PRNG stream — different stream than the old numpy one, hence the key
+    # bump) so cold runs don't pay minutes of host-CPU normal sampling.
+    key = f"v5_{nb}_{d}_{nlist}_{m}_{nq}"
     cache = os.environ.get("CHAMJAX_BENCH_INDEX",
                            f"/tmp/chamjax_bench_idx_{key}.npz")
+    gt_cache = cache.replace(".npz", "_gt.npy")
+    cold = not (os.path.exists(cache) and os.path.exists(gt_cache))
+    parts = ("xb", "xt", "xq") if cold else ("xq",)
+    _note(f"drawing dataset parts={parts} (cold={cold})")
+    # to_host=False: splits stay in HBM; with the device-resident
+    # build_ivfpq path the 512 MB corpus never crosses the ~2 MB/s tunnel.
+    ds = synthetic_dataset_device(nb=nb, nq=nq, nt=100_000, d=d, seed=42,
+                                  n_clusters=4096, parts=parts,
+                                  to_host=False)
+    _note("dataset ready")
     if os.path.exists(cache):
         idx = PackedIVF.load(cache)
+        _note("index loaded from cache")
     else:
         idx = build_ivfpq(
             ds.xb, IndexConfig(dim=d, nlist=nlist, m=m, list_pad=128,
                                balanced=True, balance_factor=1.3),
-            xt=ds.xt, kmeans_iters=10, pq_iters=10,
+            xt=ds.xt, kmeans_iters=10, pq_iters=10, verbose=True,
         )
         idx.save(cache)
+        _note("index built + cached")
 
-    gt_cache = cache.replace(".npz", "_gt.npy")
     if os.path.exists(gt_cache):
         gt = np.load(gt_cache)
     else:
         gt, _ = compute_ground_truth(ds.xb, ds.xq[:256], k=10)
         np.save(gt_cache, gt)
+        _note("ground truth computed + cached")
 
     dev = DeviceIVF.from_packed(idx)
     # window budget: length-weighted mean segments per probe + headroom
@@ -85,6 +107,7 @@ def main() -> None:
     # quality gate: recall@10 on 256 held-out queries
     d_r, i_r = ivfpq_search(dev, jnp.asarray(ds.xq[:256]), **kw)
     r10 = recall_at_k(np.asarray(i_r), gt, 10)
+    _note(f"recall gate done: R@10={r10:.4f}")
 
     # throughput at batch=128 (dispatch-slope)
     qs = [jnp.asarray(ds.xq[256 + i * batch: 256 + (i + 1) * batch])
@@ -98,6 +121,7 @@ def main() -> None:
         np.asarray(outs[-1][0][0, 0])
     ms_batch = _slope_ms(run_b128)
     qps = batch / ms_batch * 1e3
+    _note(f"b128 slope done: {ms_batch:.3f} ms/batch")
 
     # batch=1 device latency: chain S sequential searches inside ONE
     # compiled lax.scan (carry-dependent), so dispatch overhead amortizes

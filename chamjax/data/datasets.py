@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -157,6 +157,8 @@ def synthetic_dataset_device(
     n_clusters: int = 4096,
     rank: Optional[int] = None,
     chunk: int = 1 << 20,
+    parts: Tuple[str, ...] = ("xb", "xt", "xq"),
+    to_host: bool = True,
 ) -> Dataset:
     """Clustered synthetic corpus generated ON the accelerator.
 
@@ -164,7 +166,16 @@ def synthetic_dataset_device(
     draws on the TPU are milliseconds, leaving only the device→host pull.
     Deterministic given the arguments (JAX PRNG — a *different* stream from
     ``synthetic_dataset``'s numpy draws, so cache keys must distinguish
-    generators)."""
+    generators).
+
+    ``parts`` selects which splits to draw (undrawn splits are ``None``):
+    each split's stream is independent (``fold_in`` salts), so e.g. drawing
+    only ``xq`` on a warm-cache benchmark run yields bit-identical queries
+    without paying for the 1M-row corpus pull.
+
+    ``to_host=False`` leaves the splits as device arrays — combine with the
+    device-resident ``build_ivfpq`` path so the corpus never crosses the
+    (slow) host↔device link at all."""
     import jax
     import jax.numpy as jnp
 
@@ -185,14 +196,17 @@ def synthetic_dataset_device(
         return centers[asg] + jnp.dot(z, proj) + noise
 
     def draw(n, salt):
-        out = np.empty((n, d), np.float32)
+        chunks = []
         for i in range(0, n, chunk):
             c = min(chunk, n - i)
             kk = jax.random.fold_in(jax.random.fold_in(key, salt), i)
-            out[i:i + c] = np.asarray(draw_chunk(kk, c))
-        return out
+            chunks.append(draw_chunk(kk, c))
+        dev = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+        return np.asarray(dev) if to_host else dev
 
-    xb, xt, xq = draw(nb, 1), draw(nt, 2), draw(nq, 3)
+    xb = draw(nb, 1) if "xb" in parts else None
+    xt = draw(nt, 2) if "xt" in parts else None
+    xq = draw(nq, 3) if "xq" in parts else None
     return Dataset(name=name, xb=xb, xq=xq, xt=xt)
 
 

@@ -15,6 +15,8 @@ import dataclasses
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
+import sys
+
 import numpy as np
 
 from chamjax.config import IndexConfig
@@ -153,29 +155,50 @@ def build_ivfpq(
 ) -> PackedIVF:
     """Train + populate an IVF-PQ index (the reference's offline pipeline,
     §3.5 of SURVEY.md: train → populate → extract memory image — fused here).
+
+    ``xb``/``xt`` may be host numpy OR device jax arrays.  Device input keeps
+    the corpus resident in HBM end-to-end (k-means, assignment, residual PQ
+    encode all chunk over device slices) and pulls only small artifacts —
+    essential when the host↔device link is slow (the axon tunnel moves
+    ~2 MB/s; a 1M×128d corpus round-trip costs minutes per pass).
     """
-    xb = np.ascontiguousarray(xb, np.float32)
-    xt = xb if xt is None else np.ascontiguousarray(xt, np.float32)
+    import jax
+    import jax.numpy as jnp
+
+    def _coerce(a):
+        return a if isinstance(a, jax.Array) else \
+            np.ascontiguousarray(a, np.float32)
+
+    xb = _coerce(xb)
+    xt = xb if xt is None else _coerce(xt)
+    on_device = isinstance(xb, jax.Array)
 
     opq_R = None
     if cfg.opq:
-        opq_R, _ = train_opq(xt, cfg.m, nbits=cfg.nbits, seed=seed)
-        xt_r = xt @ opq_R
-        xb_r = xb @ opq_R
+        # OPQ trains on (a sample of) xt — small; pull if device-resident.
+        opq_R, _ = train_opq(np.asarray(xt), cfg.m, nbits=cfg.nbits,
+                             seed=seed)
+        R = jnp.asarray(opq_R) if on_device else opq_R
+        xt_r = xt @ R
+        xb_r = xb @ R
     else:
         xt_r, xb_r = xt, xb
 
     if verbose:
-        print(f"[build] kmeans nlist={cfg.nlist} on {xt_r.shape}", flush=True)
+        print(f"[build] kmeans nlist={cfg.nlist} on {xt_r.shape}",
+              file=sys.stderr, flush=True)
     centroids = kmeans(xt_r, cfg.nlist, iters=kmeans_iters, seed=seed)
 
     train_assign = kmeans_assign(xt_r, centroids)
     if cfg.by_residual:
-        train_vecs = xt_r - centroids[train_assign]
+        cent_rows = (jnp.asarray(centroids)[jnp.asarray(train_assign)]
+                     if on_device else centroids[train_assign])
+        train_vecs = xt_r - cent_rows
     else:
         train_vecs = xt_r
     if verbose:
-        print(f"[build] PQ m={cfg.m} nbits={cfg.nbits}", flush=True)
+        print(f"[build] PQ m={cfg.m} nbits={cfg.nbits}", file=sys.stderr,
+              flush=True)
     codebooks = train_pq(train_vecs, cfg.m, nbits=cfg.nbits, iters=pq_iters, seed=seed)
 
     if cfg.balanced:
@@ -183,15 +206,29 @@ def build_ivfpq(
         assignment = assign_balanced(xb_r, centroids, cap=cap)
     else:
         assignment = kmeans_assign(xb_r, centroids)
-    enc_vecs = xb_r - centroids[assignment] if cfg.by_residual else xb_r
-    codes = pq_encode(enc_vecs, codebooks)
+    if on_device:
+        # fused residual + encode, chunked on device: never materialize the
+        # (nb, d) residual matrix on host
+        cent_dev = jnp.asarray(centroids)
+        codes = np.empty((xb_r.shape[0], cfg.m), np.uint8)
+        enc_chunk = 1 << 18
+        for i in range(0, xb_r.shape[0], enc_chunk):
+            xi = xb_r[i:i + enc_chunk]
+            if cfg.by_residual:
+                xi = xi - cent_dev[jnp.asarray(assignment[i:i + enc_chunk])]
+            codes[i:i + xi.shape[0]] = pq_encode(xi, codebooks)
+    else:
+        enc_vecs = (xb_r - centroids[assignment] if cfg.by_residual
+                    else xb_r)
+        codes = pq_encode(enc_vecs, codebooks)
 
     packed_codes, packed_ids, list_start, list_len = _pack_lists(
         assignment, codes, cfg.nlist, cfg.list_pad, tail_pad
     )
     if verbose:
         util = xb.shape[0] / max(packed_codes.shape[0], 1)
-        print(f"[build] packed n_pad={packed_codes.shape[0]} util={util:.2%}", flush=True)
+        print(f"[build] packed n_pad={packed_codes.shape[0]} "
+              f"util={util:.2%}", file=sys.stderr, flush=True)
     return PackedIVF(
         cfg=cfg,
         centroids=centroids,

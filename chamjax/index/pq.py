@@ -54,8 +54,14 @@ def _pq_encode_chunk(xs: jax.Array, cent: jax.Array) -> jax.Array:
     return codes.T.astype(jnp.uint8)
 
 
-def _to_subspaces(x: np.ndarray, m: int) -> np.ndarray:
+def _to_subspaces(x, m: int):
+    """(n, d) → (M, n, dsub).  Device arrays stay on device (no host pull —
+    the tunnel moves ~2 MB/s, so a silent ``np.ascontiguousarray`` on a
+    corpus-sized jax array costs minutes)."""
     n, d = x.shape
+    if isinstance(x, jax.Array):
+        return jnp.transpose(
+            x.reshape(n, m, d // m), (1, 0, 2)).astype(jnp.float32)
     return np.ascontiguousarray(
         x.reshape(n, m, d // m).transpose(1, 0, 2), dtype=np.float32
     )
@@ -107,7 +113,10 @@ def pq_encode(
     cent = jnp.asarray(codebooks)
     out = np.empty((x.shape[0], m), np.uint8)
     for i in range(0, x.shape[0], chunk):
-        xs = jnp.asarray(_to_subspaces(np.asarray(x[i : i + chunk]), m))
+        xi = x[i : i + chunk]
+        if not isinstance(xi, jax.Array):
+            xi = np.asarray(xi)
+        xs = jnp.asarray(_to_subspaces(xi, m))
         out[i : i + xs.shape[1]] = np.asarray(_pq_encode_chunk(xs, cent))
     return out
 

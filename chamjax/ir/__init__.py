@@ -8,7 +8,9 @@ index, a lexical BM25 baseline, and a rerank stage.
 
 from chamjax.ir.dataloader import GenericDataLoader       # noqa: F401
 from chamjax.ir.evaluation import EvaluateRetrieval       # noqa: F401
-from chamjax.ir.dense import DenseRetrievalExactSearch    # noqa: F401
+from chamjax.ir.dense import (                            # noqa: F401
+    DenseRetrievalExactSearch, DenseRetrievalExactSearchMulti,
+)
 from chamjax.ir.ann import (                              # noqa: F401
     BinarySearch, DenseRetrievalIVFPQSearch, FlatIPSearch, HNSWSearch,
     HNSWSQSearch, PCASearch, PQSearch, SQSearch,

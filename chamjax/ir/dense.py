@@ -160,3 +160,84 @@ class HFEncoder:
         texts = [(d.get("title", "") + " " + d.get("text", "")).strip()
                  if isinstance(d, dict) else str(d) for d in docs]
         return self._encode(texts, batch_size)
+
+
+class DenseRetrievalExactSearchMulti:
+    """Mesh-parallel exact search — the reference's multi-GPU variant
+    (``beir/beir/retrieval/search/dense/exact_search_multi_gpu.py``).
+
+    The corpus embedding matrix is sharded row-wise across a mesh axis
+    (each device scores its shard and keeps a local top-k); the global
+    merge is a gather of k·n_devices candidates — the same shard-then-merge
+    shape as the IVF list-sharded path (parallel/sharded_search.py), on the
+    exact scorer.
+    """
+
+    def __init__(self, model, mesh=None, axis: str = "shard",
+                 batch_size: int = 128):
+        import jax
+        from jax.sharding import Mesh
+        import numpy as np_
+
+        self.model = model
+        self.batch_size = batch_size
+        self.axis = axis
+        if mesh is None:
+            devs = np_.asarray(jax.devices())
+            mesh = Mesh(devs, (axis,))
+        self.mesh = mesh
+
+    def search(self, corpus: Dict[str, Dict[str, str]],
+               queries: Dict[str, str], top_k: int,
+               score_function: str = "cos_sim", **kwargs
+               ) -> Dict[str, Dict[str, float]]:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert score_function in ("cos_sim", "dot")
+        cosine = score_function == "cos_sim"
+        qids = list(queries.keys())
+        dids = list(corpus.keys())
+        q = np.asarray(self.model.encode_queries(
+            [queries[qq] for qq in qids], batch_size=self.batch_size),
+            np.float32)
+        emb = np.asarray(self.model.encode_corpus(
+            [corpus[dd] for dd in dids], batch_size=self.batch_size),
+            np.float32)
+        n_dev = self.mesh.devices.size
+        n_pad = -(-emb.shape[0] // n_dev) * n_dev
+        if n_pad != emb.shape[0]:                     # pad rows score -inf
+            emb = np.pad(emb, ((0, n_pad - emb.shape[0]), (0, 0)))
+        valid = np.zeros(n_pad, bool)
+        valid[:len(dids)] = True
+
+        emb_s = jax.device_put(
+            emb, NamedSharding(self.mesh, P(self.axis, None)))
+        valid_s = jax.device_put(
+            valid, NamedSharding(self.mesh, P(self.axis)))
+        q_d = jax.device_put(jnp.asarray(q),
+                             NamedSharding(self.mesh, P()))
+
+        @functools.partial(jax.jit, static_argnames=("top_k", "cosine"),
+                           out_shardings=None)
+        def scan(qd, c, v, top_k: int, cosine: bool):
+            if cosine:
+                qd = qd / (jnp.linalg.norm(qd, axis=1, keepdims=True) + 1e-9)
+                c = c / (jnp.linalg.norm(c, axis=1, keepdims=True) + 1e-9)
+            s = jnp.dot(qd, c.T, precision=jax.lax.Precision.HIGHEST)
+            s = jnp.where(v[None, :], s, -jnp.inf)
+            # XLA partitions the matmul by corpus rows (c's sharding) and
+            # all-gathers only the k candidates per shard for the top-k.
+            return jax.lax.top_k(s, min(top_k, s.shape[1]))
+
+        v, i = scan(q_d, emb_s, valid_s, top_k, cosine)
+        v, i = np.asarray(v), np.asarray(i)
+        results: Dict[str, Dict[str, float]] = {}
+        for qi, qid in enumerate(qids):
+            results[qid] = {
+                dids[int(di)]: float(sv)
+                for di, sv in zip(i[qi], v[qi])
+                if di < len(dids) and np.isfinite(sv)
+                and dids[int(di)] != qid
+            }
+        return results

@@ -125,3 +125,38 @@ class HashingTokenEncoder:
                 emb[i, j] = self._tok_vec(tok)
                 mask[i, j] = 1.0
         return emb, mask
+
+
+class HFCrossEncoder:
+    """Cross-encoder scorer over a HuggingFace sequence-classification
+    checkpoint (the reference's ``beir/beir/reranking/models/cross_encoder``
+    — e.g. ms-marco MiniLM).  Optional heavyweight path: needs
+    transformers+torch and downloads weights; plugs into ``Rerank``."""
+
+    def __init__(self, model_name: str =
+                 "cross-encoder/ms-marco-MiniLM-L-6-v2",
+                 device: str = "cpu", max_length: int = 256):
+        from transformers import (                     # gated import
+            AutoModelForSequenceClassification, AutoTokenizer,
+        )
+        self.tok = AutoTokenizer.from_pretrained(model_name)
+        self.model = AutoModelForSequenceClassification.from_pretrained(
+            model_name).to(device).eval()
+        self.device = device
+        self.max_length = max_length
+
+    def predict(self, pairs, batch_size: int = 32):
+        import torch
+        out = []
+        with torch.no_grad():
+            for i in range(0, len(pairs), batch_size):
+                batch = pairs[i:i + batch_size]
+                enc = self.tok([p[0] for p in batch], [p[1] for p in batch],
+                               padding=True, truncation=True,
+                               max_length=self.max_length,
+                               return_tensors="pt").to(self.device)
+                logits = self.model(**enc).logits
+                score = logits[:, 0] if logits.shape[-1] == 1 else \
+                    torch.softmax(logits, dim=-1)[:, -1]
+                out.extend(score.cpu().numpy().tolist())
+        return out

@@ -93,3 +93,39 @@ def test_build_packed_layout(rng, tmp_path):
     np.testing.assert_array_equal(idx.ids, idx2.ids)
     assert idx2.cfg == cfg
     assert idx2.opq_R is None
+
+
+def test_build_ivfpq_device_resident_matches_host():
+    """build_ivfpq with device (jax) input must produce the same packed
+    index as with host numpy input — the device path exists because the
+    host↔device link can be minutes-per-pass slow (bench cold start)."""
+    import jax.numpy as jnp
+    from chamjax.config import IndexConfig
+    from chamjax.data import synthetic_dataset
+    from chamjax.index import build_ivfpq
+
+    ds = synthetic_dataset(nb=6000, nq=8, nt=3000, d=32, seed=11,
+                           n_clusters=64)
+    cfg = IndexConfig(dim=32, nlist=32, m=8, list_pad=64, balanced=True)
+    host = build_ivfpq(ds.xb, cfg, xt=ds.xt, kmeans_iters=4, pq_iters=4)
+    dev = build_ivfpq(jnp.asarray(ds.xb), cfg, xt=jnp.asarray(ds.xt),
+                      kmeans_iters=4, pq_iters=4)
+    np.testing.assert_allclose(host.centroids, dev.centroids, atol=1e-5)
+    np.testing.assert_array_equal(host.list_len, dev.list_len)
+    assert (host.codes == dev.codes).mean() > 0.999   # f32 tie-breaks
+    np.testing.assert_array_equal(host.ids, dev.ids)
+
+
+def test_build_ivfpq_device_resident_opq():
+    import jax.numpy as jnp
+    from chamjax.config import IndexConfig
+    from chamjax.data import synthetic_dataset
+    from chamjax.index import build_ivfpq
+
+    ds = synthetic_dataset(nb=3000, nq=8, nt=2000, d=32, seed=12,
+                           n_clusters=32)
+    cfg = IndexConfig(dim=32, nlist=16, m=8, list_pad=64, opq=True)
+    dev = build_ivfpq(jnp.asarray(ds.xb), cfg, xt=jnp.asarray(ds.xt),
+                      kmeans_iters=3, pq_iters=3)
+    assert dev.opq_R is not None and dev.codes.dtype == np.uint8
+    assert int(dev.list_len.sum()) == 3000

@@ -262,3 +262,21 @@ def test_hnsw_search_quality(tmp_path):
     s2 = ir.HNSWSQSearch(model)
     s2.load(str(tmp_path))
     assert s.search(corpus, queries, 5) == s2.search(corpus, queries, 5)
+
+
+def test_dense_exact_multi_matches_single():
+    """Mesh-sharded exact search returns the same ranking as single-device
+    (8-virtual-device CPU mesh)."""
+    from chamjax.ir.dense import DenseRetrievalExactSearchMulti
+    corpus, queries, qrels = _make_corpus(n_per_topic=33)   # non-divisible
+    model = HashingEncoder(dim=64)
+    single = DenseRetrievalExactSearch(model, corpus_chunk_size=64)
+    multi = DenseRetrievalExactSearchMulti(model)
+    r_s = single.search(corpus, queries, top_k=10)
+    r_m = multi.search(corpus, queries, top_k=10)
+    for qid in r_s:
+        assert list(r_s[qid]) == list(r_m[qid])
+        for did in r_s[qid]:
+            assert r_s[qid][did] == pytest.approx(r_m[qid][did], abs=1e-4)
+    ndcg, _, _, _ = EvaluateRetrieval.evaluate(qrels, r_m, [10])
+    assert ndcg["NDCG@10"] > 0.9
