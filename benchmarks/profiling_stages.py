@@ -57,7 +57,7 @@ def main() -> None:
 
     from chamjax import perf_model as pm
     from chamjax.config import IndexConfig
-    from chamjax.data import synthetic_dataset
+    from chamjax.data import synthetic_dataset_device as synthetic_dataset
     from chamjax.index import build_ivfpq, PackedIVF
     from chamjax.ops.coarse import coarse_scan
     from chamjax.ops.lut import build_luts
@@ -85,16 +85,27 @@ def main() -> None:
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
+    # Reuse bench.py's cached index when the shapes match (same generator
+    # stream + build params), else build device-resident (the tunnel moves
+    # ~2 MB/s — host-resident corpora cost minutes per pass).
+    nq_bench = 128 * 65 + 256
+    bench_cache = (f"/tmp/chamjax_bench_idx_v5_{args.nb}_{args.d}"
+                   f"_{args.nlist}_{args.m}_{nq_bench}.npz")
+    cache = bench_cache if os.path.exists(bench_cache) else (
+        f"/tmp/chamjax_prof_idx_v5_{args.nb}_{args.d}_{args.nlist}"
+        f"_{args.m}.npz")
+    cold = not os.path.exists(cache)
     ds = synthetic_dataset(nb=args.nb, nq=8192, nt=100_000, d=args.d,
-                           seed=42, n_clusters=4096)
-    cache = (f"/tmp/chamjax_prof_idx_{args.nb}_{args.d}_{args.nlist}"
-             f"_{args.m}.npz")
-    if os.path.exists(cache):
+                           seed=42, n_clusters=4096,
+                           parts=(("xb", "xt", "xq") if cold else ("xq",)),
+                           to_host=False)
+    if not cold:
         idx = PackedIVF.load(cache)
     else:
         idx = build_ivfpq(ds.xb, IndexConfig(
-            dim=args.d, nlist=args.nlist, m=args.m, balanced=True),
-            xt=ds.xt, kmeans_iters=8, pq_iters=8)
+            dim=args.d, nlist=args.nlist, m=args.m, balanced=True,
+            balance_factor=1.3, list_pad=128),
+            xt=ds.xt, kmeans_iters=10, pq_iters=10)
         idx.save(cache)
     dev = DeviceIVF.from_packed(idx)
     lens = idx.list_len.astype(np.float64)
@@ -135,6 +146,10 @@ def main() -> None:
             luts_k0 + acc, seg=args.seg, group=args.group)))
         t_topk = chained_ms(lambda acc: dep(select_topk(
             dists0 + acc, k)[0]))
+        t_expand = chained_ms(lambda acc: dep(expand_windows(
+            (li + acc.astype(jnp.int32)) % dev.centroids.shape[0],
+            dev.list_start, dev.list_len, windows=W,
+            seg=args.seg)[0].astype(jnp.float32)))
         t_full = chained_ms(lambda acc: dep(scan_lists_seg_multi(
             dev.codes_t, dev.ids, dev.list_start, dev.list_len,
             build_luts(q0 + acc, dev.centroids, dev.codebooks,
@@ -148,6 +163,7 @@ def main() -> None:
         res = {
             "coarse_ms": round(t_coarse, 4), "lut_ms": round(t_lut, 4),
             "scan_ms": round(t_scan, 4), "topk_ms": round(t_topk, 4),
+            "expand_ms": round(t_expand, 4),
             "full_ms": round(t_full, 4),
             "model_total_ms": round(model["t_total_s"] * 1e3, 4),
             "qps": round(batch / t_full * 1e3, 1),
