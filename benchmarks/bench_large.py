@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Large-scale (10M–100M+) single-chip IVF-PQ benchmark.
+
+The reference's headline working set is SIFT100M/1000M with IVF32768
+(``BASELINE.md``; FPGA memory = 4 DDR banks totalling 64 GB).  One v5e chip
+holds ~16 GB HBM, so 100M×PQ16 (~2 GB packed) is the largest
+comfortably-resident corpus; everything here — synthetic corpus draws,
+k-means, assignment, PQ encode, CSR packing, ground truth — runs
+device-resident via ``chamjax.index.device_build`` (the ~2 MB/s axon tunnel
+forbids host round-trips at this scale).
+
+TPU-first design note: the reference keeps nlist small (4096 at 100M)
+because its coarse scan runs on host CPU/GPU.  On TPU the coarse scan is a
+single MXU matmul, so large nlist is nearly free and buys a proportionally
+shorter ADC scan — we default to nlist=65536 (the reference kernel's own
+NLIST_MAX, ``SRC/constants.hpp``) and sweep nprobe for the recall target.
+
+Usage (real TPU):  python benchmarks/bench_large.py --nb 100000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_T0 = time.time()
+
+
+def note(msg: str) -> None:
+    print(f"[large +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from chamjax.config import IndexConfig
+    from chamjax.eval import recall_at_k
+    from chamjax.index import build_ivfpq_device, compute_ground_truth_streamed
+    from chamjax.searcher import auto_seg, auto_windows, ivfpq_search
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nb", type=int, default=96 * (1 << 20))  # ≈100.7M
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--nlist", type=int, default=65536)
+    ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--nprobes", type=str, default="16,32,64")
+    ap.add_argument("--nq-gt", type=int, default=256)
+    ap.add_argument("--seg", type=int, default=0, help="0 = auto")
+    ap.add_argument("--group", type=int, default=8)
+    ap.add_argument("--n-clusters", type=int, default=65536)
+    ap.add_argument("--nt", type=int, default=2_000_000)
+    ap.add_argument("--chunk", type=int, default=1 << 22)
+    ap.add_argument("--block", type=int, default=4096)
+    ap.add_argument("--kmeans-iters", type=int, default=8)
+    ap.add_argument("--pq-iters", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
+    note(f"backend {jax.default_backend()} {jax.devices()}")
+
+    d, nb = args.d, args.nb
+    rank = max(4, d // 4)
+    key = jax.random.PRNGKey(args.seed)
+    k_c, k_p = jax.random.split(key)
+    centers = jax.random.normal(k_c, (args.n_clusters, d), jnp.float32) * 4.0
+    proj = jax.random.normal(k_p, (rank, d), jnp.float32) / np.sqrt(rank)
+
+    GEN = 1 << 20   # fixed generator granularity → draws are identical
+                    # regardless of the caller's chunking (build vs GT)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def _gen(k, n):
+        k1, k2, k3 = jax.random.split(k, 3)
+        asg = jax.random.randint(k1, (n,), 0, args.n_clusters)
+        z = jax.random.normal(k2, (n, rank), jnp.float32)
+        noise = jax.random.normal(k3, (n, d), jnp.float32) * 0.05
+        return centers[asg] + jnp.dot(z, proj) + noise
+
+    def draw_part(salt):
+        base = jax.random.fold_in(key, salt)
+
+        def draw(s, c):
+            assert s % GEN == 0 and c % GEN == 0, (s, c)
+            parts = [_gen(jax.random.fold_in(base, s + i), GEN)
+                     for i in range(0, c, GEN)]
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        return draw
+
+    draw_b = draw_part(1)
+
+    assert nb % GEN == 0 and args.chunk % GEN == 0, \
+        "--nb/--chunk must be multiples of 1M (generator granularity)"
+
+    nt = (args.nt // args.block) * args.block
+    xt = jnp.concatenate(
+        [_gen(jax.random.fold_in(jax.random.fold_in(key, 2), i), GEN)
+         for i in range(0, nt + GEN - 1, GEN)])[:nt]
+    xq = _gen(jax.random.fold_in(key, 3), GEN)[: args.batch * 40 + args.nq_gt]
+    note(f"train sample {xt.shape}, queries {xq.shape}")
+
+    cfg = IndexConfig(dim=d, nlist=args.nlist, m=args.m, list_pad=128,
+                      balanced=False)
+    t0 = time.time()
+    dev, info = build_ivfpq_device(
+        draw_b, nb, cfg, xt, kmeans_iters=args.kmeans_iters,
+        pq_iters=args.pq_iters, seed=args.seed, chunk=args.chunk,
+        block=args.block, verbose=True)
+    jax.block_until_ready(dev.codes_t)
+    build_s = time.time() - t0
+    lens = info["list_len"]
+    note(f"build done in {build_s:.1f}s; list_len p50/p90/p99/max = "
+         f"{np.percentile(lens, [50, 90, 99, 100]).astype(int).tolist()}")
+
+    t0 = time.time()
+    gt, _ = compute_ground_truth_streamed(
+        draw_b, nb, xq[: args.nq_gt], k=10, chunk=args.chunk, block=GEN)
+    note(f"ground truth in {time.time() - t0:.1f}s")
+
+    seg = args.seg or auto_seg(lens)
+    results = []
+    for nprobe in [int(x) for x in args.nprobes.split(",")]:
+        W = auto_windows(lens, seg, nprobe)
+        kw = dict(nprobe=nprobe, k=args.k, windows=W, seg=seg,
+                  group=args.group,
+                  by_residual=cfg.by_residual, use_approx=True,
+                  recall_target=0.9, backend="seg")
+        d_r, i_r = ivfpq_search(dev, xq[: args.nq_gt], **kw)
+        r1 = recall_at_k(np.asarray(i_r), gt, 1)
+        r10 = recall_at_k(np.asarray(i_r), gt, 10)
+
+        qs = [xq[args.nq_gt + i * args.batch: args.nq_gt + (i + 1) * args.batch]
+              for i in range(36)]
+        out = ivfpq_search(dev, qs[0], **kw)
+        np.asarray(out[0][0, 0])                     # compile + settle
+
+        def run(n):
+            outs = [ivfpq_search(dev, q, **kw) for q in qs[:n]]
+            np.asarray(outs[-1][0][0, 0])
+        ts = {}
+        for n in (4, 36):
+            t0 = time.perf_counter()
+            run(n)
+            ts[n] = time.perf_counter() - t0
+        ms = (ts[36] - ts[4]) / 32 * 1e3
+        qps = args.batch / ms * 1e3
+        rec = {"nb": nb, "nlist": args.nlist, "m": args.m, "nprobe": nprobe,
+               "k": args.k, "batch": args.batch, "seg": seg, "windows": W,
+               "R@1": round(float(r1), 4), "R@10": round(float(r10), 4),
+               "ms_per_batch": round(ms, 3), "qps": round(qps, 1),
+               "build_s": round(build_s, 1)}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    best = max((r for r in results if r["R@10"] >= 0.8),
+               key=lambda r: r["qps"], default=None)
+    note(f"headline: {json.dumps(best) if best else 'no point hit R@10>=0.8'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -6,3 +6,8 @@ from chamjax.index.pq import (  # noqa: F401
     train_opq,
 )
 from chamjax.index.ivf import PackedIVF, build_ivfpq  # noqa: F401
+from chamjax.index.device_build import (  # noqa: F401
+    build_ivfpq_device,
+    compute_ground_truth_streamed,
+    lloyd_device,
+)

@@ -1,0 +1,382 @@
+"""Fully device-resident IVF-PQ build for corpora beyond fp32-in-HBM scale.
+
+The reference builds billion-scale indexes offline on big-RAM CPU servers
+(Faiss train/populate, SURVEY.md §3.5: ``Faiss_experiments/
+bench_polysemous_1bn.py`` → ``extract_Enzian_U250_required_data.py``) and
+ships raw memory images to the FPGA.  The TPU-native constraint is
+different: the slow wire is host↔device (the axon tunnel moves ~2 MB/s, so
+even the *packed* 100M-scale index — ~2 GB — must never cross it).  This
+module therefore streams deterministic corpus chunks from a ``draw``
+function, and trains / assigns / encodes / **packs** entirely on device,
+producing a :class:`~chamjax.searcher.DeviceIVF` whose arrays are born in
+HBM.
+
+Assignment uses a two-stage scheme: a fast default-precision (bf16 on TPU)
+candidate matmul → top-``cand`` shortlist → exact fp32 re-rank.  Build-time
+assignment only decides which inverted list a point lives in (the query
+probes ``nprobe`` lists, so near-tie flips are recoverable); the shortlist
+re-rank removes essentially all bf16 flips at ~1% of the fp32 matmul cost.
+Search-time ranking math stays ``precision=HIGHEST`` throughout
+(see ``chamjax/ops``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chamjax.config import IndexConfig
+
+DrawFn = Callable[[int, int], jax.Array]   # (start, count) -> (count, d) f32
+
+
+# ---------------------------------------------------------------------------
+# two-stage exact assignment
+# ---------------------------------------------------------------------------
+
+def _assign_exact_2stage(x: jax.Array, cent: jax.Array, cand: int
+                         ) -> jax.Array:
+    """argmin_c ||x - cent_c||² via bf16 shortlist + fp32 re-rank.
+
+    x: (b, d) f32; cent: (nlist, d) f32 → (b,) int32.
+    """
+    cn = jnp.sum(cent * cent, axis=1)
+    # stage 1: default precision (bf16 MXU passes) — shortlist only.
+    # approx_max_k is the TPU-native partial reduction (exact on CPU); a
+    # rare shortlist miss only moves a point to a near-tie list, which the
+    # query-side nprobe recovers.
+    scores = 2.0 * jnp.dot(x, cent.T) - cn[None, :]
+    _, top = jax.lax.approx_max_k(scores, cand, recall_target=0.95)
+    # stage 2: exact fp32 over the shortlist
+    cc = cent[top]                                          # (b, cand, d)
+    d2 = (jnp.sum(cc * cc, axis=2)
+          - 2.0 * jnp.einsum("bd,bcd->bc", x, cc,
+                             precision=jax.lax.Precision.HIGHEST))
+    best = jnp.argmin(d2, axis=1)
+    return jnp.take_along_axis(top, best[:, None], axis=1)[:, 0].astype(
+        jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# device Lloyd (training sample resident in HBM)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("block", "cand"))
+def _lloyd_iter(xb: jax.Array, cent: jax.Array, key: jax.Array,
+                block: int, cand: int):
+    n, d = xb.shape
+    k = cent.shape[0]
+    xr = xb[: (n // block) * block].reshape(-1, block, d)
+
+    def body(carry, x_blk):
+        sums, counts = carry
+        a = _assign_exact_2stage(x_blk, cent, cand)
+        sums = sums.at[a].add(x_blk)
+        counts = counts.at[a].add(1.0)
+        return (sums, counts), None
+
+    (sums, counts), _ = jax.lax.scan(
+        body, (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)),
+        xr)
+    new = jnp.where(counts[:, None] > 0,
+                    sums / jnp.maximum(counts, 1.0)[:, None], cent)
+    # empty clusters: reseed near the heaviest clusters' centroids (jittered
+    # split — the same repair the host `kmeans` does, computed on device)
+    empty = counts <= 0
+    heavy = jnp.argsort(-counts)
+    rank = jnp.cumsum(empty.astype(jnp.int32)) - 1          # index among empties
+    donor = heavy[rank % k]
+    scale = jnp.mean(jnp.abs(new[donor]), axis=1, keepdims=True) * 1e-3 + 1e-6
+    jitter = jax.random.normal(key, (k, d), jnp.float32) * scale
+    new = jnp.where(empty[:, None], new[donor] + jitter, new)
+    return new, counts
+
+
+def lloyd_device(x: jax.Array, k: int, iters: int = 10, seed: int = 0,
+                 block: int = 4096, cand: int = 8, init: str = "auto",
+                 init_sample: int = 1 << 17,
+                 verbose: bool = False) -> jax.Array:
+    """Device-resident Lloyd k-means; centroids never visit the host.
+
+    ``init``: ``"kmeans++"`` (sequential seeding on a subsample — O(k·n·d),
+    only affordable for small k), ``"random"`` (distinct sample rows, the
+    Faiss default for large nlist — empties are reseeded per iteration), or
+    ``"auto"`` (k-means++ below 4096 clusters).  Returns (k, d) f32 on
+    device.
+    """
+    n = x.shape[0]
+    assert n >= k, (n, k)
+    key = jax.random.PRNGKey(seed)
+    if init == "auto":
+        init = "kmeans++" if k <= 4096 else "random"
+    if init == "kmeans++":
+        from chamjax.index.kmeans import _kmeanspp_init
+        sample = x if n <= init_sample else x[
+            jax.random.permutation(key, n)[:init_sample]]
+        cent = _kmeanspp_init(sample, k, key)
+    else:
+        perm = jax.random.permutation(key, n)[:k]
+        cent = x[perm]
+    for it in range(iters):
+        cent, counts = _lloyd_iter(x, cent, jax.random.fold_in(key, it),
+                                   block=block, cand=cand)
+        if verbose:
+            nz = int(jnp.sum(counts > 0))
+            print(f"[lloyd] iter {it}: nonempty {nz}/{k}", flush=True)
+    return cent
+
+
+# ---------------------------------------------------------------------------
+# streamed assign + PQ encode
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("block", "cand"))
+def _assign_blocked(x: jax.Array, cent: jax.Array, block: int, cand: int
+                    ) -> jax.Array:
+    """Blocked two-stage assignment: (n, d) → (n,) int32 without ever
+    materializing the full (n, nlist) score matrix."""
+    n, d = x.shape
+    n_use = (n // block) * block
+    xr = x[:n_use].reshape(-1, block, d)
+    _, a = jax.lax.scan(
+        lambda _, xb: (None, _assign_exact_2stage(xb, cent, cand)), None, xr)
+    a = a.reshape(n_use)
+    if n_use != n:
+        a = jnp.concatenate([a, _assign_exact_2stage(x[n_use:], cent, cand)])
+    return a
+
+
+@functools.partial(jax.jit, static_argnames=("block", "cand", "by_residual"))
+def _assign_encode_chunk(x: jax.Array, cent: jax.Array, cbooks: jax.Array,
+                         block: int, cand: int, by_residual: bool):
+    """x: (C, d) → (assignment (C,) i32, codes (C, m) u8), C % block == 0."""
+    C, d = x.shape
+    m, ksub, dsub = cbooks.shape
+    xr = x.reshape(-1, block, d)
+    cb_n = jnp.sum(cbooks * cbooks, axis=2)                 # (m, ksub)
+
+    def body(_, x_blk):
+        a = _assign_exact_2stage(x_blk, cent, cand)
+        v = x_blk - cent[a] if by_residual else x_blk
+        xs = jnp.transpose(v.reshape(block, m, dsub), (1, 0, 2))
+        scores = (2.0 * jnp.einsum(
+            "mnd,mkd->mnk", xs, cbooks,
+            precision=jax.lax.Precision.HIGHEST) - cb_n[:, None, :])
+        codes = jnp.argmax(scores, axis=2).T.astype(jnp.uint8)  # (block, m)
+        return None, (a, codes)
+
+    _, (a, codes) = jax.lax.scan(body, None, xr)
+    return a.reshape(C), codes.reshape(C, m)
+
+
+# ---------------------------------------------------------------------------
+# device packing (CSR layout with per-list padding, computed on device)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("nlist", "list_pad", "cap"))
+def _pack_layout(assignment: jax.Array, nlist: int, list_pad: int, cap: int):
+    """Sorted order + gather map into the padded CSR layout.
+
+    Mirrors the host ``_pack_lists`` (``chamjax/index/ivf.py``) — same
+    invariants (per-list padding to ``list_pad`` multiples, id -1 padding) —
+    but shapes are static: the packed capacity ``cap`` over-allocates the
+    worst-case padding (< ``list_pad`` waste per list) instead of using the
+    data-dependent exact total.
+    """
+    n = assignment.shape[0]
+    order = jnp.argsort(assignment, stable=True).astype(jnp.int32)
+    list_len = jnp.bincount(assignment, length=nlist).astype(jnp.int32)
+    padded = jnp.maximum(((list_len + list_pad - 1) // list_pad) * list_pad,
+                         list_pad)
+    list_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    src_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(list_len)[:-1].astype(jnp.int32)])
+    # list index owning each packed slot: +1 at each list start, cumsum
+    mark = jnp.zeros((cap,), jnp.int32).at[list_start].add(1)
+    list_of = jnp.cumsum(mark) - 1
+    offset = jnp.arange(cap, dtype=jnp.int32) - list_start[list_of]
+    valid = offset < list_len[list_of]
+    src = jnp.clip(src_start[list_of] + offset, 0, n - 1)
+    gather_ids = jnp.where(valid, order[src], jnp.int32(-1))
+    return gather_ids, list_start, list_len
+
+
+@jax.jit
+def _pack_codes_t(codes: jax.Array, gather_ids: jax.Array) -> jax.Array:
+    """codes (n, m) u8 + gather map (cap,) → transposed packed (m, cap) u8."""
+    g = jnp.maximum(gather_ids, 0)
+    packed = jnp.where(gather_ids[:, None] >= 0, codes[g], jnp.uint8(0))
+    return packed.T
+
+
+# ---------------------------------------------------------------------------
+# the full streamed build
+# ---------------------------------------------------------------------------
+
+def build_ivfpq_device(
+    draw: DrawFn,
+    n: int,
+    cfg: IndexConfig,
+    xt: jax.Array,
+    *,
+    kmeans_iters: int = 10,
+    pq_iters: int = 10,
+    seed: int = 0,
+    chunk: int = 1 << 22,
+    block: int = 4096,
+    cand: int = 8,
+    tail_pad: Optional[int] = None,
+    verbose: bool = False,
+):
+    """Train + populate an IVF-PQ index without ever materializing the
+    corpus (neither on host nor fully in HBM).
+
+    ``draw(start, count)`` must return corpus rows ``[start, start+count)``
+    as a device f32 array, deterministically.  Returns ``(DeviceIVF,
+    info)`` where ``info`` carries host copies of the (small) list tables
+    for searcher auto-sizing.
+
+    Streamed parity point for the reference's offline pipeline at the
+    100M–1B scale it targets (SIFT100M/1000M, ``BASELINE.md``); OPQ is
+    host-trained in ``build_ivfpq`` and not supported here (assert).
+    """
+    from chamjax.index.pq import train_pq
+    from chamjax.ops.scan_seg import MAX_SEG
+    from chamjax.searcher import DeviceIVF
+
+    assert not cfg.opq, "streamed device build does not support OPQ"
+    assert cfg.nbits == 8, "streamed device build is specialized for 8-bit PQ"
+    d = cfg.dim
+    if tail_pad is None:
+        tail_pad = 8192
+
+    xt = xt.astype(jnp.float32)
+    if verbose:
+        print(f"[build-dev] lloyd nlist={cfg.nlist} on {xt.shape}", flush=True)
+    cent = lloyd_device(xt, cfg.nlist, iters=kmeans_iters, seed=seed,
+                        block=block, cand=cand, verbose=verbose)
+
+    # PQ trains on (residuals of) the training sample — train_pq keeps
+    # device arrays on device and only pulls (m, 256, dsub) per iteration.
+    a_t = _assign_blocked(xt, cent, block=block, cand=cand)
+    train_vecs = xt - cent[a_t] if cfg.by_residual else xt
+    if verbose:
+        print(f"[build-dev] PQ m={cfg.m}", flush=True)
+    cbooks = jnp.asarray(train_pq(train_vecs, cfg.m, nbits=cfg.nbits,
+                                  iters=pq_iters, seed=seed))
+
+    # streamed assign + encode; the non-block-aligned tail runs as one
+    # extra small-shape call (one extra compile, zero dropped rows)
+    n_use = (n // block) * block
+    tail = n - n_use
+    assigns, codes = [], []
+    for s in range(0, n_use, chunk):
+        c = min(chunk, n_use - s)
+        x = draw(s, c)
+        a_c, code_c = _assign_encode_chunk(
+            x, cent, cbooks, block=block, cand=cand,
+            by_residual=cfg.by_residual)
+        assigns.append(a_c)
+        codes.append(code_c)
+        del x
+        if verbose:
+            print(f"[build-dev] encoded {s + c}/{n}", flush=True)
+    if tail:
+        a_c, code_c = _assign_encode_chunk(
+            draw(n_use, tail), cent, cbooks, block=tail, cand=cand,
+            by_residual=cfg.by_residual)
+        assigns.append(a_c)
+        codes.append(code_c)
+    n_use = n
+    assignment = jnp.concatenate(assigns) if len(assigns) > 1 else assigns[0]
+    del assigns
+    codes = jnp.concatenate(codes) if len(codes) > 1 else codes[0]
+
+    # device pack into the searcher's CSR layout (+MAX_SEG overread pad)
+    cap = n_use + cfg.nlist * cfg.list_pad + tail_pad
+    gather_ids, list_start, list_len = _pack_layout(
+        assignment, nlist=cfg.nlist, list_pad=cfg.list_pad, cap=cap)
+    del assignment
+    ids = jnp.concatenate(
+        [gather_ids, jnp.full((MAX_SEG,), -1, jnp.int32)])
+    codes_t = _pack_codes_t(codes, gather_ids)
+    del codes, gather_ids
+    codes_t = jnp.concatenate(
+        [codes_t, jnp.zeros((cfg.m, MAX_SEG), jnp.uint8)], axis=1)
+    if verbose:
+        print(f"[build-dev] packed cap={cap} "
+              f"({cap / max(n_use, 1):.3f}x)", flush=True)
+
+    dev = DeviceIVF(centroids=cent, codebooks=cbooks, codes_t=codes_t,
+                    ids=ids, list_start=list_start, list_len=list_len,
+                    opq_R=None)
+    info = {
+        "list_len": np.asarray(list_len),
+        "list_start": np.asarray(list_start),
+        "ntotal": n_use,
+        "n_pad": cap,
+    }
+    return dev, info
+
+
+# ---------------------------------------------------------------------------
+# streamed exact ground truth (same draw stream as the build)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def _gt_chunk(xq: jax.Array, x: jax.Array, start: jax.Array,
+              best_d: jax.Array, best_i: jax.Array, k: int, block: int):
+    C, d = x.shape
+    xr = x.reshape(-1, block, d)
+
+    def body(carry, inp):
+        bd, bi = carry
+        x_blk, b0 = inp
+        d2 = (jnp.sum(x_blk * x_blk, axis=1)[None, :]
+              - 2.0 * jnp.dot(xq, x_blk.T,
+                              precision=jax.lax.Precision.HIGHEST))
+        cd, ci = jax.lax.top_k(-d2, min(k, block))
+        ci = ci.astype(jnp.int32) + b0
+        dall = jnp.concatenate([bd, -cd], axis=1)
+        iall = jnp.concatenate([bi, ci], axis=1)
+        neg, pos = jax.lax.top_k(-dall, k)
+        return (-neg, jnp.take_along_axis(iall, pos, axis=1)), None
+
+    offs = start + jnp.arange(xr.shape[0], dtype=jnp.int32) * block
+    (best_d, best_i), _ = jax.lax.scan(body, (best_d, best_i), (xr, offs))
+    return best_d, best_i
+
+
+def compute_ground_truth_streamed(
+    draw: DrawFn, n: int, xq: jax.Array, k: int = 10,
+    chunk: int = 1 << 22, block: int = 1 << 20,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact squared-L2 top-k over a streamed corpus (HIGHEST precision).
+
+    Returns ``(ids (nq, k) int64, dists (nq, k) float32)`` with true squared
+    distances.  Parity: ``Faiss_experiments/compute_ground_truth.py``.
+    """
+    xq = xq.astype(jnp.float32)
+    nq = xq.shape[0]
+    best_d = jnp.full((nq, k), jnp.inf, jnp.float32)
+    best_i = jnp.full((nq, k), -1, jnp.int32)
+    n_use = (n // block) * block
+    chunk = max((chunk // block) * block, block)
+    for s in range(0, n_use, chunk):
+        c = min(chunk, n_use - s)
+        x = draw(s, c)
+        best_d, best_i = _gt_chunk(xq, x, jnp.int32(s), best_d, best_i,
+                                   k=k, block=min(block, c))
+        del x
+    tail = n - n_use
+    if tail:    # non-aligned tail: one extra small-shape call
+        best_d, best_i = _gt_chunk(xq, draw(n_use, tail), jnp.int32(n_use),
+                                   best_d, best_i, k=k, block=tail)
+    qn = jnp.sum(xq * xq, axis=1, keepdims=True)
+    return (np.asarray(best_i, np.int64), np.asarray(best_d + qn))

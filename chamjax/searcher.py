@@ -186,6 +186,36 @@ def ivfpq_search_preassigned(
         tile=tile, interpret=interpret)
 
 
+def auto_seg(list_len: np.ndarray) -> int:
+    """Segment size: smallest 128-multiple power-of-two covering the p90
+    list, clamped [256, MAX_SEG] — keeps per-window padding waste low
+    without inflating the window count."""
+    from chamjax.ops.scan_seg import MAX_SEG
+    p90 = float(np.quantile(list_len, 0.90)) or 1.0
+    seg = 256
+    while seg < min(p90, MAX_SEG):
+        seg *= 2
+    return min(seg, MAX_SEG)
+
+
+def auto_windows(list_len: np.ndarray, seg: int, nprobe: int,
+                 headroom: float = 1.2, slack: int = 4) -> int:
+    """Static per-query window budget for the segmented backend.
+
+    Probed lists are length-biased (a query lands in heavy cells more often),
+    so the expected segments per probe is the *length-weighted* mean of
+    ceil(len/seg) — the same argument the reference's iteration table
+    realizes per cell (``DRAM_utils.hpp:45-102``).  Headroom + slack cover
+    the tail; truncation then drops farthest probes first.
+    """
+    lens = np.asarray(list_len, np.float64)
+    segs = np.ceil(lens / seg)
+    total = lens.sum()
+    w_mean = float((lens * segs).sum() / total) if total else 1.0
+    w = int(np.ceil(nprobe * w_mean * headroom)) + slack
+    return min(w, int(segs.sum()))
+
+
 class IVFSearcher:
     """Convenience host-facing wrapper: holds the device index + static
     search config, exposes numpy-in/numpy-out ``search``."""
@@ -228,31 +258,10 @@ class IVFSearcher:
                         break
 
     def _auto_seg(self) -> int:
-        """Segment size: smallest 128-multiple power-of-two covering the
-        p90 list, clamped [256, MAX_SEG] — keeps per-window padding waste
-        low without inflating the window count."""
-        from chamjax.ops.scan_seg import MAX_SEG
-        p90 = float(np.quantile(self.packed.list_len, 0.90)) or 1.0
-        seg = 256
-        while seg < min(p90, MAX_SEG):
-            seg *= 2
-        return min(seg, MAX_SEG)
+        return auto_seg(self.packed.list_len)
 
     def _auto_windows(self, nprobe: int) -> int:
-        """Static per-query window budget for the segmented backend.
-
-        Probed lists are length-biased (a query lands in heavy cells more
-        often), so the expected segments per probe is the *length-weighted*
-        mean of ceil(len/seg) — the same argument the reference's iteration
-        table realizes per cell (``DRAM_utils.hpp:45-102``).  20% headroom +
-        slack covers the tail; truncation then drops farthest probes first.
-        """
-        lens = self.packed.list_len.astype(np.float64)
-        segs = np.ceil(lens / self.seg)
-        total = lens.sum()
-        w_mean = float((lens * segs).sum() / total) if total else 1.0
-        w = int(np.ceil(nprobe * w_mean * 1.2)) + 4
-        return min(w, int(segs.sum()))
+        return auto_windows(self.packed.list_len, self.seg, nprobe)
 
     def search(self, queries: np.ndarray,
                nprobe: Optional[int] = None,

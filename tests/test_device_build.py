@@ -1,0 +1,111 @@
+"""Streamed device-resident build (`chamjax.index.device_build`).
+
+Oracles: the host build path (`build_ivfpq` + `_pack_lists`) and exact
+brute-force ground truth — the same verification ladder the reference uses
+for its offline pipeline (recall vs GT as the system oracle, SURVEY.md §4).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chamjax.config import IndexConfig, SearchConfig
+from chamjax.data import synthetic_dataset
+from chamjax.data.ground_truth import compute_ground_truth
+from chamjax.eval import recall_at_k
+from chamjax.index import build_ivfpq_device, compute_ground_truth_streamed
+from chamjax.index.device_build import (
+    _assign_exact_2stage, _pack_codes_t, _pack_layout, lloyd_device,
+)
+from chamjax.index.ivf import _pack_lists
+from chamjax.searcher import auto_seg, auto_windows, ivfpq_search
+
+
+BLOCK = 256
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_dataset(nb=20_000, nq=32, nt=6000, d=32, seed=3,
+                             n_clusters=64)
+
+
+def _draw(xb):
+    return lambda s, c: jnp.asarray(xb[s:s + c], jnp.float32)
+
+
+def test_assign_2stage_matches_exact(rng):
+    x = rng.standard_normal((512, 16)).astype(np.float32)
+    cent = rng.standard_normal((64, 16)).astype(np.float32)
+    a = np.asarray(_assign_exact_2stage(
+        jnp.asarray(x), jnp.asarray(cent), cand=8))
+    ref = np.argmin(((x[:, None] - cent[None]) ** 2).sum(-1), axis=1)
+    # CPU stage-1 runs fp32 so the shortlist always holds the argmin
+    np.testing.assert_array_equal(a, ref)
+
+
+def test_lloyd_device_recovers_clusters(rng):
+    centers = rng.standard_normal((8, 16)).astype(np.float32) * 10
+    x = (centers[rng.integers(0, 8, 2048)]
+         + rng.standard_normal((2048, 16)).astype(np.float32) * 0.1)
+    cent = np.asarray(lloyd_device(jnp.asarray(x), 8, iters=8, block=BLOCK))
+    d = ((centers[:, None] - cent[None]) ** 2).sum(-1).min(1)
+    assert np.all(d < 1.0)
+
+
+def test_pack_layout_matches_host_pack(rng):
+    n, nlist, m, list_pad = 3000, 16, 4, 32
+    assignment = rng.integers(0, nlist, n).astype(np.int32)
+    codes = rng.integers(0, 256, (n, m)).astype(np.uint8)
+    h_codes, h_ids, h_start, h_len = _pack_lists(
+        assignment, codes, nlist, list_pad, tail_pad=0)
+    cap = n + nlist * list_pad + 64
+    g_ids, d_start, d_len = _pack_layout(
+        jnp.asarray(assignment), nlist=nlist, list_pad=list_pad, cap=cap)
+    codes_t = np.asarray(_pack_codes_t(jnp.asarray(codes), g_ids))
+    g_ids, d_start, d_len = map(np.asarray, (g_ids, d_start, d_len))
+    np.testing.assert_array_equal(d_len, h_len)
+    np.testing.assert_array_equal(d_start, h_start)
+    # per-list contents identical to the host packer
+    for l in range(nlist):
+        s, ln = h_start[l], h_len[l]
+        np.testing.assert_array_equal(g_ids[s:s + ln], h_ids[s:s + ln])
+        np.testing.assert_array_equal(codes_t[:, s:s + ln].T,
+                                      h_codes[s:s + ln])
+    # padding slots are invalid everywhere
+    pad_mask = np.ones(cap, bool)
+    for l in range(nlist):
+        pad_mask[h_start[l]:h_start[l] + h_len[l]] = False
+    assert np.all(g_ids[pad_mask] == -1)
+    # every row id appears exactly once
+    assert np.array_equal(np.sort(g_ids[~pad_mask]), np.arange(n))
+
+
+def test_gt_streamed_matches_exact(ds):
+    gt, gd = compute_ground_truth(ds.xb, ds.xq, k=10)
+    gt_s, gd_s = compute_ground_truth_streamed(
+        _draw(ds.xb), ds.nb, jnp.asarray(ds.xq), k=10,
+        chunk=4096, block=1024)
+    np.testing.assert_array_equal(gt, gt_s)
+    np.testing.assert_allclose(gd, gd_s, rtol=1e-4, atol=1e-3)
+
+
+def test_build_device_end_to_end_recall(ds):
+    cfg = IndexConfig(dim=32, nlist=64, m=8, list_pad=64)
+    dev, info = build_ivfpq_device(
+        _draw(ds.xb), ds.nb, cfg, jnp.asarray(ds.xt),
+        kmeans_iters=6, pq_iters=6, chunk=8192, block=BLOCK)
+    assert info["ntotal"] == ds.nb
+    assert int(info["list_len"].sum()) == info["ntotal"]
+    gt, _ = compute_ground_truth(ds.xb, ds.xq, k=10)
+    seg = auto_seg(info["list_len"])
+    W = auto_windows(info["list_len"], seg, nprobe=16)
+    d, i = ivfpq_search(dev, jnp.asarray(ds.xq), nprobe=16, k=10,
+                        windows=W, seg=seg, group=2, use_approx=False,
+                        backend="seg", interpret=True)
+    r = recall_at_k(np.asarray(i), gt, 10)
+    # same regime as the host-path build on this corpus (≈ ADC ceiling)
+    assert r >= 0.75, r
+    # distances are real (finite) and ids valid
+    assert np.isfinite(np.asarray(d)).all()
+    assert (np.asarray(i) >= 0).all()
