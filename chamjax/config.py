@@ -114,7 +114,7 @@ class SearchConfig:
 class ModelConfig:
     """Transformer shape, mirroring ``experiments/config/{Dec-S,...}.yaml``."""
 
-    model_type: str = "decoder"      # "decoder" | "encoder-decoder"
+    model_type: str = "decoder"      # "decoder" | "encoder-decoder" | "llama"
     embed_dim: int = 512
     ffn_embed_dim: int = 2048
     layers: int = 24
@@ -123,6 +123,9 @@ class ModelConfig:
     vocab_size: int = 50000          # reference uses 50k (get_model.py:31)
     max_seq_len: int = 512
     dtype: str = "bfloat16"
+    # llama family only (RMSNorm + rotary + SwiGLU, optional GQA)
+    kv_heads: int = 0                # 0 → = attention_heads (MHA)
+    rope_theta: float = 10000.0
     # retrieval plumbing
     retrieval_interval: int = 1
     retrieval_token_len: int = 64    # enc-dec: tokens per retrieved doc
@@ -201,4 +204,16 @@ MODEL_PRESETS: Dict[str, ModelConfig] = {
     "EncDec-L": ModelConfig(model_type="encoder-decoder", embed_dim=1024,
                             ffn_embed_dim=4096, layers=96, attention_heads=16,
                             encoder_layers=2, retrieval_interval=8, k=10),
+    # llama family (RMSNorm/rotary/SwiGLU/GQA) at the Dec-S / Dec-L scales,
+    # plus the canonical 7B shape; reference scaffold: ``ralmDecoder_llama``
+    "Llama-S": ModelConfig(model_type="llama", embed_dim=512,
+                           ffn_embed_dim=1408, layers=24, attention_heads=8,
+                           kv_heads=4),
+    "Llama-L": ModelConfig(model_type="llama", embed_dim=1024,
+                           ffn_embed_dim=2816, layers=96, attention_heads=16,
+                           kv_heads=4),
+    "Llama-7B": ModelConfig(model_type="llama", embed_dim=4096,
+                            ffn_embed_dim=11008, layers=32,
+                            attention_heads=32, kv_heads=32,
+                            vocab_size=32000, max_seq_len=512),
 }

@@ -16,4 +16,9 @@ from chamjax.ir.ann import (                              # noqa: F401
     HNSWSQSearch, PCASearch, PQSearch, SQSearch,
 )
 from chamjax.ir.lexical import BM25Search                 # noqa: F401
-from chamjax.ir.rerank import Rerank, MaxSimReranker      # noqa: F401
+from chamjax.ir.rerank import (                           # noqa: F401
+    MaxSimReranker, Rerank, Seq2SeqReranker,
+)
+from chamjax.ir.sparse import (                           # noqa: F401
+    LearnedSparseEncoder, SparseSearch, TfidfSparseEncoder,
+)

@@ -160,3 +160,68 @@ class HFCrossEncoder:
                     torch.softmax(logits, dim=-1)[:, -1]
                 out.extend(score.cpu().numpy().tolist())
         return out
+
+
+class Seq2SeqReranker:
+    """MonoT5-style pointwise seq2seq reranker on the chamjax enc-dec.
+
+    Parity target: ``beir/beir/reranking/models/mono_t5.py`` — score a
+    (query, doc) pair as the "true"-vs-"false" first-token log-odds of a
+    seq2seq model fed "Query: q Document: d Relevant:".  Here the model is
+    the TPU-native encoder-decoder from ``chamjax.models`` (hash-tokenized,
+    random weights → hermetic and deterministic; load trained weights into
+    the same pytree for real quality).  Exposes the ``predict(pairs)``
+    contract, so it plugs into ``Rerank`` interchangeably with
+    ``HFCrossEncoder``.
+    """
+
+    TRUE_TOK, FALSE_TOK = 2, 3
+    BOS = 1
+
+    def __init__(self, cfg=None, seed: int = 0, max_len: int = 64):
+        from chamjax.config import ModelConfig
+        from chamjax.models import init_encoder_decoder
+        self.cfg = cfg or ModelConfig(
+            model_type="encoder-decoder", embed_dim=128, ffn_embed_dim=256,
+            layers=2, attention_heads=4, encoder_layers=2, vocab_size=4096,
+            max_seq_len=max_len, dtype="float32")
+        self.max_len = min(max_len, self.cfg.max_seq_len)
+        self.enc_params, self.dec_params = init_encoder_decoder(
+            jax.random.PRNGKey(seed), self.cfg)
+
+    def _tokens(self, texts) -> np.ndarray:
+        import zlib
+        out = np.zeros((len(texts), self.max_len), np.int32)
+        for i, t in enumerate(texts):
+            toks = t.lower().split()[: self.max_len]
+            for j, tok in enumerate(toks):
+                out[i, j] = 4 + (zlib.crc32(tok.encode()) %
+                                 (self.cfg.vocab_size - 4))
+        return out
+
+    def predict(self, pairs, batch_size: int = 64):
+        from chamjax.models import encoder_forward, decoder_step
+        from chamjax.models.transformer import build_cross_kv, init_kv_cache
+        scores = []
+        for i in range(0, len(pairs), batch_size):
+            batch = pairs[i:i + batch_size]
+            texts = [f"query: {q} document: {d} relevant:"
+                     for q, d in batch]
+            toks = jnp.asarray(self._tokens(texts))
+            valid = jnp.asarray(
+                (np.asarray(toks) != 0).sum(axis=1), jnp.int32)
+            enc_out = encoder_forward(self.enc_params, toks,
+                                      self.cfg.attention_heads,
+                                      valid_len=valid)
+            ck, cv = build_cross_kv(self.dec_params, enc_out,
+                                    self.cfg.attention_heads)
+            cache = init_kv_cache(self.cfg, len(batch), max_len=2)
+            logits, _, _ = decoder_step(
+                self.dec_params,
+                jnp.full((len(batch),), self.BOS, jnp.int32), cache,
+                self.cfg.attention_heads, cross_kv=(ck, cv),
+                cross_valid_len=valid)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            s = lp[:, self.TRUE_TOK] - lp[:, self.FALSE_TOK]
+            scores.extend(np.asarray(s).tolist())
+        return scores

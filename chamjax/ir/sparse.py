@@ -85,11 +85,16 @@ class SparseSearch:
         results: Dict[str, Dict[str, float]] = {}
         for qid, qtext in queries.items():
             scores = np.zeros(n, np.float64)
-            for tok in self.encoder.encode_query(qtext):
+            q = self.encoder.encode_query(qtext)
+            # list[token] → SPARTA semantics (doc-side weights only);
+            # dict[token, weight] → UniCOIL/SPLADE semantics (q_w · d_w)
+            q_items = q.items() if isinstance(q, dict) else \
+                [(tok, 1.0) for tok in q]
+            for tok, qw in q_items:
                 post = self.postings.get(tok)
                 if post is not None:
                     idx, w = post
-                    scores[idx] += w
+                    scores[idx] += qw * w
             k = min(top_k, n)
             top = np.argpartition(-scores, k - 1)[:k]
             top = top[np.argsort(-scores[top], kind="stable")]
@@ -97,3 +102,57 @@ class SparseSearch:
                             for i in top if scores[int(i)] > 0
                             and self.dids[int(i)] != qid}
         return results
+
+
+class LearnedSparseEncoder:
+    """SPLADE/UniCOIL-style learned sparse encoder, hermetic edition.
+
+    Parity target: the reference's neural sparse models
+    (``beir/beir/retrieval/models/{splade,unicoil}.py``) — documents and
+    queries expand to weighted vocab-bucket vectors via
+    ``log1p(relu(proj(tok)))`` with max-pooling over token positions (the
+    SPLADE aggregation).  Here the projection is a deterministic hashed
+    random matrix so the component runs without checkpoints or downloads;
+    swap ``_tok_project`` with an HF MLM head for trained quality.  Emits
+    *weighted* queries (dict), which ``SparseSearch`` scores as q_w · d_w.
+    """
+
+    def __init__(self, n_buckets: int = 4096, latent_dim: int = 64,
+                 max_expansion: int = 64, seed: int = 11):
+        self.n_buckets = n_buckets
+        self.latent = latent_dim
+        self.max_expansion = max_expansion
+        self.seed = seed
+        rng = np.random.default_rng(seed)
+        # shared "vocabulary head": latent → buckets
+        self.head = rng.standard_normal(
+            (latent_dim, n_buckets)).astype(np.float32) / np.sqrt(latent_dim)
+        self._tok_cache: Dict[str, np.ndarray] = {}
+
+    def _tok_vec(self, tok: str) -> np.ndarray:
+        v = self._tok_cache.get(tok)
+        if v is None:
+            import zlib
+            s = zlib.crc32(tok.encode()) & 0x7FFFFFFF
+            v = np.random.default_rng(s ^ self.seed).standard_normal(
+                self.latent).astype(np.float32)
+            self._tok_cache[tok] = v
+        return v
+
+    def _expand(self, text: str) -> Dict[str, float]:
+        toks = tokenize(text)
+        if not toks:
+            return {}
+        emb = np.stack([self._tok_vec(t) for t in toks])       # (t, latent)
+        act = np.log1p(np.maximum(emb @ self.head, 0.0))       # (t, buckets)
+        pooled = act.max(axis=0)                               # SPLADE max-pool
+        top = np.argsort(-pooled)[: self.max_expansion]
+        return {f"b{int(i)}": float(pooled[i]) for i in top if pooled[i] > 0}
+
+    def encode_corpus(self, docs) -> List[Dict[str, float]]:
+        texts = [(d.get("title", "") + " " + d.get("text", "")).strip()
+                 if isinstance(d, dict) else str(d) for d in docs]
+        return [self._expand(t) for t in texts]
+
+    def encode_query(self, text: str) -> Dict[str, float]:
+        return self._expand(text)

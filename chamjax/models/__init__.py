@@ -9,3 +9,9 @@ from chamjax.models.transformer import (  # noqa: F401
     encoder_forward,
     init_kv_cache,
 )
+from chamjax.models.llama import (  # noqa: F401
+    init_llama,
+    init_llama_kv_cache,
+    llama_prefill,
+    llama_step,
+)

@@ -18,6 +18,7 @@ interchangeable exactly as in the reference (``ralm.py:125-133``).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -90,10 +91,24 @@ class RalmDecoder:
         self.query_set = query_set      # (steps, b, dim) replay buffer
         self.use_query_set = use_query_set
         self.prof = StepProfiler()
+        if cfg.model_type == "llama":
+            # reference scaffolds this family as ``ralmDecoder_llama``
+            # (``ralm/ralm/ralm.py:433-618``); here it is a real model
+            from chamjax.models.llama import init_llama_kv_cache, llama_step
+            self._step_fn = functools.partial(
+                llama_step, heads=cfg.attention_heads,
+                kv_heads=cfg.kv_heads, theta=cfg.rope_theta)
+            self._cache_fn = functools.partial(
+                init_llama_kv_cache, cfg, batch_size)
+        else:
+            self._step_fn = functools.partial(
+                decoder_step, heads=cfg.attention_heads)
+            self._cache_fn = functools.partial(
+                init_kv_cache, cfg, batch_size)
         self.reset_inference_state()
 
     def reset_inference_state(self) -> None:
-        self.cache: KVCache = init_kv_cache(self.cfg, self.batch)
+        self.cache: KVCache = self._cache_fn()
         self.tokens = jnp.ones((self.batch,), jnp.int32)
         self.step_count = 0
         self.last_result = None
@@ -116,10 +131,8 @@ class RalmDecoder:
     def single_step(self) -> None:
         with self.prof.step_span():
             with self.prof.model_span():
-                logits, hidden, self.cache = decoder_step(
-                    self.params, self.tokens, self.cache,
-                    self.cfg.attention_heads,
-                )
+                logits, hidden, self.cache = self._step_fn(
+                    self.params, self.tokens, self.cache)
                 self.tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 if not self._device_path:
                     hidden.block_until_ready()

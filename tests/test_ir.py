@@ -280,3 +280,38 @@ def test_dense_exact_multi_matches_single():
             assert r_s[qid][did] == pytest.approx(r_m[qid][did], abs=1e-4)
     ndcg, _, _, _ = EvaluateRetrieval.evaluate(qrels, r_m, [10])
     assert ndcg["NDCG@10"] > 0.9
+
+
+def test_learned_sparse_encoder_splade_contract():
+    """SPLADE-style expansion: weighted dicts on both sides, q·d scoring."""
+    from chamjax.ir.sparse import LearnedSparseEncoder, SparseSearch
+    corpus, queries, qrels = _make_corpus()
+    enc = LearnedSparseEncoder(n_buckets=2048, max_expansion=48)
+    # determinism of the hashed projection
+    w1 = enc.encode_query("solar panels energy")
+    w2 = LearnedSparseEncoder(n_buckets=2048, max_expansion=48
+                              ).encode_query("solar panels energy")
+    assert w1 == w2 and isinstance(w1, dict) and len(w1) > 0
+    results = SparseSearch(sparse_encoder=enc).search(corpus, queries,
+                                                      top_k=10)
+    ndcg, _, _, _ = EvaluateRetrieval.evaluate(qrels, results, [10])
+    # hashed token projections keep exact-term matches dominant: near-dup
+    # docs share tokens → shared activations; random projections are noise
+    assert ndcg["NDCG@10"] > 0.5
+
+
+def test_seq2seq_reranker_contract():
+    """MonoT5-parity scorer: deterministic, batched, plugs into Rerank."""
+    from chamjax.ir.rerank import Rerank, Seq2SeqReranker
+    corpus, queries, qrels = _make_corpus()
+    model = Seq2SeqReranker()
+    pairs = [("what is solar", "solar energy panels"),
+             ("what is solar", "cooking pasta recipes")]
+    s1 = model.predict(pairs)
+    s2 = model.predict(pairs)
+    assert len(s1) == 2 and np.allclose(s1, s2)
+    # full Rerank pipeline runs over first-stage results
+    first = {qid: {did: 1.0 for did in list(corpus)[:8]}
+             for qid in list(queries)[:2]}
+    out = Rerank(model).rerank(corpus, queries, first, top_k=5)
+    assert all(len(v) == 5 for v in out.values())
