@@ -32,9 +32,23 @@ from chamjax.retrieval.interface import BaseRetriever
 from chamjax.serving.profiling import StepProfiler
 
 
+def _family_fns(cfg: ModelConfig):
+    """(step_fn, cache_fn) for the configured decoder family — fairseq-style
+    or llama (same dispatch as ``RalmDecoder``)."""
+    import functools
+    if cfg.model_type == "llama":
+        from chamjax.models.llama import init_llama_kv_cache, llama_step
+        return (functools.partial(llama_step, heads=cfg.attention_heads,
+                                  kv_heads=cfg.kv_heads,
+                                  theta=cfg.rope_theta),
+                functools.partial(init_llama_kv_cache, cfg))
+    return (functools.partial(decoder_step, heads=cfg.attention_heads),
+            functools.partial(init_kv_cache, cfg))
+
+
 class _BatchState:
     def __init__(self, cfg: ModelConfig, batch: int):
-        self.cache = init_kv_cache(cfg, batch)
+        self.cache = _family_fns(cfg)[1](batch)
         self.tokens = jnp.ones((batch,), jnp.int32)
         self.step = 0
         self.sent = False
@@ -64,6 +78,7 @@ class TikTokDecoder:
         self.nprobe = nprobe
         self.k = k or cfg.k
         self.prof = StepProfiler()
+        self._step_fn = _family_fns(cfg)[0]
         self.reset_inference_state()
 
     def reset_inference_state(self) -> None:
@@ -77,8 +92,8 @@ class TikTokDecoder:
     # --- primitive steps (reference :100-196) ---
 
     def _model_step(self, st: _BatchState) -> np.ndarray:
-        logits, hidden, st.cache = decoder_step(
-            self.params, st.tokens, st.cache, self.cfg.attention_heads)
+        logits, hidden, st.cache = self._step_fn(
+            self.params, st.tokens, st.cache)
         st.tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return np.asarray(hidden, np.float32)
 

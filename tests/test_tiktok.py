@@ -107,3 +107,16 @@ def test_tiktok_overlap_beats_sequential():
     # sequential does 1x batches in t_seq; tik-tok does 2x batches in t_tik.
     # per-batch time must improve by ≥30% (ideal: ~2x when retrieval-bound)
     assert t_tik / 2 < t_seq * 0.7, (t_seq, t_tik)
+
+
+def test_tiktok_runs_llama_family():
+    from chamjax.models import init_llama
+    cfg = ModelConfig(model_type="llama", embed_dim=64, ffn_embed_dim=160,
+                      layers=2, attention_heads=4, kv_heads=2, vocab_size=97,
+                      max_seq_len=16, dtype="float32", retrieval_interval=4)
+    params = init_llama(jax.random.PRNGKey(8), cfg)
+    ret = DelayedRetriever(delay_s=0.0)
+    tt = TikTokDecoder(params, cfg, ret, batch_size=2)
+    tt.batch_inference(num_step=8)
+    assert all(st.step >= 8 for st in tt.states.values())
+    assert ret.sent_count == ret.recv_count == 2 * (8 // 4)
