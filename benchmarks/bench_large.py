@@ -66,6 +66,7 @@ def main() -> None:
     ap.add_argument("--kmeans-iters", type=int, default=8)
     ap.add_argument("--pq-iters", type=int, default=10)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--opq", action="store_true")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
@@ -112,7 +113,7 @@ def main() -> None:
     note(f"train sample {xt.shape}, queries {xq.shape}")
 
     cfg = IndexConfig(dim=d, nlist=args.nlist, m=args.m, list_pad=128,
-                      balanced=False)
+                      balanced=False, opq=args.opq)
     t0 = time.time()
     dev, info = build_ivfpq_device(
         draw_b, nb, cfg, xt, kmeans_iters=args.kmeans_iters,

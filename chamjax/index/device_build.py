@@ -246,17 +246,32 @@ def build_ivfpq_device(
     100M–1B scale it targets (SIFT100M/1000M, ``BASELINE.md``); OPQ is
     host-trained in ``build_ivfpq`` and not supported here (assert).
     """
-    from chamjax.index.pq import train_pq
+    from chamjax.index.pq import train_opq, train_pq
     from chamjax.ops.scan_seg import MAX_SEG
     from chamjax.searcher import DeviceIVF
 
-    assert not cfg.opq, "streamed device build does not support OPQ"
     assert cfg.nbits == 8, "streamed device build is specialized for 8-bit PQ"
     d = cfg.dim
     if tail_pad is None:
         tail_pad = 8192
 
     xt = xt.astype(jnp.float32)
+
+    opq_R = None
+    if cfg.opq:
+        # OPQ trains host-side on a small subsample — the single host pull
+        # this builder allows (≤131k rows; the corpus itself never crosses).
+        sample = np.asarray(xt[: 1 << 17])
+        if verbose:
+            print(f"[build-dev] OPQ on {sample.shape}", flush=True)
+        R_host, _ = train_opq(sample, cfg.m, nbits=cfg.nbits, seed=seed)
+        opq_R = jnp.asarray(R_host)
+        xt = jnp.dot(xt, opq_R, precision=jax.lax.Precision.HIGHEST)
+        base_draw = draw
+
+        def draw(s, c, _base=base_draw, _R=opq_R):   # noqa: F811
+            return jnp.dot(_base(s, c), _R,
+                           precision=jax.lax.Precision.HIGHEST)
     if verbose:
         print(f"[build-dev] lloyd nlist={cfg.nlist} on {xt.shape}", flush=True)
     cent = lloyd_device(xt, cfg.nlist, iters=kmeans_iters, seed=seed,
@@ -315,7 +330,7 @@ def build_ivfpq_device(
 
     dev = DeviceIVF(centroids=cent, codebooks=cbooks, codes_t=codes_t,
                     ids=ids, list_start=list_start, list_len=list_len,
-                    opq_R=None)
+                    opq_R=opq_R)
     info = {
         "list_len": np.asarray(list_len),
         "list_start": np.asarray(list_start),

@@ -109,3 +109,32 @@ def test_build_device_end_to_end_recall(ds):
     # distances are real (finite) and ids valid
     assert np.isfinite(np.asarray(d)).all()
     assert (np.asarray(i) >= 0).all()
+
+
+def test_build_device_opq_on_anisotropic_data(rng):
+    """OPQ in the streamed build: must run end-to-end and not lose recall
+    on data with strong cross-subspace correlation (where the learned
+    rotation earns its keep)."""
+    n, d = 12000, 32
+    # anisotropic: low-rank structure + per-dim scaling
+    z = rng.standard_normal((n, 6)).astype(np.float32)
+    mix = rng.standard_normal((6, d)).astype(np.float32) * 3.0
+    x = z @ mix + rng.standard_normal((n, d)).astype(np.float32) * 0.05
+    xq = x[:24] + rng.standard_normal((24, d)).astype(np.float32) * 0.02
+    gt, _ = compute_ground_truth(x, xq, k=10)
+
+    recalls = {}
+    for opq in (False, True):
+        cfg = IndexConfig(dim=d, nlist=32, m=8, list_pad=64, opq=opq)
+        dev, info = build_ivfpq_device(
+            _draw(x), n, cfg, jnp.asarray(x[:4000]),
+            kmeans_iters=4, pq_iters=6, chunk=4096, block=BLOCK)
+        assert (dev.opq_R is not None) == opq
+        seg = auto_seg(info["list_len"])
+        W = auto_windows(info["list_len"], seg, nprobe=16)
+        _, i = ivfpq_search(dev, jnp.asarray(xq), nprobe=16, k=10,
+                            windows=W, seg=seg, group=2, use_approx=False,
+                            backend="seg", interpret=True)
+        recalls[opq] = recall_at_k(np.asarray(i), gt, 10)
+    assert recalls[True] >= recalls[False] - 0.02, recalls
+    assert recalls[True] > 0.5, recalls
