@@ -96,13 +96,17 @@ def main() -> None:
 
     dev = DeviceIVF.from_packed(idx)
     # window budget: length-weighted mean segments per probe + headroom
-    seg, group = 512, 8        # measured best on v5e (scan_seg_multi.py)
+    # (defaults measured best on v5e; env knobs for tuning experiments)
+    seg = int(os.environ.get("CHAMJAX_SEG", "512"))
+    group = int(os.environ.get("CHAMJAX_GROUP", "8"))
     lens = idx.list_len.astype(np.float64)
     w_mean = float((lens * np.ceil(lens / seg)).sum() / lens.sum())
     W = int(np.ceil(nprobe * w_mean * 1.2)) + 4
     kw = dict(nprobe=nprobe, k=k, windows=W, seg=seg, group=group,
               by_residual=True, use_approx=True, recall_target=0.9,
-              backend="seg")
+              backend="seg",
+              coarse_approx=os.environ.get("CHAMJAX_COARSE_APPROX",
+                                           "1") == "1")
 
     # quality gate: recall@10 on 256 held-out queries
     d_r, i_r = ivfpq_search(dev, jnp.asarray(ds.xq[:256]), **kw)

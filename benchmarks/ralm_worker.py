@@ -76,9 +76,15 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
-    from chamjax.models import init_decoder, init_encoder_decoder
+    from chamjax.models import (
+        init_decoder, init_encoder_decoder, init_llama,
+    )
     from chamjax.serving.ralm import RalmDecoder, RalmEncoderDecoder
     from chamjax.serving.tiktok import TikTokDecoder, TikTokEncoderDecoder
+
+    def init_dec_params(key, mcfg):
+        return (init_llama(key, mcfg) if mcfg.model_type == "llama"
+                else init_decoder(key, mcfg))
 
     cfg = (ExperimentConfig.from_yaml(args.config) if args.config
            else ExperimentConfig())
@@ -92,8 +98,8 @@ def main() -> None:
     retriever = build_retriever(args, cfg)
 
     if args.scheduler == "tiktok":
-        if mcfg.model_type == "decoder":
-            params = init_decoder(key, mcfg)
+        if mcfg.model_type in ("decoder", "llama"):
+            params = init_dec_params(key, mcfg)
             loop = TikTokDecoder(params, mcfg, retriever, args.batch,
                                  retrieval_interval=interval,
                                  nprobe=args.nprobe)
@@ -107,8 +113,8 @@ def main() -> None:
         loop.reset_inference_state()
         loop.batch_inference(seq_len)
         tps = loop.throughput_tokens_per_sec(seq_len)
-    elif mcfg.model_type == "decoder":
-        params = init_decoder(key, mcfg)
+    elif mcfg.model_type in ("decoder", "llama"):
+        params = init_dec_params(key, mcfg)
         loop = RalmDecoder(params, mcfg, retriever, args.batch,
                            retrieval_interval=interval, nprobe=args.nprobe)
         loop.batch_inference(args.warmup)

@@ -108,6 +108,9 @@ class SearchConfig:
     # Windows processed per kernel grid step (amortizes per-step machinery;
     # 8 measured best on v5e).
     seg_group: int = 8
+    # Approximate (approx_max_k) probe selection in the coarse scan — an
+    # occasional swapped marginal probe, absorbed by multi-probe search.
+    coarse_approx: bool = True
 
 
 @dataclass(frozen=True)

@@ -160,8 +160,10 @@ def expand_windows(
     seg_cnt = (list_len[list_ids] + seg - 1) // seg        # (b, nprobe)
     off = jnp.cumsum(seg_cnt, axis=1)                      # inclusive
     w = jnp.arange(windows, dtype=off.dtype)
-    probe = jax.vmap(
-        lambda o: jnp.searchsorted(o, w, side="right"))(off)  # (b, W)
+    # searchsorted(off, w, 'right') as a broadcast compare-count: the
+    # sequential binary-search lowering costs ~0.45 ms at b=128 on v5e,
+    # the (b, nprobe, W) count is VPU-trivial
+    probe = jnp.sum(w[None, None, :] >= off[:, :, None], axis=1)
     valid = w[None, :] < off[:, -1:]
     probe_c = jnp.minimum(probe, nprobe - 1).astype(jnp.int32)
     base = jnp.where(probe_c > 0,

@@ -102,7 +102,7 @@ def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
     static_argnames=(
         "nprobe", "k", "scan_len", "windows", "seg", "group", "probe_chunk",
         "by_residual", "use_approx", "recall_target", "backend", "tile",
-        "interpret",
+        "interpret", "coarse_approx",
     ),
 )
 def ivfpq_search(
@@ -122,6 +122,7 @@ def ivfpq_search(
     backend: str = "seg",
     tile: int = 0,
     interpret: bool = False,
+    coarse_approx: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full IVF-PQ search. Returns ``(dists (b, k) f32, ids (b, k) int32)``."""
     from chamjax.ops.scan_pallas import GROUP
@@ -132,7 +133,8 @@ def ivfpq_search(
     q = queries
     if index.opq_R is not None:
         q = jnp.dot(q, index.opq_R, precision=jax.lax.Precision.HIGHEST)
-    list_ids, _ = coarse_scan(q, index.centroids, nprobe)
+    list_ids, _ = coarse_scan(q, index.centroids, nprobe,
+                              use_approx=coarse_approx)
     luts = build_luts(q, index.centroids, index.codebooks, list_ids,
                       by_residual=by_residual)
     return _dispatch_scan(
@@ -283,6 +285,7 @@ class IVFSearcher:
             use_approx=self.scfg.use_approx_topk,
             recall_target=self.scfg.approx_recall_target,
             backend=self.backend, tile=self.tile, interpret=self.interpret,
+            coarse_approx=self.scfg.coarse_approx and not self.interpret,
         )
         return np.asarray(d), np.asarray(i, np.int64)
 
