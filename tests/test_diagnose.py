@@ -1,0 +1,77 @@
+"""Recall-loss decomposition (`chamjax.eval.diagnose`): the classes must
+partition the ground truth, and each loss class must respond to the knob
+that governs it."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chamjax.config import IndexConfig
+from chamjax.data import synthetic_dataset
+from chamjax.data.ground_truth import compute_ground_truth
+from chamjax.eval.diagnose import recall_diagnosis
+from chamjax.index import build_ivfpq
+from chamjax.searcher import DeviceIVF, auto_seg, auto_windows, ivfpq_search
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # few broad clusters over 64 lists: ground truth spreads across
+    # several lists, so probe/window losses are actually exercised
+    ds = synthetic_dataset(nb=20_000, nq=32, nt=6000, d=32, seed=9,
+                           n_clusters=4)
+    idx = build_ivfpq(ds.xb, IndexConfig(dim=32, nlist=64, m=8, list_pad=64),
+                      xt=ds.xt, kmeans_iters=6, pq_iters=6)
+    dev = DeviceIVF.from_packed(idx)
+    gt, _ = compute_ground_truth(ds.xb, ds.xq, k=10)
+    return ds, idx, dev, gt
+
+
+def _run(dev, idx, xq, nprobe, windows, seg, k=10):
+    d, i = ivfpq_search(dev, jnp.asarray(xq), nprobe=nprobe, k=k,
+                        windows=windows, seg=seg, group=2, use_approx=False,
+                        backend="seg", interpret=True)
+    return np.asarray(d), np.asarray(i)
+
+
+def test_classes_partition_and_sum_to_one(setup):
+    ds, idx, dev, gt = setup
+    seg = auto_seg(idx.list_len)
+    W = auto_windows(idx.list_len, seg, 16)
+    dists, ids = _run(dev, idx, ds.xq, 16, W, seg)
+    diag = recall_diagnosis(dev, ds.xq, gt, ids, dists,
+                            nprobe=16, windows=W, seg=seg, at=10)
+    assert abs(sum(diag.values()) - 1.0) < 1e-9
+    assert 0.1 <= diag["found"] <= 1.0
+    # found must equal the gt∩result intersection fraction
+    inter = np.mean([np.isin(gt[i, :10], ids[i]).mean()
+                     for i in range(gt.shape[0])])
+    assert diag["found"] == pytest.approx(float(inter))
+
+
+def test_probe_loss_shrinks_with_more_probes(setup):
+    ds, idx, dev, gt = setup
+    seg = auto_seg(idx.list_len)
+    out = {}
+    for nprobe in (2, 16):
+        W = auto_windows(idx.list_len, seg, nprobe)
+        dists, ids = _run(dev, idx, ds.xq, nprobe, W, seg)
+        out[nprobe] = recall_diagnosis(dev, ds.xq, gt, ids, dists,
+                                       nprobe=nprobe, windows=W, seg=seg)
+    assert out[2]["probe"] > out[16]["probe"]
+    assert out[16]["probe"] <= 0.05
+
+
+def test_window_loss_appears_when_budget_starved(setup):
+    ds, idx, dev, gt = setup
+    seg = auto_seg(idx.list_len)
+    W_full = auto_windows(idx.list_len, seg, 16)
+    W_tiny = max(2, W_full // 8)
+    dists, ids = _run(dev, idx, ds.xq, 16, W_tiny, seg)
+    diag = recall_diagnosis(dev, ds.xq, gt, ids, dists,
+                            nprobe=16, windows=W_tiny, seg=seg)
+    full_d, full_i = _run(dev, idx, ds.xq, 16, W_full, seg)
+    full = recall_diagnosis(dev, ds.xq, gt, full_i, full_d,
+                            nprobe=16, windows=W_full, seg=seg)
+    assert diag["window"] > full["window"]
+    assert full["window"] <= 0.02
