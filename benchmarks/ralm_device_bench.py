@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Fused device-resident RALM benchmark: decode + retrieval on one chip.
+
+The measurement behind RESULTS.md's RALM table.  Builds a synthetic
+corpus + IVF-PQ index at the model's hidden dimension entirely on device,
+wires a ``LocalRetriever`` (whose ``retrieve_device`` keeps queries/results
+in HBM), and times ``batch_inference`` wall-clock over the whole fused
+chain — the rebuild of the reference's RALM experiment
+(``experiments/GPU_process.py`` timing loop, where each step instead paid a
+GPU→host→socket→CPU/FPGA round trip).
+
+Usage: python benchmarks/ralm_device_bench.py --preset Llama-S --batch 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="Dec-S")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--warmup", type=int, default=8)
+    ap.add_argument("--interval", type=int, default=1)
+    ap.add_argument("--nb", type=int, default=1_000_000)
+    ap.add_argument("--nlist", type=int, default=4096)
+    ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--nprobe", type=int, default=32)
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
+
+    from chamjax.config import (
+        IndexConfig, MODEL_PRESETS, SearchConfig,
+    )
+    from chamjax.data import synthetic_dataset_device
+    from chamjax.index import build_ivfpq
+    from chamjax.models import init_decoder, init_encoder_decoder, init_llama
+    from chamjax.retrieval.local import LocalRetriever
+    from chamjax.serving.ralm import RalmDecoder, RalmEncoderDecoder
+
+    mcfg = MODEL_PRESETS[args.preset]
+    d = mcfg.embed_dim
+    t0 = time.time()
+    ds = synthetic_dataset_device(nb=args.nb, nq=8, nt=100_000, d=d,
+                                  seed=11, n_clusters=args.nlist,
+                                  parts=("xb", "xt"), to_host=False)
+    idx = build_ivfpq(
+        ds.xb, IndexConfig(dim=d, nlist=args.nlist, m=args.m, list_pad=128,
+                           balanced=True, balance_factor=1.3),
+        xt=ds.xt, kmeans_iters=8, pq_iters=8)
+    retriever = LocalRetriever(idx, SearchConfig(nprobe=args.nprobe,
+                                                 k=args.k))
+    print(f"index ready in {time.time() - t0:.1f}s", file=sys.stderr,
+          flush=True)
+
+    key = jax.random.PRNGKey(0)
+    if mcfg.model_type == "encoder-decoder":
+        enc, dec = init_encoder_decoder(key, mcfg)
+        loop = RalmEncoderDecoder(enc, dec, mcfg, retriever, args.batch,
+                                  retrieval_interval=args.interval,
+                                  nprobe=args.nprobe, k=args.k)
+    else:
+        params = (init_llama(key, mcfg) if mcfg.model_type == "llama"
+                  else init_decoder(key, mcfg))
+        loop = RalmDecoder(params, mcfg, retriever, args.batch,
+                           retrieval_interval=args.interval,
+                           nprobe=args.nprobe, k=args.k)
+
+    loop.batch_inference(args.warmup)
+    loop.reset_inference_state()
+    loop.batch_inference(args.steps)
+    tps = loop.throughput_tokens_per_sec(args.steps)
+    ms_step = loop.total_wall_s / args.steps * 1e3
+    print(json.dumps({
+        "preset": args.preset, "batch": args.batch,
+        "interval": args.interval, "nprobe": args.nprobe, "k": args.k,
+        "steps": args.steps, "tok_per_s": round(tps, 1),
+        "ms_per_step": round(ms_step, 3),
+        "nb": args.nb, "m": args.m,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
