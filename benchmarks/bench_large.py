@@ -67,6 +67,8 @@ def main() -> None:
     ap.add_argument("--pq-iters", type=int, default=10)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--opq", action="store_true")
+    ap.add_argument("--diagnose", action="store_true",
+                    help="decompose recall loss at each operating point")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
@@ -141,6 +143,13 @@ def main() -> None:
         d_r, i_r = ivfpq_search(dev, xq[: args.nq_gt], **kw)
         r1 = recall_at_k(np.asarray(i_r), gt, 1)
         r10 = recall_at_k(np.asarray(i_r), gt, 10)
+        if args.diagnose:
+            from chamjax.eval.diagnose import recall_diagnosis
+            diag = recall_diagnosis(
+                dev, np.asarray(xq[: args.nq_gt]), gt, np.asarray(i_r),
+                np.asarray(d_r), nprobe=nprobe, windows=W, seg=seg, at=10)
+            note(f"nprobe={nprobe} loss decomposition: "
+                 + json.dumps({k_: round(v, 4) for k_, v in diag.items()}))
 
         qs = [xq[args.nq_gt + i * args.batch: args.nq_gt + (i + 1) * args.batch]
               for i in range(36)]

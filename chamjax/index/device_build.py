@@ -177,6 +177,38 @@ def _assign_encode_chunk(x: jax.Array, cent: jax.Array, cbooks: jax.Array,
 # device packing (CSR layout with per-list padding, computed on device)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("list_pad", "cap"))
+def _pack_layout_core(order: jax.Array, list_len: jax.Array,
+                      src_start: jax.Array, own: jax.Array,
+                      list_pad: int, cap: int):
+    """Gather map into a padded CSR layout covering the ``own``-masked lists.
+
+    ``order``/``src_start`` index the globally sorted corpus; lists outside
+    ``own`` collapse to zero width (the full-size start/len tables keep
+    their slots — the sharded-search convention, foreign lists scan as
+    empty).  Owned lists pad to ``list_pad`` multiples (min one block).
+    The boundary-mark trick tolerates the zero-width lists: multiple lists
+    may "start" at one slot, and cumsum resolves to the last (the owned
+    one).
+    """
+    n = order.shape[0]
+    eff = jnp.where(own, list_len, 0).astype(jnp.int32)
+    padded = jnp.where(
+        own,
+        jnp.maximum(((eff + list_pad - 1) // list_pad) * list_pad, list_pad),
+        0).astype(jnp.int32)
+    list_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    mark = jnp.zeros((cap,), jnp.int32).at[list_start].add(1)
+    list_of = jnp.cumsum(mark) - 1
+    offset = jnp.arange(cap, dtype=jnp.int32) - list_start[list_of]
+    valid = offset < eff[list_of]
+    src = jnp.clip(src_start[list_of] + offset, 0, n - 1)
+    gather_ids = jnp.where(valid, order[src], jnp.int32(-1))
+    return gather_ids, list_start, eff
+
+
 @functools.partial(jax.jit, static_argnames=("nlist", "list_pad", "cap"))
 def _pack_layout(assignment: jax.Array, nlist: int, list_pad: int, cap: int):
     """Sorted order + gather map into the padded CSR layout.
@@ -187,24 +219,14 @@ def _pack_layout(assignment: jax.Array, nlist: int, list_pad: int, cap: int):
     worst-case padding (< ``list_pad`` waste per list) instead of using the
     data-dependent exact total.
     """
-    n = assignment.shape[0]
     order = jnp.argsort(assignment, stable=True).astype(jnp.int32)
     list_len = jnp.bincount(assignment, length=nlist).astype(jnp.int32)
-    padded = jnp.maximum(((list_len + list_pad - 1) // list_pad) * list_pad,
-                         list_pad)
-    list_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
     src_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(list_len)[:-1].astype(jnp.int32)])
-    # list index owning each packed slot: +1 at each list start, cumsum
-    mark = jnp.zeros((cap,), jnp.int32).at[list_start].add(1)
-    list_of = jnp.cumsum(mark) - 1
-    offset = jnp.arange(cap, dtype=jnp.int32) - list_start[list_of]
-    valid = offset < list_len[list_of]
-    src = jnp.clip(src_start[list_of] + offset, 0, n - 1)
-    gather_ids = jnp.where(valid, order[src], jnp.int32(-1))
-    return gather_ids, list_start, list_len
+    own = jnp.ones((nlist,), bool)
+    return _pack_layout_core(order, list_len, src_start, own,
+                             list_pad=list_pad, cap=cap)
 
 
 @jax.jit
@@ -219,42 +241,14 @@ def _pack_codes_t(codes: jax.Array, gather_ids: jax.Array) -> jax.Array:
 # the full streamed build
 # ---------------------------------------------------------------------------
 
-def build_ivfpq_device(
-    draw: DrawFn,
-    n: int,
-    cfg: IndexConfig,
-    xt: jax.Array,
-    *,
-    kmeans_iters: int = 10,
-    pq_iters: int = 10,
-    seed: int = 0,
-    chunk: int = 1 << 22,
-    block: int = 4096,
-    cand: int = 8,
-    tail_pad: Optional[int] = None,
-    verbose: bool = False,
-):
-    """Train + populate an IVF-PQ index without ever materializing the
-    corpus (neither on host nor fully in HBM).
-
-    ``draw(start, count)`` must return corpus rows ``[start, start+count)``
-    as a device f32 array, deterministically.  Returns ``(DeviceIVF,
-    info)`` where ``info`` carries host copies of the (small) list tables
-    for searcher auto-sizing.
-
-    Streamed parity point for the reference's offline pipeline at the
-    100M–1B scale it targets (SIFT100M/1000M, ``BASELINE.md``); OPQ is
-    host-trained in ``build_ivfpq`` and not supported here (assert).
-    """
+def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
+                         chunk, block, cand, verbose):
+    """Shared front half of the streamed builders: (optionally OPQ-)train
+    quantizers and stream-assign/encode the corpus.  Returns
+    ``(cent, cbooks, opq_R, assignment, codes)`` — all device arrays."""
     from chamjax.index.pq import train_opq, train_pq
-    from chamjax.ops.scan_seg import MAX_SEG
-    from chamjax.searcher import DeviceIVF
 
     assert cfg.nbits == 8, "streamed device build is specialized for 8-bit PQ"
-    d = cfg.dim
-    if tail_pad is None:
-        tail_pad = 8192
-
     xt = xt.astype(jnp.float32)
 
     opq_R = None
@@ -273,7 +267,8 @@ def build_ivfpq_device(
             return jnp.dot(_base(s, c), _R,
                            precision=jax.lax.Precision.HIGHEST)
     if verbose:
-        print(f"[build-dev] lloyd nlist={cfg.nlist} on {xt.shape}", flush=True)
+        print(f"[build-dev] lloyd nlist={cfg.nlist} on {xt.shape}",
+              flush=True)
     cent = lloyd_device(xt, cfg.nlist, iters=kmeans_iters, seed=seed,
                         block=block, cand=cand, verbose=verbose)
 
@@ -308,10 +303,47 @@ def build_ivfpq_device(
             by_residual=cfg.by_residual)
         assigns.append(a_c)
         codes.append(code_c)
-    n_use = n
     assignment = jnp.concatenate(assigns) if len(assigns) > 1 else assigns[0]
-    del assigns
     codes = jnp.concatenate(codes) if len(codes) > 1 else codes[0]
+    return cent, cbooks, opq_R, assignment, codes
+
+
+def build_ivfpq_device(
+    draw: DrawFn,
+    n: int,
+    cfg: IndexConfig,
+    xt: jax.Array,
+    *,
+    kmeans_iters: int = 10,
+    pq_iters: int = 10,
+    seed: int = 0,
+    chunk: int = 1 << 22,
+    block: int = 4096,
+    cand: int = 8,
+    tail_pad: Optional[int] = None,
+    verbose: bool = False,
+):
+    """Train + populate an IVF-PQ index without ever materializing the
+    corpus (neither on host nor fully in HBM).
+
+    ``draw(start, count)`` must return corpus rows ``[start, start+count)``
+    as a device f32 array, deterministically.  Returns ``(DeviceIVF,
+    info)`` where ``info`` carries host copies of the (small) list tables
+    for searcher auto-sizing.
+
+    Streamed parity point for the reference's offline pipeline at the
+    100M–1B scale it targets (SIFT100M/1000M, ``BASELINE.md``); OPQ is
+    host-trained in ``build_ivfpq`` and not supported here (assert).
+    """
+    from chamjax.ops.scan_seg import MAX_SEG
+    from chamjax.searcher import DeviceIVF
+
+    if tail_pad is None:
+        tail_pad = 8192
+    cent, cbooks, opq_R, assignment, codes = _train_encode_stream(
+        draw, n, cfg, xt, kmeans_iters=kmeans_iters, pq_iters=pq_iters,
+        seed=seed, chunk=chunk, block=block, cand=cand, verbose=verbose)
+    n_use = n
 
     # device pack into the searcher's CSR layout (+MAX_SEG overread pad)
     cap = n_use + cfg.nlist * cfg.list_pad + tail_pad
@@ -395,3 +427,95 @@ def compute_ground_truth_streamed(
                                    best_d, best_i, k=k, block=tail)
     qn = jnp.sum(xq * xq, axis=1, keepdims=True)
     return (np.asarray(best_i, np.int64), np.asarray(best_d + qn))
+
+
+def build_ivfpq_device_sharded(
+    draw: DrawFn,
+    n: int,
+    cfg: IndexConfig,
+    xt: jax.Array,
+    n_shards: int,
+    *,
+    kmeans_iters: int = 10,
+    pq_iters: int = 10,
+    seed: int = 0,
+    chunk: int = 1 << 22,
+    block: int = 4096,
+    cand: int = 8,
+    tail_pad: int = 8192,
+    verbose: bool = False,
+):
+    """Streamed build directly into the mesh-sharded layout.
+
+    Produces a :class:`~chamjax.parallel.sharded_search.ShardedIVF`
+    (shards stacked on axis 0, ready for ``place_sharded`` over a
+    ``lists`` mesh axis) without the corpus or any shard ever visiting the
+    host — the 1B-scale growth path: one v5e holds ~100M×PQ16, a pod slice
+    holds the reference's SIFT1000M working set as 8-16 such shards.
+    List→shard assignment is the same longest-first greedy row balance as
+    the host ``shard_index``; the only host round-trip is the (nlist,)
+    length table used to size the static shard capacity.
+    """
+    from chamjax.ops.scan_seg import MAX_SEG
+    from chamjax.parallel.sharded_search import ShardedIVF
+
+    assert not cfg.opq, "sharded streamed build: OPQ not plumbed through " \
+                        "sharded_search; rotate queries externally"
+    cent, cbooks, _opq_R, assignment, codes = _train_encode_stream(
+        draw, n, cfg, xt, kmeans_iters=kmeans_iters, pq_iters=pq_iters,
+        seed=seed, chunk=chunk, block=block, cand=cand, verbose=verbose)
+
+    nlist, pad = cfg.nlist, cfg.list_pad
+    order = jnp.argsort(assignment, stable=True).astype(jnp.int32)
+    list_len = jnp.bincount(assignment, length=nlist).astype(jnp.int32)
+    src_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(list_len)[:-1].astype(jnp.int32)])
+    del assignment
+
+    # greedy longest-first row balance (host: the table is (nlist,) ints)
+    ll = np.asarray(list_len)
+    padded = (np.maximum(-(-np.maximum(ll, 1) // pad), 1) * pad).astype(
+        np.int64)
+    owner = np.zeros(nlist, np.int32)
+    loads = np.zeros(n_shards, np.int64)
+    for l in np.argsort(-ll, kind="stable"):
+        s = int(np.argmin(loads))
+        owner[l] = s
+        loads[s] += int(padded[l])
+    cap = int(loads.max()) + tail_pad
+    if verbose:
+        print(f"[build-dev] shard loads rows={loads.tolist()} cap={cap}",
+              flush=True)
+
+    codes_s, ids_s, starts_s, lens_s = [], [], [], []
+    owner_dev = jnp.asarray(owner)
+    for s in range(n_shards):
+        g_ids, st, ln = _pack_layout_core(
+            order, list_len, src_start, owner_dev == s,
+            list_pad=pad, cap=cap)
+        ids_s.append(jnp.concatenate(
+            [g_ids, jnp.full((MAX_SEG,), -1, jnp.int32)]))
+        codes_s.append(jnp.concatenate(
+            [_pack_codes_t(codes, g_ids),
+             jnp.zeros((cfg.m, MAX_SEG), jnp.uint8)], axis=1))
+        starts_s.append(st)
+        lens_s.append(ln)
+    del codes, order
+
+    sharded = ShardedIVF(
+        centroids=cent,
+        codebooks=cbooks,
+        codes_t=jnp.stack(codes_s),
+        ids=jnp.stack(ids_s),
+        list_start=jnp.stack(starts_s),
+        list_len=jnp.stack(lens_s),
+    )
+    info = {
+        "list_len": ll,
+        "owner": owner,
+        "shard_rows": loads,
+        "ntotal": n,
+        "n_pad": cap,
+    }
+    return sharded, info

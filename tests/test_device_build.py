@@ -138,3 +138,48 @@ def test_build_device_opq_on_anisotropic_data(rng):
         recalls[opq] = recall_at_k(np.asarray(i), gt, 10)
     assert recalls[True] >= recalls[False] - 0.02, recalls
     assert recalls[True] > 0.5, recalls
+
+
+def test_sharded_streamed_build_matches_unsharded(ds):
+    """build_ivfpq_device_sharded → place_sharded → sharded_search must
+    reach the recall of the single-device streamed build, with shards
+    row-balanced and partitioning all lists."""
+    import jax
+    from chamjax.index import build_ivfpq_device_sharded
+    from chamjax.parallel import make_mesh, sharded_search
+    from chamjax.parallel.sharded_search import place_sharded
+
+    n_shards = 4
+    cfg = IndexConfig(dim=32, nlist=64, m=8, list_pad=64)
+    common = dict(kmeans_iters=6, pq_iters=6, chunk=8192, block=BLOCK)
+    sh, info = build_ivfpq_device_sharded(
+        _draw(ds.xb), ds.nb, cfg, jnp.asarray(ds.xt), n_shards, **common)
+    assert sh.codes_t.shape[0] == n_shards
+    # every list owned exactly once; per-shard lens partition the corpus
+    assert int(info["list_len"].sum()) == ds.nb
+    lens = np.asarray(sh.list_len)
+    np.testing.assert_array_equal(lens.sum(axis=0), info["list_len"])
+    assert (np.asarray(info["shard_rows"]) > 0).all()
+    # balance: no shard exceeds 2x the mean padded load
+    rows = np.asarray(info["shard_rows"], np.float64)
+    assert rows.max() <= 2.0 * rows.mean()
+
+    mesh = make_mesh((("lists", n_shards),),
+                     devices=jax.devices()[:n_shards])
+    placed = place_sharded(sh, mesh)
+    d_s, i_s = sharded_search(placed, jnp.asarray(ds.xq), mesh=mesh,
+                              nprobe=16, k=10, windows=40, seg=256, group=2,
+                              use_approx=False, backend="seg",
+                              interpret=True)
+    gt, _ = compute_ground_truth(ds.xb, ds.xq, k=10)
+    r_sh = recall_at_k(np.asarray(i_s), gt, 10)
+
+    dev, dinfo = build_ivfpq_device(
+        _draw(ds.xb), ds.nb, cfg, jnp.asarray(ds.xt), **common)
+    seg = auto_seg(dinfo["list_len"])
+    W = auto_windows(dinfo["list_len"], seg, 16)
+    _, i_u = ivfpq_search(dev, jnp.asarray(ds.xq), nprobe=16, k=10,
+                          windows=W, seg=seg, group=2, use_approx=False,
+                          backend="seg", interpret=True)
+    r_un = recall_at_k(np.asarray(i_u), gt, 10)
+    assert r_sh >= r_un - 0.02, (r_sh, r_un)
