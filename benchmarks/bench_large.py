@@ -69,6 +69,8 @@ def main() -> None:
     ap.add_argument("--opq", action="store_true")
     ap.add_argument("--diagnose", action="store_true",
                     help="decompose recall loss at each operating point")
+    ap.add_argument("--recall-target", type=float, default=0.9,
+                    help="approx top-k per-element recall target")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
@@ -139,7 +141,8 @@ def main() -> None:
         kw = dict(nprobe=nprobe, k=args.k, windows=W, seg=seg,
                   group=args.group,
                   by_residual=cfg.by_residual, use_approx=True,
-                  recall_target=0.9, backend="seg", coarse_approx=True)
+                  recall_target=args.recall_target, backend="seg",
+                  coarse_approx=True)
         d_r, i_r = ivfpq_search(dev, xq[: args.nq_gt], **kw)
         r1 = recall_at_k(np.asarray(i_r), gt, 1)
         r10 = recall_at_k(np.asarray(i_r), gt, 10)
