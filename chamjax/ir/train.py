@@ -9,7 +9,7 @@ generation wraps a HF seq2seq model (gated import, needs weights).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from chamjax.config import IndexConfig, SearchConfig
+from chamjax.config import SearchConfig
 from chamjax.index.ivf import PackedIVF
 from chamjax.ops.coarse import coarse_scan
 from chamjax.ops.lut import build_luts
