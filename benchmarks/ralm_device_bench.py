@@ -54,8 +54,12 @@ def main() -> None:
     mcfg = MODEL_PRESETS[args.preset]
     d = mcfg.embed_dim
     t0 = time.time()
-    ds = synthetic_dataset_device(nb=args.nb, nq=8, nt=100_000, d=d,
-                                  seed=11, n_clusters=args.nlist,
+    # generator chunk sized to ~256 MB so very wide models (Llama-7B,
+    # d=4096) don't materialize multi-GB draw chunks next to their params
+    ds = synthetic_dataset_device(nb=args.nb, nq=8,
+                                  nt=min(100_000, args.nb),
+                                  d=d, seed=11, n_clusters=args.nlist,
+                                  chunk=max(8192, (1 << 26) // d),
                                   parts=("xb", "xt"), to_host=False)
     idx = build_ivfpq(
         ds.xb, IndexConfig(dim=d, nlist=args.nlist, m=args.m, list_pad=128,

@@ -82,7 +82,12 @@ def main() -> None:
     idx = PackedIVF.load(cache)
     gt = ds.gt
     if gt is None:
-        gt, _ = compute_ground_truth(ds.xb, ds.xq, k=args.k)
+        gt_cache = cache.replace(".npz", f"_gt{args.k}.npy")
+        if os.path.exists(gt_cache):
+            gt = np.load(gt_cache)
+        else:
+            gt, _ = compute_ground_truth(ds.xb, ds.xq, k=args.k)
+            np.save(gt_cache, gt)
 
     arch = f"scanner+engine-{args.backend}"
     store = ResultStore(args.out, load=bool(args.load_dict),
@@ -99,9 +104,18 @@ def main() -> None:
             args=(cache, args.host, port, batch, ds.d, args.k, args.backend),
             daemon=True)
         eng.start()
-        time.sleep(1.0)
-        retr = ExternalRetriever(args.host, port, batch, ds.d, args.k,
-                                 nprobe=args.nprobe)
+        # the engine's first jit through the TPU compile service can take
+        # minutes (see .claude/skills/verify/SKILL.md) — retry the connect
+        retr = None
+        deadline = time.time() + 600
+        while retr is None:
+            try:
+                retr = ExternalRetriever(args.host, port, batch, ds.d,
+                                         args.k, nprobe=args.nprobe)
+            except (ConnectionRefusedError, OSError):
+                if time.time() > deadline or not eng.is_alive():
+                    raise
+                time.sleep(2.0)
         scanner = IndexScanner(idx.centroids, nprobe=args.nprobe)
         server = IndexServer(scanner, retr, k=args.k)
 
