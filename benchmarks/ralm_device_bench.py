@@ -51,7 +51,13 @@ def main() -> None:
     from chamjax.retrieval.local import LocalRetriever
     from chamjax.serving.ralm import RalmDecoder, RalmEncoderDecoder
 
+    import dataclasses
     mcfg = MODEL_PRESETS[args.preset]
+    # KV cache is allocated at max_seq_len; clamp it to the measured steps
+    # (13.5 GB of Llama-7B params leave no room for a 512-slot cache)
+    mcfg = dataclasses.replace(
+        mcfg, max_seq_len=min(mcfg.max_seq_len,
+                              args.steps + args.warmup + 8))
     d = mcfg.embed_dim
     t0 = time.time()
     # generator chunk sized to ~256 MB so very wide models (Llama-7B,
@@ -67,6 +73,7 @@ def main() -> None:
         xt=ds.xt, kmeans_iters=8, pq_iters=8)
     retriever = LocalRetriever(idx, SearchConfig(nprobe=args.nprobe,
                                                  k=args.k))
+    del ds, idx     # drop the HBM corpus before the params allocate
     print(f"index ready in {time.time() - t0:.1f}s", file=sys.stderr,
           flush=True)
 

@@ -48,13 +48,15 @@ def init_llama(key, cfg: ModelConfig) -> Dict:
     ks = jax.random.split(key, 8)
     scale = d ** -0.5
 
+    # generate at the target dtype: a 7B stack's f32 intermediates would
+    # double the init's transient HBM footprint for no statistical benefit
     def w(k, shape, s=scale):
-        return (jax.random.normal(k, (L,) + shape, jnp.float32) * s
-                ).astype(dtype)
+        return jax.random.normal(k, (L,) + shape, dtype) * jnp.asarray(
+            s, dtype)
 
     return {
-        "embed": (jax.random.normal(ks[0], (cfg.vocab_size, d), jnp.float32)
-                  * scale).astype(dtype),
+        "embed": jax.random.normal(ks[0], (cfg.vocab_size, d), dtype)
+        * jnp.asarray(scale, dtype),
         "layers": {
             "ln1": jnp.ones((L, d), dtype),
             "wq": w(ks[1], (d, h * hd)),
@@ -67,9 +69,9 @@ def init_llama(key, cfg: ModelConfig) -> Dict:
             "w2": w(ks[7], (f, d), f ** -0.5),
         },
         "ln_f": jnp.ones((d,), dtype),
-        "out_proj": (jax.random.normal(
-            jax.random.fold_in(key, 99), (d, cfg.vocab_size), jnp.float32)
-            * scale).astype(dtype),
+        "out_proj": jax.random.normal(
+            jax.random.fold_in(key, 99), (d, cfg.vocab_size), dtype)
+        * jnp.asarray(scale, dtype),
     }
 
 
