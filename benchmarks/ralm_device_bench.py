@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--m", type=int, default=16)
     ap.add_argument("--nprobe", type=int, default=32)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--streamed", action="store_true",
+                    help="build the corpus via the streamed device builder "
+                         "(100M-scale; never materializes the corpus)")
     args = ap.parse_args()
 
     import jax
@@ -60,20 +63,65 @@ def main() -> None:
                               args.steps + args.warmup + 8))
     d = mcfg.embed_dim
     t0 = time.time()
-    # generator chunk sized to ~256 MB so very wide models (Llama-7B,
-    # d=4096) don't materialize multi-GB draw chunks next to their params
-    ds = synthetic_dataset_device(nb=args.nb, nq=8,
-                                  nt=min(100_000, args.nb),
-                                  d=d, seed=11, n_clusters=args.nlist,
-                                  chunk=max(8192, (1 << 26) // d),
-                                  parts=("xb", "xt"), to_host=False)
-    idx = build_ivfpq(
-        ds.xb, IndexConfig(dim=d, nlist=args.nlist, m=args.m, list_pad=128,
-                           balanced=True, balance_factor=1.3),
-        xt=ds.xt, kmeans_iters=8, pq_iters=8)
-    retriever = LocalRetriever(idx, SearchConfig(nprobe=args.nprobe,
-                                                 k=args.k))
-    del ds, idx     # drop the HBM corpus before the params allocate
+    if args.streamed:
+        # 100M-scale: stream deterministic device draws through the
+        # device-resident builder (the corpus never materializes anywhere)
+        import functools
+        import jax.numpy as jnp
+        from chamjax.index import build_ivfpq_device
+        from chamjax.retrieval.local import DeviceRetriever
+
+        rank = max(4, d // 4)
+        key = jax.random.PRNGKey(11)
+        k_c, k_p = jax.random.split(key)
+        centers = jax.random.normal(k_c, (args.nlist, d), jnp.float32) * 4.0
+        proj = jax.random.normal(k_p, (rank, d), jnp.float32) / np.sqrt(rank)
+
+        GEN = max(8192, (1 << 26) // d)
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def _gen(k, n):
+            k1, k2, k3 = jax.random.split(k, 3)
+            asg = jax.random.randint(k1, (n,), 0, args.nlist)
+            z = jax.random.normal(k2, (n, rank), jnp.float32)
+            noise = jax.random.normal(k3, (n, d), jnp.float32) * 0.05
+            return centers[asg] + jnp.dot(z, proj) + noise
+
+        def draw(s, c):
+            parts = [_gen(jax.random.fold_in(key, 1_000_000 + s + i), GEN)
+                     for i in range(0, c, GEN)]
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+        nb = args.nb = (args.nb // GEN) * GEN
+        nt = min(2_000_000, nb)
+        xt = jnp.concatenate(
+            [_gen(jax.random.fold_in(key, 2_000_000 + i), GEN)
+             for i in range(0, nt + GEN - 1, GEN)])[:nt]
+        dev, info = build_ivfpq_device(
+            draw, nb, IndexConfig(dim=d, nlist=args.nlist, m=args.m,
+                                  list_pad=128, balanced=False),
+            xt, kmeans_iters=8, pq_iters=8, chunk=8 * GEN, verbose=True)
+        retriever = DeviceRetriever(
+            dev, info["list_len"],
+            SearchConfig(nprobe=args.nprobe, k=args.k,
+                         approx_recall_target=0.99))
+        del xt
+    else:
+        # generator chunk sized to ~256 MB so very wide models (Llama-7B,
+        # d=4096) don't materialize multi-GB draw chunks next to params
+        ds = synthetic_dataset_device(nb=args.nb, nq=8,
+                                      nt=min(100_000, args.nb),
+                                      d=d, seed=11, n_clusters=args.nlist,
+                                      chunk=max(8192, (1 << 26) // d),
+                                      parts=("xb", "xt"), to_host=False)
+        idx = build_ivfpq(
+            ds.xb, IndexConfig(dim=d, nlist=args.nlist, m=args.m,
+                               list_pad=128, balanced=True,
+                               balance_factor=1.3),
+            xt=ds.xt, kmeans_iters=8, pq_iters=8)
+        retriever = LocalRetriever(idx, SearchConfig(nprobe=args.nprobe,
+                                                     k=args.k))
+        del ds, idx     # drop the HBM corpus before the params allocate
     print(f"index ready in {time.time() - t0:.1f}s", file=sys.stderr,
           flush=True)
 

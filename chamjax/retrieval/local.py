@@ -65,3 +65,50 @@ class LocalRetriever(BaseRetriever):
                             k: int) -> RetrievalResult:
         dists, ids = self.searcher.search_preassigned(queries, list_ids, k=k)
         return RetrievalResult(ids=ids, dists=dists)
+
+
+class DeviceRetriever(BaseRetriever):
+    """Retriever over an already-device-resident index (streamed builds).
+
+    ``build_ivfpq_device`` produces a :class:`~chamjax.searcher.DeviceIVF`
+    with no host ``PackedIVF`` behind it (100M-scale indexes must never
+    cross the host link); this wrapper carries the device index plus the
+    small host list-length table the window auto-sizing needs.  Same
+    contract as ``LocalRetriever`` including the fused ``retrieve_device``
+    path the RALM loop uses."""
+
+    def __init__(self, dev, list_len: np.ndarray,
+                 search_cfg: Optional[SearchConfig] = None):
+        import jax
+        from chamjax.searcher import auto_seg, auto_windows
+        self.dev = dev
+        self.list_len = np.asarray(list_len)
+        self.scfg = search_cfg or SearchConfig()
+        self.seg = auto_seg(self.list_len)
+        self.windows = auto_windows(self.list_len, self.seg, self.scfg.nprobe)
+        self.interpret = jax.default_backend() != "tpu"
+
+    def _search(self, q, nprobe, k):
+        from chamjax.searcher import auto_windows, ivfpq_search
+        np_ = nprobe or self.scfg.nprobe
+        W = (self.windows if np_ == self.scfg.nprobe
+             else auto_windows(self.list_len, self.seg, np_))
+        return ivfpq_search(
+            self.dev, q, nprobe=np_, k=k or self.scfg.k,
+            windows=W, seg=self.seg, group=self.scfg.seg_group,
+            by_residual=True, use_approx=self.scfg.use_approx_topk,
+            recall_target=self.scfg.approx_recall_target,
+            backend="seg", interpret=self.interpret,
+            coarse_approx=self.scfg.coarse_approx and not self.interpret)
+
+    def retrieve(self, queries: np.ndarray, nprobe: int, k: int
+                 ) -> RetrievalResult:
+        import jax.numpy as jnp
+        d, i = self._search(jnp.asarray(queries, jnp.float32), nprobe, k)
+        return RetrievalResult(ids=np.asarray(i, np.int64),
+                               dists=np.asarray(d))
+
+    def retrieve_device(self, queries, nprobe: int, k: int
+                        ) -> RetrievalResult:
+        d, i = self._search(queries, nprobe, k)
+        return RetrievalResult(ids=i, dists=d)

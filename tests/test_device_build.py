@@ -183,3 +183,21 @@ def test_sharded_streamed_build_matches_unsharded(ds):
                           backend="seg", interpret=True)
     r_un = recall_at_k(np.asarray(i_u), gt, 10)
     assert r_sh >= r_un - 0.02, (r_sh, r_un)
+
+
+def test_device_retriever_contract(ds):
+    from chamjax.config import SearchConfig
+    from chamjax.retrieval.local import DeviceRetriever
+    cfg = IndexConfig(dim=32, nlist=64, m=8, list_pad=64)
+    dev, info = build_ivfpq_device(
+        _draw(ds.xb), ds.nb, cfg, jnp.asarray(ds.xt),
+        kmeans_iters=4, pq_iters=4, chunk=8192, block=BLOCK)
+    r = DeviceRetriever(dev, info["list_len"],
+                        SearchConfig(nprobe=16, k=10))
+    out = r.retrieve(ds.xq, nprobe=16, k=10)
+    assert out.ids.shape == (ds.xq.shape[0], 10)
+    gt, _ = compute_ground_truth(ds.xb, ds.xq, k=10)
+    assert recall_at_k(out.ids, gt, 10) >= 0.7
+    # fused path returns device arrays with the same content
+    out_d = r.retrieve_device(jnp.asarray(ds.xq), nprobe=16, k=10)
+    np.testing.assert_array_equal(np.asarray(out_d.ids), out.ids)
