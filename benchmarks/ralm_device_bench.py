@@ -94,18 +94,21 @@ def main() -> None:
 
         nb = args.nb = (args.nb // GEN) * GEN
         nt = min(2_000_000, nb)
-        xt = jnp.concatenate(
-            [_gen(jax.random.fold_in(key, 2_000_000 + i), GEN)
-             for i in range(0, nt + GEN - 1, GEN)])[:nt]
+
+        def draw_xt():   # lazy: freed inside the builder after training
+            return jnp.concatenate(
+                [_gen(jax.random.fold_in(key, 2_000_000 + i), GEN)
+                 for i in range(0, nt + GEN - 1, GEN)])[:nt]
+
         dev, info = build_ivfpq_device(
             draw, nb, IndexConfig(dim=d, nlist=args.nlist, m=args.m,
                                   list_pad=128, balanced=False),
-            xt, kmeans_iters=8, pq_iters=8, chunk=8 * GEN, verbose=True)
+            draw_xt, kmeans_iters=8, pq_iters=8, chunk=8 * GEN,
+            verbose=True)
         retriever = DeviceRetriever(
             dev, info["list_len"],
             SearchConfig(nprobe=args.nprobe, k=args.k,
                          approx_recall_target=0.99))
-        del xt
     else:
         # generator chunk sized to ~256 MB so very wide models (Llama-7B,
         # d=4096) don't materialize multi-GB draw chunks next to params

@@ -229,9 +229,13 @@ def _pack_layout(assignment: jax.Array, nlist: int, list_pad: int, cap: int):
                              list_pad=list_pad, cap=cap)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _pack_codes_t(codes: jax.Array, gather_ids: jax.Array) -> jax.Array:
-    """codes (n, m) u8 + gather map (cap,) → transposed packed (m, cap) u8."""
+    """codes (n, m) u8 + gather map (cap,) → transposed packed (m, cap) u8.
+
+    ``codes`` is donated: at 100M×PQ32 the gather + transpose buffers alone
+    are ~7 GB — freeing the 3.2 GB source inside the program keeps the
+    whole pack under HBM at d=512."""
     g = jnp.maximum(gather_ids, 0)
     packed = jnp.where(gather_ids[:, None] >= 0, codes[g], jnp.uint8(0))
     return packed.T
@@ -249,6 +253,10 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
     from chamjax.index.pq import train_opq, train_pq
 
     assert cfg.nbits == 8, "streamed device build is specialized for 8-bit PQ"
+    if callable(xt):
+        # lazy sample: materialized here and freed right after training, so
+        # a multi-GB (nt, d) sample doesn't sit in HBM through the pack
+        xt = xt()
     xt = xt.astype(jnp.float32)
 
     opq_R = None
@@ -280,6 +288,8 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
         print(f"[build-dev] PQ m={cfg.m}", flush=True)
     cbooks = jnp.asarray(train_pq(train_vecs, cfg.m, nbits=cfg.nbits,
                                   iters=pq_iters, seed=seed))
+    del xt, train_vecs, a_t          # free the training sample before the
+    #                                  corpus-sized encode/pack buffers
 
     # streamed assign + encode; the non-block-aligned tail runs as one
     # extra small-shape call (one extra compile, zero dropped rows)
