@@ -29,11 +29,3 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
-
-
-# The streamed-build pack donates its code buffer (an HBM-peak optimization,
-# device_build._pack_codes_t); CPU can't alias it and warns — cosmetic here.
-import warnings  # noqa: E402
-
-warnings.filterwarnings(
-    "ignore", message="Some donated buffers were not usable")
