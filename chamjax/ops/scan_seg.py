@@ -42,8 +42,41 @@ SEG = 1024            # default rows per segment (one (8, 128) f32 block)
 MAX_SEG = 2048        # DeviceIVF overread padding covers any seg <= this
 
 
+def pack_luts_bf16(luts: jax.Array) -> jax.Array:
+    """(..., m, 256) f32 LUTs → (..., m, 128) int32, entries (2c, 2c+1)
+    packed as a bf16 pair per lane.
+
+    Halves the LUT VMEM footprint and — the real win — halves the ADC
+    inner loop's dynamic lane-gathers: one gather + a constant shift/mask
+    replaces the lo/hi gather pair + select.  bf16 entry rounding is ~0.4%
+    relative — far below PQ quantization error, so ranking is unaffected
+    (tested).  The kernel gathers through a bitcast-f32 view (int32
+    lane-gathers lower incorrectly on Mosaic as of this writing)."""
+    b16 = luts.astype(jnp.bfloat16)
+    u16 = jax.lax.bitcast_convert_type(b16, jnp.uint16)
+    lo = u16[..., 0::2].astype(jnp.uint32)
+    hi = u16[..., 1::2].astype(jnp.uint32)
+    return (lo | (hi << 16)).astype(jnp.int32)
+
+
+def _adc_tile(lut_lo, lut_hi, lut_packed, cc, lut_bf16: bool):
+    """Distances for one 128-lane tile of codes ``cc`` (m, 128) int32."""
+    if lut_bf16:
+        vf = jnp.take_along_axis(lut_packed, cc >> 1, axis=1)
+        v = jax.lax.bitcast_convert_type(vf, jnp.int32)
+        half = jnp.where((cc & 1) == 1, v >> 16, v) & 0xFFFF
+        g = jax.lax.bitcast_convert_type(half << 16, jnp.float32)
+    else:
+        idx = cc & (LANES - 1)
+        glo = jnp.take_along_axis(lut_lo, idx, axis=1)
+        ghi = jnp.take_along_axis(lut_hi, idx, axis=1)
+        g = jnp.where(cc < LANES, glo, ghi)
+    return jnp.sum(g, axis=0)                  # (128,)
+
+
 def _adc_seg_kernel(starts_ref, lens_ref, lutidx_ref, lut_ref, codes_hbm,
-                    out_ref, scratch, sems, *, seg: int):
+                    out_ref, scratch, sems, *, seg: int,
+                    lut_bf16: bool = False):
     i = pl.program_id(0)
     nw = pl.num_programs(0)
     ln = lens_ref[i]
@@ -71,9 +104,14 @@ def _adc_seg_kernel(starts_ref, lens_ref, lutidx_ref, lut_ref, codes_hbm,
             def _(sl=sl):
                 dma(sl, i + 1).start()
 
-    lut = lut_ref[0]                        # (m, 256) f32
-    lut_lo = lut[:, :LANES]
-    lut_hi = lut[:, LANES:]
+    lut = lut_ref[0]                 # (m, 256) f32 | (m, 128) i32 packed
+    if lut_bf16:
+        lut_lo = lut_hi = None
+        lut_packed = jax.lax.bitcast_convert_type(lut, jnp.float32)
+    else:
+        lut_lo = lut[:, :LANES]
+        lut_hi = lut[:, LANES:]
+        lut_packed = None
 
     for sl in (0, 1):
         @pl.when((i % 2 == sl) & (ln > 0))
@@ -82,11 +120,7 @@ def _adc_seg_kernel(starts_ref, lens_ref, lutidx_ref, lut_ref, codes_hbm,
             codes = scratch[sl].astype(jnp.int32)          # (m, seg)
             for t in range(seg // LANES):
                 cc = codes[:, t * LANES:(t + 1) * LANES]
-                idx = cc & (LANES - 1)
-                glo = jnp.take_along_axis(lut_lo, idx, axis=1)
-                ghi = jnp.take_along_axis(lut_hi, idx, axis=1)
-                g = jnp.where(cc < LANES, glo, ghi)        # (m, 128)
-                dist = jnp.sum(g, axis=0)                  # (128,)
+                dist = _adc_tile(lut_lo, lut_hi, lut_packed, cc, lut_bf16)
                 pos = t * LANES + jax.lax.broadcasted_iota(
                     jnp.int32, (LANES,), 0)
                 out_ref[0, t, :] = jnp.where(pos < ln, dist, jnp.inf)
@@ -96,21 +130,23 @@ def _adc_seg_kernel(starts_ref, lens_ref, lutidx_ref, lut_ref, codes_hbm,
         out_ref[0] = jnp.full((seg // LANES, LANES), jnp.inf, jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("seg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("seg", "interpret", "lut_bf16"))
 def adc_scan_segments(
     codes_t: jax.Array,      # (m, n_pad_seg) uint8 — MAX_SEG-overread-padded
     starts: jax.Array,       # (bW,) int32 — window start columns
     lens: jax.Array,         # (bW,) int32 — valid rows (0 = skip)
     lut_idx: jax.Array,      # (bW,) int32 — row into luts per window
-    luts: jax.Array,         # (n_lut, m, 256) float32
+    luts: jax.Array,         # (n_lut, m, 256) f32 | (n_lut, m, 128) i32
     *,
     seg: int = SEG,
     interpret: bool = False,
+    lut_bf16: bool = False,
 ) -> jax.Array:
     """Returns ``dists (bW, seg) float32`` (+inf on padding/skips)."""
     bw = starts.shape[0]
     _n_lut, m, ksub = luts.shape
-    assert ksub == 256, "kernel is specialized for 8-bit PQ"
+    assert ksub == (128 if lut_bf16 else 256), \
+        "kernel is specialized for 8-bit PQ"
     assert seg % LANES == 0 and seg <= MAX_SEG, seg
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -118,7 +154,7 @@ def adc_scan_segments(
         grid=(bw,),
         in_specs=[
             pl.BlockSpec(
-                (1, m, 256),
+                (1, m, ksub),
                 lambda i, starts, lens, lutidx: (lutidx[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -135,7 +171,7 @@ def adc_scan_segments(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_adc_seg_kernel, seg=seg),
+        functools.partial(_adc_seg_kernel, seg=seg, lut_bf16=lut_bf16),
         out_shape=jax.ShapeDtypeStruct((bw, seg // LANES, LANES),
                                        jnp.float32),
         grid_spec=grid_spec,
@@ -181,7 +217,7 @@ def expand_windows(
 @functools.partial(
     jax.jit,
     static_argnames=("windows", "seg", "k", "use_approx", "recall_target",
-                     "interpret"),
+                     "interpret", "lut_bf16"),
 )
 def scan_lists_seg(
     codes_t: jax.Array,      # (m, n_pad_seg) uint8
@@ -197,6 +233,7 @@ def scan_lists_seg(
     use_approx: bool = True,
     recall_target: float = 0.99,
     interpret: bool = False,
+    lut_bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Segmented scan + selection. Returns ``(dists (b,k), ids (b,k))``."""
     b, nprobe, ksub, m = luts.shape
@@ -205,9 +242,11 @@ def scan_lists_seg(
     lut_idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * nprobe
                + probe).reshape(-1)
     luts_k = luts.transpose(0, 1, 3, 2).reshape(b * nprobe, m, ksub)
+    if lut_bf16:
+        luts_k = pack_luts_bf16(luts_k)
     dists = adc_scan_segments(
         codes_t, starts.reshape(-1), lens.reshape(-1), lut_idx, luts_k,
-        seg=seg, interpret=interpret,
+        seg=seg, interpret=interpret, lut_bf16=lut_bf16,
     )                                                   # (bW, seg)
     flat = dists.reshape(b, windows * seg)
     best_d, pos = select_topk(

@@ -19,14 +19,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from chamjax.ops.scan_seg import MAX_SEG, expand_windows
+from chamjax.ops.scan_seg import (
+    MAX_SEG, _adc_tile, expand_windows, pack_luts_bf16,
+)
 from chamjax.ops.topk import select_topk
 
 LANES = 128
 
 
 def _adc_multi_kernel(starts_ref, lens_ref, lutidx_ref, *rest,
-                      seg: int, group: int):
+                      seg: int, group: int, lut_bf16: bool = False):
     lut_refs = rest[:group]
     codes_hbm = rest[group]
     out_ref = rest[group + 1]
@@ -69,21 +71,24 @@ def _adc_multi_kernel(starts_ref, lens_ref, lutidx_ref, *rest,
             for j in range(group):
                 w = i * group + j
                 ln = lens_ref[w]
-                lut = lut_refs[j][0]               # (m, 256)
-                lut_lo = lut[:, :LANES]
-                lut_hi = lut[:, LANES:]
+                lut = lut_refs[j][0]        # (m, 256) f32 | (m, 128) packed
+                if lut_bf16:
+                    lut_lo = lut_hi = None
+                    lut_p = jax.lax.bitcast_convert_type(lut, jnp.float32)
+                else:
+                    lut_lo = lut[:, :LANES]
+                    lut_hi = lut[:, LANES:]
+                    lut_p = None
 
                 @pl.when(ln > 0)
-                def _(j=j, w=w, ln=ln, lut_lo=lut_lo, lut_hi=lut_hi):
+                def _(j=j, w=w, ln=ln, lut_lo=lut_lo, lut_hi=lut_hi,
+                      lut_p=lut_p):
                     dma(sl * group + j, w).wait()
                     codes = scratch[sl * group + j].astype(jnp.int32)
                     for t in range(seg // LANES):
                         cc = codes[:, t * LANES:(t + 1) * LANES]
-                        idx = cc & (LANES - 1)
-                        glo = jnp.take_along_axis(lut_lo, idx, axis=1)
-                        ghi = jnp.take_along_axis(lut_hi, idx, axis=1)
-                        g = jnp.where(cc < LANES, glo, ghi)
-                        dist = jnp.sum(g, axis=0)
+                        dist = _adc_tile(lut_lo, lut_hi, lut_p, cc,
+                                         lut_bf16)
                         pos = t * LANES + jax.lax.broadcasted_iota(
                             jnp.int32, (LANES,), 0)
                         out_ref[j, t, :] = jnp.where(pos < ln, dist, jnp.inf)
@@ -95,27 +100,30 @@ def _adc_multi_kernel(starts_ref, lens_ref, lutidx_ref, *rest,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("seg", "group", "interpret"))
+                   static_argnames=("seg", "group", "interpret",
+                                    "lut_bf16"))
 def adc_scan_segments_multi(
     codes_t: jax.Array,      # (m, n_pad_seg) uint8 — MAX_SEG-overread-padded
     starts: jax.Array,       # (bW,) int32 — bW % group == 0
     lens: jax.Array,         # (bW,) int32
     lut_idx: jax.Array,      # (bW,) int32
-    luts: jax.Array,         # (n_lut, m, 256) float32
+    luts: jax.Array,         # (n_lut, m, 256) f32 | (n_lut, m, 128) i32
     *,
     seg: int,
     group: int = 4,
     interpret: bool = False,
+    lut_bf16: bool = False,
 ) -> jax.Array:
     """Returns ``dists (bW, seg) float32`` (+inf on padding/skips)."""
     bw = starts.shape[0]
     _n_lut, m, ksub = luts.shape
-    assert ksub == 256 and seg % LANES == 0 and seg <= MAX_SEG
+    assert ksub == (128 if lut_bf16 else 256)
+    assert seg % LANES == 0 and seg <= MAX_SEG
     assert bw % group == 0, (bw, group)
 
     def lut_spec(j):
         return pl.BlockSpec(
-            (1, m, 256),
+            (1, m, ksub),
             lambda i, starts, lens, lutidx, j=j: (lutidx[i * group + j], 0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -137,7 +145,8 @@ def adc_scan_segments_multi(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_adc_multi_kernel, seg=seg, group=group),
+        functools.partial(_adc_multi_kernel, seg=seg, group=group,
+                          lut_bf16=lut_bf16),
         out_shape=jax.ShapeDtypeStruct((bw, seg // LANES, LANES),
                                        jnp.float32),
         grid_spec=grid_spec,
@@ -149,7 +158,7 @@ def adc_scan_segments_multi(
 @functools.partial(
     jax.jit,
     static_argnames=("windows", "seg", "group", "k", "use_approx",
-                     "recall_target", "interpret"),
+                     "recall_target", "interpret", "lut_bf16"),
 )
 def scan_lists_seg_multi(
     codes_t: jax.Array,
@@ -166,6 +175,7 @@ def scan_lists_seg_multi(
     use_approx: bool = True,
     recall_target: float = 0.99,
     interpret: bool = False,
+    lut_bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Segmented multi-window scan + selection."""
     b, nprobe, ksub, m = luts.shape
@@ -175,9 +185,11 @@ def scan_lists_seg_multi(
     lut_idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * nprobe
                + probe).reshape(-1)
     luts_k = luts.transpose(0, 1, 3, 2).reshape(b * nprobe, m, ksub)
+    if lut_bf16:
+        luts_k = pack_luts_bf16(luts_k)
     dists = adc_scan_segments_multi(
         codes_t, starts.reshape(-1), lens.reshape(-1), lut_idx, luts_k,
-        seg=seg, group=group, interpret=interpret,
+        seg=seg, group=group, interpret=interpret, lut_bf16=lut_bf16,
     )
     flat = dists.reshape(b, windows * seg)
     best_d, pos = select_topk(

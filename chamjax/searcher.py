@@ -61,7 +61,8 @@ class DeviceIVF(NamedTuple):
 
 def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
                    windows, seg, group, probe_chunk, use_approx,
-                   recall_target, backend, tile, interpret):
+                   recall_target, backend, tile, interpret,
+                   lut_bf16=False):
     # Pallas kernels only compile for TPU; anywhere else run interpreted
     # (tests / debugging) — backend choice stays explicit.
     interpret = interpret or jax.default_backend() != "tpu"
@@ -72,14 +73,14 @@ def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
                 luts, list_ids,
                 windows=windows, seg=seg, group=group, k=k,
                 use_approx=use_approx, recall_target=recall_target,
-                interpret=interpret,
+                interpret=interpret, lut_bf16=lut_bf16,
             )
         return scan_lists_seg(
             index.codes_t, index.ids, index.list_start, index.list_len,
             luts, list_ids,
             windows=windows, seg=seg, k=k,
             use_approx=use_approx, recall_target=recall_target,
-            interpret=interpret,
+            interpret=interpret, lut_bf16=lut_bf16,
         )
     if backend == "pallas":
         return scan_lists_pallas(
@@ -102,7 +103,7 @@ def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
     static_argnames=(
         "nprobe", "k", "scan_len", "windows", "seg", "group", "probe_chunk",
         "by_residual", "use_approx", "recall_target", "backend", "tile",
-        "interpret", "coarse_approx",
+        "interpret", "coarse_approx", "lut_bf16",
     ),
 )
 def ivfpq_search(
@@ -123,8 +124,12 @@ def ivfpq_search(
     tile: int = 0,
     interpret: bool = False,
     coarse_approx: bool = False,
+    lut_bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Full IVF-PQ search. Returns ``(dists (b, k) f32, ids (b, k) int32)``."""
+    """Full IVF-PQ search. Returns ``(dists (b, k) f32, ids (b, k) int32)``.
+
+    ``lut_bf16``: pack ADC LUTs as bf16 pairs (seg backends) — halves the
+    inner loop's lane-gathers; entry rounding ≪ PQ error."""
     from chamjax.ops.scan_pallas import GROUP
     if backend == "seg" and windows <= 0:
         windows = 2 * nprobe       # conservative default; searcher sizes it
@@ -141,7 +146,7 @@ def ivfpq_search(
         index, luts, list_ids, k=k, scan_len=scan_len, windows=windows,
         seg=seg, group=group, probe_chunk=probe_chunk, use_approx=use_approx,
         recall_target=recall_target, backend=backend, tile=tile,
-        interpret=interpret)
+        interpret=interpret, lut_bf16=lut_bf16 and backend == "seg")
 
 
 @functools.partial(

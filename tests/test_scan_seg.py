@@ -105,3 +105,61 @@ def test_searcher_seg_backend_recall(small_index):
     assert s.backend == "seg" and s.windows >= 16
     d, i = s.search(ds.xq)
     assert recall_at_k(i, gt, 10) > 0.7
+
+
+@pytest.fixture(scope="module")
+def seg_setup(small_index):
+    from chamjax.ops.coarse import coarse_scan
+    from chamjax.ops.lut import build_luts
+    ds, idx = small_index
+    dev = DeviceIVF.from_packed(idx)
+    q = jnp.asarray(ds.xq[:8], jnp.float32)
+    list_ids, _ = coarse_scan(q, dev.centroids, 8)
+    luts = build_luts(q, dev.centroids, dev.codebooks, list_ids)
+    return dev, luts, list_ids, 10
+
+
+def test_lut_bf16_pack_roundtrip(rng):
+    """Packed bf16 pairs must decode to exactly the bf16-rounded entries."""
+    import jax
+    import jax.numpy as jnp
+    from chamjax.ops.scan_seg import pack_luts_bf16
+    luts = rng.standard_normal((3, 4, 256)).astype(np.float32)
+    packed = np.asarray(pack_luts_bf16(jnp.asarray(luts)))
+    # decode on host
+    lo = (packed & 0xFFFF).astype(np.uint32) << 16
+    hi = (packed.astype(np.uint32) >> 16) << 16
+    dec = np.empty_like(luts)
+    dec[..., 0::2] = lo.view(np.float32)
+    dec[..., 1::2] = hi.view(np.float32)
+    expect = luts.astype(jnp.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(dec, expect)
+
+
+@pytest.mark.parametrize("group", [1, 4])
+def test_scan_lut_bf16_matches_f32_within_rounding(seg_setup, group):
+    """lut_bf16 scan must equal the f32 scan up to bf16 entry rounding:
+    identical candidate sets, distances within ~1% relative."""
+    import jax.numpy as jnp
+    from chamjax.ops.scan_seg import scan_lists_seg
+    from chamjax.ops.scan_seg_multi import scan_lists_seg_multi
+    dev, luts, list_ids, k = seg_setup
+    kw = dict(windows=24, seg=256, k=k, use_approx=False, interpret=True)
+    if group > 1:
+        f = lambda **o: scan_lists_seg_multi(
+            dev.codes_t, dev.ids, dev.list_start, dev.list_len,
+            luts, list_ids, group=group, **kw, **o)
+    else:
+        f = lambda **o: scan_lists_seg(
+            dev.codes_t, dev.ids, dev.list_start, dev.list_len,
+            luts, list_ids, **kw, **o)
+    d32, i32 = f()
+    dbf, ibf = f(lut_bf16=True)
+    d32, i32, dbf, ibf = map(np.asarray, (d32, i32, dbf, ibf))
+    finite = np.isfinite(d32) & np.isfinite(dbf)
+    np.testing.assert_allclose(dbf[finite], d32[finite], rtol=2e-2,
+                               atol=2e-2)
+    # ranking: ≥90% of top-k ids agree (bf16 rounding may swap near-ties)
+    agree = np.mean([np.isin(ibf[q], i32[q]).mean()
+                     for q in range(i32.shape[0])])
+    assert agree >= 0.9, agree
