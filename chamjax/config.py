@@ -108,9 +108,12 @@ class SearchConfig:
     # Windows processed per kernel grid step (amortizes per-step machinery;
     # 8 measured best on v5e).
     seg_group: int = 8
-    # Approximate (approx_max_k) probe selection in the coarse scan — an
-    # occasional swapped marginal probe, absorbed by multi-probe search.
-    coarse_approx: bool = True
+    # Approximate (approx_max_k) probe selection in the coarse scan.  Opt-in
+    # (like lut_bf16): a ~2% per-element miss is absorbed by multi-probe at
+    # large nprobe (measured recall-neutral at nprobe=32 on the 1M bench),
+    # but at nprobe 1-4 a swapped nearest centroid directly costs recall and
+    # the reference's coarse selection is exact.
+    coarse_approx: bool = False
 
 
 @dataclass(frozen=True)

@@ -63,9 +63,14 @@ def recall_diagnosis(
     seg: int,
     at: int = 10,
     by_residual: bool = True,
+    coarse_approx: bool = False,
 ) -> Dict[str, float]:
     """Fractions of gt@``at`` items by outcome:
-    ``found`` + ``probe`` + ``window`` + ``quant`` + ``select`` = 1."""
+    ``found`` + ``probe`` + ``window`` + ``quant`` + ``select`` = 1.
+
+    ``coarse_approx`` must mirror the setting the diagnosed search ran
+    with — otherwise misses caused by an approx-dropped probe are
+    misclassified into the window/quant/select buckets."""
     b = queries.shape[0]
     gt = gt_ids[:, :at].astype(np.int64)
 
@@ -85,7 +90,8 @@ def recall_diagnosis(
     q = jnp.asarray(queries, jnp.float32)
     if index.opq_R is not None:
         q = jnp.dot(q, index.opq_R, precision=jax.lax.Precision.HIGHEST)
-    probe_ids, _ = coarse_scan(q, index.centroids, nprobe)
+    probe_ids, _ = coarse_scan(q, index.centroids, nprobe,
+                               use_approx=coarse_approx)
     probe_ids = np.asarray(probe_ids)                     # (b, nprobe)
 
     probed = (probe_ids[:, None, :] == list_of[:, :, None]).any(-1)

@@ -229,13 +229,15 @@ def _pack_layout(assignment: jax.Array, nlist: int, list_pad: int, cap: int):
                              list_pad=list_pad, cap=cap)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _pack_codes_t(codes: jax.Array, gather_ids: jax.Array) -> jax.Array:
     """codes (n, m) u8 + gather map (cap,) → transposed packed (m, cap) u8.
 
-    ``codes`` is donated: at 100M×PQ32 the gather + transpose buffers alone
-    are ~7 GB — freeing the 3.2 GB source inside the program keeps the
-    whole pack under HBM at d=512."""
+    No donation: the (n, m) input aval can never alias the (m, cap) output,
+    so ``donate_argnums`` would be dead weight (and a reuse-after-donate
+    trap for the sharded builder, which packs the same codes per shard).
+    Callers that care about peak HBM must ``del``/``.delete()`` the codes
+    buffer after the last pack instead."""
     g = jnp.maximum(gather_ids, 0)
     packed = jnp.where(gather_ids[:, None] >= 0, codes[g], jnp.uint8(0))
     return packed.T
@@ -342,8 +344,10 @@ def build_ivfpq_device(
     for searcher auto-sizing.
 
     Streamed parity point for the reference's offline pipeline at the
-    100M–1B scale it targets (SIFT100M/1000M, ``BASELINE.md``); OPQ is
-    host-trained in ``build_ivfpq`` and not supported here (assert).
+    100M–1B scale it targets (SIFT100M/1000M, ``BASELINE.md``).  OPQ is
+    supported: ``cfg.opq`` host-trains the rotation on a ≤131k-row sample
+    inside ``_train_encode_stream`` and folds it into ``draw``; only the
+    *sharded* builder asserts it away.
     """
     from chamjax.ops.scan_seg import MAX_SEG
     from chamjax.searcher import DeviceIVF

@@ -145,6 +145,9 @@ class HNSWIndex:
     (``SRC/host.cpp:516-556`` coarse centroid search; BEIR's
     ``HNSWFaissSearch``), as an original implementation.  L2 metric;
     normalized vectors make it rank-equivalent to cosine.
+
+    A handle is single-threaded: searches share per-index visited-stamp
+    scratch (and ctypes releases the GIL) — use one handle per thread.
     """
 
     def __init__(self, dim: int, M: int = 16, ef_construction: int = 200,

@@ -53,7 +53,9 @@ struct HNSW {
     std::vector<int> levels;                         // n
     std::vector<std::vector<std::vector<int>>> links;  // node→layer→nbrs
     std::mt19937_64 rng{42};
-    // visited stamps (search scratch)
+    // visited stamps (search scratch).  Per-index, NOT per-call: a handle
+    // is single-threaded — concurrent searches on one handle race on this
+    // array (ctypes releases the GIL).  Use one handle per thread.
     std::vector<uint32_t> stamp;
     uint32_t stamp_cur = 0;
 
@@ -335,19 +337,43 @@ int64_t cham_hnsw_save(int64_t handle, const char *path) {
 int64_t cham_hnsw_load(const char *path) {
     FILE *f = fopen(path, "rb");
     if (!f) return -2;
+    // header fields are untrusted: bound every count against sane limits
+    // and against the actual remaining file size BEFORE any resize, so a
+    // corrupt/truncated file returns an error code instead of triggering a
+    // huge allocation (std::bad_alloc aborts across the ctypes boundary)
+    // or out-of-bounds graph walks on the first search.
+    if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return -3; }
+    const int64_t fsize = ftell(f);
+    if (fsize < 0 || fseek(f, 0, SEEK_SET) != 0) { fclose(f); return -3; }
     uint64_t hdr[8];
     if (fread(hdr, sizeof hdr, 1, f) != 1 || hdr[0] != kMagic) {
         fclose(f);
         return -3;
     }
+    const uint64_t dim = hdr[1], M = hdr[2], Mmax0 = hdr[3], efc = hdr[4];
+    const uint64_t n = hdr[5];
+    const int64_t entry = (int64_t)hdr[6] - 1;
+    const int64_t max_level = (int64_t)hdr[7] - 1;
+    const uint64_t remain = (uint64_t)fsize - sizeof hdr;
+    const bool hdr_ok =
+        dim >= 1 && dim <= (1u << 16) &&
+        M >= 2 && M <= 4096 && Mmax0 >= M && Mmax0 <= 8192 &&
+        efc >= 1 && efc <= (1u << 20) &&
+        // fixed-size payload (vectors + labels + levels) must fit the file
+        n <= remain / (dim * sizeof(float) + sizeof(int64_t) + sizeof(int)) &&
+        max_level >= -1 && max_level <= 64 &&
+        ((n == 0 && entry == -1) || (entry >= 0 && (uint64_t)entry < n));
+    if (!hdr_ok) {
+        fclose(f);
+        return -3;
+    }
     auto *h = new HNSW();
-    h->dim = (int)hdr[1];
-    h->M = (int)hdr[2];
-    h->Mmax0 = (int)hdr[3];
-    h->efc = (int)hdr[4];
-    uint64_t n = hdr[5];
-    h->entry = (int)hdr[6] - 1;
-    h->max_level = (int)hdr[7] - 1;
+    h->dim = (int)dim;
+    h->M = (int)M;
+    h->Mmax0 = (int)Mmax0;
+    h->efc = (int)efc;
+    h->entry = (int)entry;
+    h->max_level = (int)max_level;
     h->mult = 1.0 / std::log((double)h->M);
     h->data.resize(n * h->dim);
     h->labels.resize(n);
@@ -359,14 +385,17 @@ int64_t cham_hnsw_load(const char *path) {
     h->links.resize(n);
     for (uint64_t i = 0; ok && i < n; ++i) {
         uint32_t nl = 0;
-        ok = fread(&nl, sizeof nl, 1, f) == 1;
-        h->links[i].resize(nl);
+        ok = fread(&nl, sizeof nl, 1, f) == 1 && nl <= 65u;
         for (uint32_t l = 0; ok && l < nl; ++l) {
             uint32_t m = 0;
-            ok = fread(&m, sizeof m, 1, f) == 1;
+            ok = fread(&m, sizeof m, 1, f) == 1 && m <= Mmax0;
+            if (!ok) break;
+            if (l >= h->links[i].size()) h->links[i].resize(nl);
             h->links[i][l].resize(m);
             if (m)
                 ok = fread(h->links[i][l].data(), sizeof(int), m, f) == m;
+            for (uint32_t t = 0; ok && t < m; ++t)
+                ok = h->links[i][l][t] >= 0 && (uint64_t)h->links[i][l][t] < n;
         }
     }
     fclose(f);

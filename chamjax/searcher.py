@@ -9,6 +9,7 @@ scanner→coordinator→FPGA pipeline collapsed into one chip's dataflow.
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -134,7 +135,11 @@ def ivfpq_search(
     if backend == "seg" and windows <= 0:
         windows = 2 * nprobe       # conservative default; searcher sizes it
     if backend == "pallas" and scan_len % GROUP:
-        backend = "xla"        # kernel slabs cover GROUP rows
+        warnings.warn(
+            f"backend='pallas' needs scan_len % {GROUP} == 0 (kernel output "
+            f"slabs cover GROUP rows); got scan_len={scan_len} — falling "
+            "back to the XLA scan", stacklevel=2)
+        backend = "xla"
     q = queries
     if index.opq_R is not None:
         q = jnp.dot(q, index.opq_R, precision=jax.lax.Precision.HIGHEST)
@@ -180,7 +185,11 @@ def ivfpq_search_preassigned(
     if backend == "seg" and windows <= 0:
         windows = 2 * nprobe
     if backend == "pallas" and scan_len % GROUP:
-        backend = "xla"        # kernel slabs cover GROUP rows
+        warnings.warn(
+            f"backend='pallas' needs scan_len % {GROUP} == 0 (kernel output "
+            f"slabs cover GROUP rows); got scan_len={scan_len} — falling "
+            "back to the XLA scan", stacklevel=2)
+        backend = "xla"
     q = queries
     if index.opq_R is not None:
         q = jnp.dot(q, index.opq_R, precision=jax.lax.Precision.HIGHEST)
@@ -236,7 +245,11 @@ class IVFSearcher:
         self.backend = search_cfg.backend
         self.tile = search_cfg.tile
         if self.backend in ("pallas", "seg") and index.cfg.nbits != 8:
-            self.backend = "xla"   # kernels are specialized for 8-bit PQ
+            warnings.warn(
+                f"backend='{self.backend}' kernels are specialized for "
+                f"8-bit PQ; index has nbits={index.cfg.nbits} — falling "
+                "back to the XLA scan", stacklevel=2)
+            self.backend = "xla"
         # interpret mode lets the kernel run on CPU (tests / debugging)
         self.interpret = jax.default_backend() != "tpu"
         self.seg = self._auto_seg()

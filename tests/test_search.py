@@ -130,3 +130,28 @@ def test_search_preassigned_matches_full(ds, index):
     lids = np.argsort(d2, axis=1)[:, :8]
     d_pre, i_pre = searcher.search_preassigned(q, lids)
     np.testing.assert_allclose(d_pre, d_full, rtol=1e-3, atol=1e-2)
+
+
+def test_backend_downgrade_warns(ds, index):
+    """Silent-downgrade guard (VERDICT r1 weak #4): a user asking for a
+    Pallas backend the index/config can't satisfy gets a warning."""
+    import warnings as _w
+
+    # pallas backend with scan_len not a GROUP multiple → xla fallback warns
+    dev = DeviceIVF.from_packed(index)
+    q = jnp.asarray(ds.xq[:4], jnp.float32)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        ivfpq_search(dev, q, nprobe=4, k=5, scan_len=777, backend="pallas",
+                     interpret=True)
+    assert any("falling" in str(r.message) for r in rec), rec
+
+    # nbits != 8 searcher → xla fallback warns
+    cfg = IndexConfig(dim=32, nlist=16, m=8, nbits=6, list_pad=64)
+    idx6 = build_ivfpq(ds.xb[:4000], cfg, xt=ds.xt[:2000],
+                       kmeans_iters=2, pq_iters=2)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        s = IVFSearcher(idx6, SearchConfig(nprobe=4, k=5, backend="seg"))
+    assert s.backend == "xla"
+    assert any("nbits" in str(r.message) for r in rec), rec
