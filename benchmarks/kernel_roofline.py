@@ -1,0 +1,121 @@
+"""ADC-kernel roofline study: raw/useful rows/s vs the HBM bound.
+
+The FPGA reference is bandwidth-bound by design (QPS = 32 GB/s /
+(rows/query · m), ``performance_modeling/perf_model.py:39-46``); this
+harness measures where the TPU kernel sits against the v5e's ~819 GB/s
+HBM and the VPU instruction budget, on *full* windows (the 1B-config
+regime: nlist=65536 average lists are ~15k rows, so windows carry no
+padding and raw == useful).
+
+Synthetic workload — no index needed: a big (m, N) u8 code slab, random
+128-aligned window starts, full lens, random LUT assignment.  Timing via
+the chained-scan dispatch slope (block_until_ready lies under axon, see
+.claude/skills/verify/SKILL.md).
+
+    python benchmarks/kernel_roofline.py            # default matrix
+    python benchmarks/kernel_roofline.py --variants seg_f32 seg_bf16
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HBM_GBPS = 819.0          # v5e spec
+
+
+def chained_ms(make_step, steps_small=4, steps_large=16):
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def run(steps):
+        def body(acc, _):
+            return make_step(acc), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=steps)
+        return acc
+
+    for s in (steps_small, steps_large):
+        np.asarray(run(s))
+    ts = {}
+    for s in (steps_small, steps_large):
+        t0 = time.perf_counter()
+        np.asarray(run(s))
+        ts[s] = time.perf_counter() - t0
+    return (ts[steps_large] - ts[steps_small]) / (
+        steps_large - steps_small) * 1e3
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from chamjax.ops.scan_seg import pack_luts_bf16
+    from chamjax.ops.scan_seg_multi import adc_scan_segments_multi
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16_000_000,
+                    help="code rows in the slab (16M x m16 = 256 MB)")
+    ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--bw", type=int, default=4096,
+                    help="windows per call (b*W)")
+    ap.add_argument("--n_lut", type=int, default=4096)
+    ap.add_argument("--segs", type=int, nargs="+", default=[1024, 2048])
+    ap.add_argument("--groups", type=int, nargs="+", default=[8])
+    ap.add_argument("--variants", nargs="+",
+                    default=["seg_f32", "seg_bf16"])
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
+    assert jax.default_backend() == "tpu", jax.default_backend()
+
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    m, n, bw = args.m, args.n, args.bw
+    codes_t = jax.random.randint(k1, (m, n), 0, 256, jnp.uint8)
+    luts = jax.random.uniform(k2, (args.n_lut, m, 256), jnp.float32)
+    luts_p = pack_luts_bf16(luts)
+    lut_idx = jax.random.randint(k3, (bw,), 0, args.n_lut, jnp.int32)
+
+    rows = []
+    for seg in args.segs:
+        max_start = (n - seg) // 128
+        starts = (jax.random.randint(k4, (bw,), 0, max_start, jnp.int32)
+                  * 128)
+        lens = jnp.full((bw,), seg, jnp.int32)
+        total_rows = bw * seg
+        for group in args.groups:
+            for variant in args.variants:
+                lut_bf16 = variant.endswith("bf16")
+                lt = luts_p if lut_bf16 else luts
+
+                def step(acc, lt=lt, starts=starts, lens=lens, seg=seg,
+                         group=group, lut_bf16=lut_bf16):
+                    out = adc_scan_segments_multi(
+                        codes_t, starts, lens, lut_idx, lt,
+                        seg=seg, group=group, lut_bf16=lut_bf16)
+                    return out.reshape(-1)[0] * 0.0 + acc
+
+                ms = chained_ms(step)
+                grows = total_rows / ms / 1e6
+                gbs = grows * m
+                rows.append(dict(variant=variant, seg=seg, group=group,
+                                 ms=round(ms, 3), grows=round(grows, 3),
+                                 code_gbs=round(gbs, 1),
+                                 pct_hbm=round(100 * gbs / HBM_GBPS, 1)))
+                print(json.dumps(rows[-1]), flush=True)
+    best = max(rows, key=lambda r: r["grows"])
+    print("BEST:", json.dumps(best), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -81,7 +81,15 @@ class RetrieveCoordinator:
 
     def start(self) -> None:
         """Relay until every client has had ``queries_per_client`` answers
-        (or until all clients disconnect)."""
+        (or until all clients disconnect).
+
+        Engine failure (the pitfall class the reference documents at
+        ``retriever_coordinator_server.py:145-150``) is survivable: each
+        engine's origin FIFO remembers the request *bytes*, so when an
+        engine dies mid-run its unanswered requests re-issue round-robin to
+        the surviving engines.  Only if *every* engine is gone do the
+        affected clients fail (coordinator closes all sockets and raises).
+        """
         self.accept_connections()
         self.connect_to_engines()
         self.barrier_sync()
@@ -95,13 +103,50 @@ class RetrieveCoordinator:
             poller.register(e, select.POLLIN)
             fd_map[e.fileno()] = ("engine", ei)
 
-        # FIFO of origin clients per engine (reference query_gpu_ids)
+        # FIFO of (origin client, request bytes) per engine (reference
+        # query_gpu_ids — bytes kept so engine death can re-issue)
         origin: List[deque] = [deque() for _ in self.engines]
+        unsent: deque = deque()          # (ci, buf) awaiting a live engine
+        live_engines = set(range(len(self.engines)))
+        rr = 0                           # round-robin cursor over engines
         req_bytes = wire.request_nbytes(self.batch, self.dim)
         ans_bytes = wire.answer_nbytes(self.batch, self.k)
         total = (self.queries_per_client * self.n_clients
                  if self.queries_per_client else None)
         live_clients = set(range(self.n_clients))
+
+        def mark_engine_dead(ei: int) -> None:
+            if ei not in live_engines:
+                return
+            live_engines.discard(ei)
+            try:
+                poller.unregister(self.engines[ei])
+            except (KeyError, OSError):
+                pass
+            # unanswered requests go back to the dispatch queue, FIFO order
+            unsent.extendleft(reversed(origin[ei]))
+            origin[ei].clear()
+
+        def dispatch() -> None:
+            nonlocal rr
+            while unsent and live_engines:
+                ci, buf = unsent[0]
+                ei = rr % len(self.engines)
+                rr += 1
+                if ei not in live_engines:
+                    continue
+                try:
+                    send_all(self.engines[ei], buf)
+                except (ConnectionError, OSError):
+                    mark_engine_dead(ei)
+                    continue
+                origin[ei].append((ci, buf))
+                unsent.popleft()
+            if unsent and not live_engines:
+                self.close()
+                raise RuntimeError(
+                    "all retrieval engines failed with "
+                    f"{len(unsent)} requests outstanding")
 
         while live_clients and (total is None
                                 or self.answered_query_cnt < total):
@@ -114,13 +159,17 @@ class RetrieveCoordinator:
                         poller.unregister(self.clients[idx])
                         live_clients.discard(idx)
                         continue
-                    ei = self.received_query_cnt % len(self.engines)
-                    send_all(self.engines[ei], buf)
-                    origin[ei].append(idx)
+                    unsent.append((idx, buf))
                     self.received_query_cnt += 1
+                    dispatch()
                 else:
-                    buf = recv_exact(self.engines[idx], ans_bytes)
-                    ci = origin[idx].popleft()
+                    try:
+                        buf = recv_exact(self.engines[idx], ans_bytes)
+                    except (ConnectionError, OSError):
+                        mark_engine_dead(idx)
+                        dispatch()
+                        continue
+                    ci, _req = origin[idx].popleft()
                     send_all(self.clients[ci], buf)
                     self.answered_query_cnt += 1
         self.close()
