@@ -14,8 +14,16 @@ completes only after every prior step).  Recall gate: R@10 on 256 held-out
 queries vs exact ground truth.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+``--matrix`` additionally gates R@10 *on the real device* for every kernel
+variant (seg f32 / seg bf16-LUT / group 1 / pallas / preassigned / OPQ /
+coarse-approx) against the XLA reference backend — the on-hardware rung of
+the FPGA verification ladder (``SRC/host.cpp:806-845`` computes R@1/10/100
+on device for every variant).  Matrix rows print as JSON lines before the
+final headline line (the driver still parses the last line only).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -42,6 +50,85 @@ def _slope_ms(run, n_small=4, n_large=36):
     return (ts[n_large] - ts[n_small]) / (n_large - n_small) * 1e3
 
 
+def _recall_matrix(ds, idx, dev, gt, base_kw, nprobe, k, ivfpq_search,
+                   ivfpq_search_preassigned, recall_at_k, build_ivfpq,
+                   IndexConfig, DeviceIVF, cache):
+    """On-device R@10 for every kernel variant vs the XLA reference
+    backend.  Returns the list of row dicts (also printed as JSON lines)."""
+    import jax.numpy as jnp
+    from chamjax.ops.coarse import coarse_scan
+
+    q = jnp.asarray(ds.xq[:256])
+    rows = []
+
+    def gate(name, r10, oracle, tol):
+        row = {"variant": name, "recall_at_10": round(float(r10), 4),
+               "oracle": round(float(oracle), 4), "tol": tol,
+               "pass": bool(abs(float(r10) - float(oracle)) <= tol)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        return row
+
+    def r10_of(**over):
+        kw2 = dict(base_kw)
+        kw2.update(over)
+        _d, i_r = ivfpq_search(dev, q, **kw2)
+        return recall_at_k(np.asarray(i_r), gt, 10)
+
+    # oracle: the XLA gather backend, exact selection, exact coarse scan
+    oracle = r10_of(backend="xla", scan_len=4096, use_approx=False,
+                    coarse_approx=False)
+    _note(f"matrix oracle (xla backend): R@10={oracle:.4f}")
+
+    # exact-selection variants must match the oracle to +-tol (they scan
+    # the same candidate set; only kernel arithmetic differs)
+    gate("seg_f32_g8", r10_of(use_approx=False, coarse_approx=False),
+         oracle, 0.002)
+    gate("seg_bf16_g8", r10_of(use_approx=False, coarse_approx=False,
+                               lut_bf16=True), oracle, 0.002)
+    gate("seg_f32_g1", r10_of(use_approx=False, coarse_approx=False,
+                              group=1), oracle, 0.002)
+    scan_len = 4096
+    gate("pallas_padded", r10_of(backend="pallas", scan_len=scan_len,
+                                 use_approx=False, coarse_approx=False),
+         oracle, 0.002)
+    # production path (approx top-k + coarse approx): bounded, not equal
+    gate("seg_f32_approx", r10_of(), oracle, 0.02)
+
+    # preassigned (external coarse scan) must equal the full path
+    lids, _ = coarse_scan(q, dev.centroids, nprobe, use_approx=False)
+    _d, i_p = ivfpq_search_preassigned(
+        dev, q, lids, k=k, nprobe=nprobe,
+        windows=base_kw["windows"], seg=base_kw["seg"],
+        group=base_kw["group"], use_approx=False, backend="seg")
+    gate("seg_preassigned", recall_at_k(np.asarray(i_p), gt, 10),
+         oracle, 0.002)
+
+    # OPQ index: separate artifact (rotation changes the quantization, so
+    # its oracle is its own xla-backend run)
+    opq_cache = cache.replace(".npz", "_opq.npz")
+    from chamjax.index import PackedIVF
+    if os.path.exists(opq_cache):
+        idx_o = PackedIVF.load(opq_cache)
+    else:
+        cfg_o = IndexConfig(dim=idx.cfg.dim, nlist=idx.cfg.nlist,
+                            m=idx.cfg.m, list_pad=128, opq=True,
+                            balanced=True, balance_factor=1.3)
+        idx_o = build_ivfpq(ds.xb, cfg_o, xt=ds.xt, kmeans_iters=10,
+                            pq_iters=10)
+        idx_o.save(opq_cache)
+    dev_o = DeviceIVF.from_packed(idx_o)
+    kw_o = dict(base_kw)
+    kw_o.update(use_approx=False, coarse_approx=False)
+    _d, i_o = ivfpq_search(dev_o, q, **kw_o)
+    kw_ox = dict(kw_o)
+    kw_ox.update(backend="xla", scan_len=4096)
+    _d, i_ox = ivfpq_search(dev_o, q, **kw_ox)
+    gate("opq_seg_f32", recall_at_k(np.asarray(i_o), gt, 10),
+         recall_at_k(np.asarray(i_ox), gt, 10), 0.002)
+    return rows
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -51,7 +138,14 @@ def main() -> None:
     from chamjax.data.ground_truth import compute_ground_truth
     from chamjax.eval import recall_at_k
     from chamjax.index import build_ivfpq, PackedIVF
-    from chamjax.searcher import DeviceIVF, ivfpq_search
+    from chamjax.searcher import (
+        DeviceIVF, ivfpq_search, ivfpq_search_preassigned,
+    )
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--matrix", action="store_true",
+                    help="gate R@10 on-device for every kernel variant")
+    args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
 
@@ -114,6 +208,17 @@ def main() -> None:
     r10 = recall_at_k(np.asarray(i_r), gt, 10)
     _note(f"recall gate done: R@10={r10:.4f}")
 
+    matrix_pass = None
+    if args.matrix:
+        rows = _recall_matrix(ds, idx, dev, gt, kw, nprobe, k,
+                              ivfpq_search, ivfpq_search_preassigned,
+                              recall_at_k, build_ivfpq, IndexConfig,
+                              DeviceIVF, cache)
+        matrix_pass = all(r["pass"] for r in rows)
+        if not matrix_pass:
+            _note("MATRIX GATE FAILED: "
+                  + json.dumps([r for r in rows if not r["pass"]]))
+
     # throughput at batch=128 (dispatch-slope)
     qs = [jnp.asarray(ds.xq[256 + i * batch: 256 + (i + 1) * batch])
           for i in range(40)]
@@ -163,6 +268,8 @@ def main() -> None:
         "windows": W,
         "device": str(jax.devices()[0]),
     }
+    if matrix_pass is not None:
+        result["matrix_pass"] = matrix_pass
     print(json.dumps(result))
 
 

@@ -36,12 +36,13 @@ def chained_ms(make_step, steps_small=4, steps_large=16):
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("steps",))
+    # fori_loop with a traced trip count: ONE compile serves both chain
+    # lengths (static-length scan would recompile the Mosaic kernel per
+    # length — minutes each through the remote compile service)
+    @jax.jit
     def run(steps):
-        def body(acc, _):
-            return make_step(acc), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=steps)
-        return acc
+        return jax.lax.fori_loop(
+            0, steps, lambda _i, acc: make_step(acc), jnp.float32(0.0))
 
     for s in (steps_small, steps_large):
         np.asarray(run(s))

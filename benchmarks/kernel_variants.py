@@ -1,0 +1,256 @@
+"""Experimental ADC-kernel variants for the roofline push.
+
+Standalone Pallas kernels sharing the production DMA structure
+(``chamjax/ops/scan_seg_multi.py``) but varying the inner distance
+compute, to locate the VPU instruction bottleneck empirically:
+
+- ``f32``      : production baseline (2 lane-gathers + select per tile)
+- ``bf16``     : production packed-LUT path (1 gather + 4-op decode)
+- ``bf16_trim``: packed LUT, 3-op decode (select on pre-shifted halves)
+- ``i32codes`` : codes stored i32 in HBM (4x bytes) — no u8 unpack;
+                 isolates the cost of the uint8→int32 conversion
+- ``nosum``    : gathers only, no reduction — isolates the sum cost
+- ``nogather`` : unpack + sum of raw codes — isolates the gather cost
+
+Usage (TPU):  python benchmarks/kernel_variants.py --variants f32 bf16 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax                                                    # noqa: E402
+import jax.numpy as jnp                                       # noqa: E402
+from jax.experimental import pallas as pl                     # noqa: E402
+from jax.experimental.pallas import tpu as pltpu              # noqa: E402
+
+from chamjax.ops.scan_seg import pack_luts_bf16               # noqa: E402
+
+LANES = 128
+
+
+def _tile_f32(lut, cc):
+    idx = cc & (LANES - 1)
+    glo = jnp.take_along_axis(lut[:, :LANES], idx, axis=1)
+    ghi = jnp.take_along_axis(lut[:, LANES:], idx, axis=1)
+    g = jnp.where(cc < LANES, glo, ghi)
+    return jnp.sum(g, axis=0)
+
+
+def _tile_bf16(lut_packed, cc):
+    vf = jnp.take_along_axis(lut_packed, cc >> 1, axis=1)
+    v = jax.lax.bitcast_convert_type(vf, jnp.int32)
+    half = jnp.where((cc & 1) == 1, v >> 16, v) & 0xFFFF
+    g = jax.lax.bitcast_convert_type(half << 16, jnp.float32)
+    return jnp.sum(g, axis=0)
+
+
+def _tile_bf16_trim(lut_packed, cc):
+    # 3-op decode: even code wants low half << 16, odd wants high half
+    # kept in place — select then a single mask, no final shift
+    vf = jnp.take_along_axis(lut_packed, cc >> 1, axis=1)
+    v = jax.lax.bitcast_convert_type(vf, jnp.int32)
+    hi = v & jnp.int32(-65536)                       # 0xFFFF0000
+    g = jax.lax.bitcast_convert_type(
+        jnp.where((cc & 1) == 1, hi, v << 16), jnp.float32)
+    return jnp.sum(g, axis=0)
+
+
+def _tile_nosum(lut, cc):
+    idx = cc & (LANES - 1)
+    glo = jnp.take_along_axis(lut[:, :LANES], idx, axis=1)
+    return glo[0]
+
+
+def _tile_nogather(lut, cc):
+    return jnp.sum(cc.astype(jnp.float32), axis=0)
+
+
+def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
+    lut_refs = rest[:group]
+    codes_hbm = rest[group]
+    out_ref = rest[group + 1]
+    scratch, sems = rest[group + 2], rest[group + 3]
+    i = pl.program_id(0)
+    nw = pl.num_programs(0)
+
+    def dma(slot, w):
+        start = pl.multiple_of(starts_ref[w], LANES)
+        return pltpu.make_async_copy(
+            codes_hbm.at[:, pl.ds(start, seg)], scratch.at[slot],
+            sems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(group):
+            dma(j, j).start()
+
+    @pl.when(i + 1 < nw)
+    def _():
+        for sl in (0, 1):
+            @pl.when((i + 1) % 2 == sl)
+            def _(sl=sl):
+                for j in range(group):
+                    dma(sl * group + j, (i + 1) * group + j).start()
+
+    for sl in (0, 1):
+        @pl.when(i % 2 == sl)
+        def _(sl=sl):
+            for j in range(group):
+                lut = lut_refs[j][0]
+                if variant in ("bf16", "bf16_trim"):
+                    lut = jax.lax.bitcast_convert_type(lut, jnp.float32)
+                dma(sl * group + j, i * group + j).wait()
+                codes = scratch[sl * group + j]
+                if variant != "i32codes":
+                    codes = codes.astype(jnp.int32)
+                for t in range(seg // LANES):
+                    cc = codes[:, t * LANES:(t + 1) * LANES]
+                    if variant == "f32":
+                        d = _tile_f32(lut, cc)
+                    elif variant == "bf16":
+                        d = _tile_bf16(lut, cc)
+                    elif variant == "bf16_trim":
+                        d = _tile_bf16_trim(lut, cc)
+                    elif variant == "i32codes":
+                        d = _tile_f32(lut, cc)
+                    elif variant == "nosum":
+                        d = _tile_nosum(lut, cc)
+                    elif variant == "nogather":
+                        d = _tile_nogather(lut, cc)
+                    out_ref[j, t, :] = d
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("seg", "group", "variant", "interpret"))
+def run_variant(codes, starts, lens, lut_idx, luts, *, seg, group, variant,
+                interpret=False):
+    bw = starts.shape[0]
+    m = codes.shape[0]
+    ksub = luts.shape[-1]
+    cdt = jnp.int32 if variant == "i32codes" else jnp.uint8
+
+    def lut_spec(j):
+        return pl.BlockSpec(
+            (1, m, ksub),
+            lambda i, s, l, li, j=j: (li[i * group + j], 0, 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bw // group,),
+        in_specs=[lut_spec(j) for j in range(group)] + [
+            pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (group, seg // LANES, LANES),
+            lambda i, s, l, li: (i, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2 * group, m, seg), cdt),
+            pltpu.SemaphoreType.DMA((2 * group,)),
+        ])
+    out = pl.pallas_call(
+        functools.partial(_kernel, seg=seg, group=group, variant=variant),
+        out_shape=jax.ShapeDtypeStruct((bw, seg // LANES, LANES),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, lens, lut_idx, *([luts] * group), codes)
+    return out.reshape(bw, seg)
+
+
+def chained_ms(make_step, steps_small=4, steps_large=16):
+    # fori_loop with a *traced* trip count: ONE compile serves both chain
+    # lengths (a static-length lax.scan recompiles the whole Mosaic kernel
+    # per length — minutes each through the remote compile service)
+    @jax.jit
+    def run(steps):
+        return jax.lax.fori_loop(
+            0, steps, lambda _i, acc: make_step(acc), jnp.float32(0.0))
+
+    t_compile = time.perf_counter()
+    for s in (steps_small, steps_large):
+        np.asarray(run(s))
+    print(f"  [compiled+warm in {time.perf_counter() - t_compile:.1f}s]",
+          file=sys.stderr, flush=True)
+    ts = {}
+    for s in (steps_small, steps_large):
+        t0 = time.perf_counter()
+        np.asarray(run(s))
+        ts[s] = time.perf_counter() - t0
+    return (ts[steps_large] - ts[steps_small]) / (
+        steps_large - steps_small) * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16_000_000)
+    ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--bw", type=int, default=4096)
+    ap.add_argument("--n_lut", type=int, default=4096)
+    ap.add_argument("--seg", type=int, default=2048)
+    ap.add_argument("--group", type=int, default=8)
+    ap.add_argument("--variants", nargs="+",
+                    default=["f32", "bf16", "bf16_trim", "i32codes",
+                             "nosum", "nogather"])
+    args = ap.parse_args()
+    jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
+    assert jax.default_backend() == "tpu"
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    m, n, bw, seg = args.m, args.n, args.bw, args.seg
+    codes_u8 = jax.random.randint(k1, (m, n), 0, 256, jnp.uint8)
+    luts = jax.random.uniform(k2, (args.n_lut, m, 256), jnp.float32)
+    luts_p = pack_luts_bf16(luts)
+    lut_idx = jax.random.randint(k3, (bw,), 0, args.n_lut, jnp.int32)
+    starts = (jax.random.randint(k4, (bw,), 0, (n - seg) // 128, jnp.int32)
+              * 128)
+    lens = jnp.full((bw,), seg, jnp.int32)
+    np.asarray(starts[0])
+    print(f"[data ready] n={n} m={m} bw={bw} seg={seg}", file=sys.stderr,
+          flush=True)
+    codes_i32 = None
+
+    for variant in args.variants:
+        if variant == "i32codes":
+            if codes_i32 is None:
+                # 4x HBM: cap the slab so it fits alongside the u8 one
+                n32 = min(n, 4_000_000)
+                codes_i32 = codes_u8[:, :n32].astype(jnp.int32)
+                starts32 = (jax.random.randint(
+                    k4, (bw,), 0, (n32 - seg) // 128, jnp.int32) * 128)
+            cd, st = codes_i32, starts32
+        else:
+            cd, st = codes_u8, starts
+        lt = luts_p if variant.startswith("bf16") else luts
+
+        def step(acc, cd=cd, st=st, lt=lt, variant=variant):
+            out = run_variant(cd, st, lens, lut_idx, lt,
+                              seg=seg, group=args.group, variant=variant)
+            return out.reshape(-1)[0] * 0.0 + acc
+
+        try:
+            ms = chained_ms(step)
+        except Exception as e:        # noqa: BLE001 — report per-variant
+            print(json.dumps({"variant": variant, "error": str(e)[:200]}),
+                  flush=True)
+            continue
+        grows = bw * seg / ms / 1e6
+        print(json.dumps({
+            "variant": variant, "seg": seg, "group": args.group,
+            "ms": round(ms, 3), "grows": round(grows, 3),
+            "code_gbs": round(grows * m, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -122,6 +122,36 @@ def write_fbin(path: str, x: np.ndarray) -> None:
         x.tofile(f)
 
 
+def read_spacev_i8bin(path: str, start: int = 0,
+                      count: Optional[int] = None) -> np.ndarray:
+    """SPACEV1B/SPTAG .bin: [int32 n][int32 d][int8 row-major]
+    (reference ``datasets.py`` ``read_spacev_int8bin``)."""
+    with open(path, "rb") as f:
+        n, d = np.frombuffer(f.read(8), dtype=np.int32)
+        n = int(n) - start
+        if count is not None:
+            n = min(n, count)
+        f.seek(8 + start * int(d))
+        return np.fromfile(f, dtype=np.int8, count=n * int(d)).reshape(n, d)
+
+
+def mmap_spacev_i8bin(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        n, d = (int(v) for v in np.frombuffer(f.read(8), dtype=np.int32))
+    return np.memmap(path, dtype=np.int8, mode="r", offset=8,
+                     shape=(n, d))
+
+
+def mmap_raw_f32(path: str, dim: int) -> np.ndarray:
+    """Headerless row-major float32 (the reference's SBERT d=384 / GNN
+    d=256 / Journal d=100 files, ``datasets.py`` ``mmap_bvecs_SBERT``...)."""
+    size = os.path.getsize(path)
+    rec = dim * 4
+    assert size % rec == 0, f"{path}: size {size} not a multiple of {rec}"
+    return np.memmap(path, dtype=np.float32, mode="r",
+                     shape=(size // rec, dim))
+
+
 # ---------------------------------------------------------------------------
 # Synthetic corpora (deterministic).  The reference generates "RALM-S/L"
 # datasets as random normal vectors at dims 512/1024

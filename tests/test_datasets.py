@@ -1,4 +1,8 @@
+import os
+
 import numpy as np
+
+from chamjax.data import datasets
 
 from chamjax.data import (
     read_fvecs, write_fvecs, read_ivecs, write_ivecs,
@@ -73,3 +77,75 @@ def test_synthetic_dataset_device_deterministic():
                                  n_clusters=16, chunk=1024)
     np.testing.assert_array_equal(a.xb, c.xb)
     np.testing.assert_array_equal(a.xq, c.xq)
+
+
+# ---------------------------------------------------------------------------
+# Golden-fixture tests: checked-in binaries written byte-by-byte with
+# struct.pack (tests/golden/make_golden.py), NOT by the loaders' writers —
+# so every reader is exercised against the *published* layouts (TexMex,
+# big-ANN fbin/ibin, SPACEV, SBERT raw; reference datasets.py:13-199).
+# ---------------------------------------------------------------------------
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def test_golden_fvecs():
+    x = datasets.read_fvecs(os.path.join(GOLDEN, "golden.fvecs"))
+    np.testing.assert_array_equal(
+        x, np.array([[1.5, -2.0, 0.25, 3.0],
+                     [0.0, 1.0, 2.0, 3.0],
+                     [-1.0, -0.5, 0.5, 1.0]], np.float32))
+    m = datasets.mmap_fvecs(os.path.join(GOLDEN, "golden.fvecs"))
+    np.testing.assert_array_equal(np.asarray(m), x)
+
+
+def test_golden_ivecs_bvecs():
+    iv = datasets.read_ivecs(os.path.join(GOLDEN, "golden.ivecs"))
+    np.testing.assert_array_equal(iv, [[7, 8, 9], [100, 200, 300]])
+    bv = datasets.read_bvecs(os.path.join(GOLDEN, "golden.bvecs"))
+    np.testing.assert_array_equal(
+        bv, np.array([[0, 1, 2, 253, 254, 255],
+                      [10, 20, 30, 40, 50, 60]], np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(datasets.mmap_bvecs(os.path.join(GOLDEN, "golden.bvecs"))),
+        bv)
+
+
+def test_golden_groundtruth_1001_int_rows():
+    """The documented GT layout: rows of [1000][1000 ids]
+    (reference datasets.py:14-22)."""
+    gt = datasets.read_ivecs(os.path.join(GOLDEN, "golden_gt1000.ivecs"))
+    assert gt.shape == (3, 1000)
+    for qi in range(3):
+        np.testing.assert_array_equal(
+            gt[qi], qi * 1_000_000 + np.arange(1000))
+
+
+def test_golden_fbin_ibin():
+    f = datasets.read_fbin(os.path.join(GOLDEN, "golden.fbin"))
+    np.testing.assert_array_equal(f, [[1, 2, 3], [4, 5, 6]])
+    f2 = datasets.read_fbin(os.path.join(GOLDEN, "golden.fbin"),
+                            start=1, count=1)
+    np.testing.assert_array_equal(f2, [[4, 5, 6]])
+    i = datasets.read_ibin(os.path.join(GOLDEN, "golden.ibin"))
+    np.testing.assert_array_equal(i, [[10, 11], [20, 21], [30, 31]])
+
+
+def test_golden_spacev():
+    x = datasets.read_spacev_i8bin(os.path.join(GOLDEN, "golden_spacev.bin"))
+    assert x.shape == (4, 5) and x.dtype == np.int8
+    np.testing.assert_array_equal(
+        x.ravel(), np.arange(20, dtype=np.int8) - 64)
+    m = datasets.mmap_spacev_i8bin(os.path.join(GOLDEN, "golden_spacev.bin"))
+    np.testing.assert_array_equal(np.asarray(m), x)
+    x2 = datasets.read_spacev_i8bin(
+        os.path.join(GOLDEN, "golden_spacev.bin"), start=2, count=1)
+    np.testing.assert_array_equal(np.asarray(x2), x[2:3])
+
+
+def test_golden_sbert_raw_f32():
+    m = datasets.mmap_raw_f32(
+        os.path.join(GOLDEN, "golden_sbert_d384.f32"), dim=384)
+    assert m.shape == (2, 384)
+    np.testing.assert_allclose(
+        np.asarray(m).ravel(), np.arange(768, dtype=np.float32) / 7.0)
