@@ -168,24 +168,31 @@ def run_variant(codes, starts, lens, lut_idx, luts, *, seg, group, variant,
     return out.reshape(bw, seg)
 
 
-def chained_ms(make_step, steps_small=4, steps_large=16):
-    # fori_loop with a *traced* trip count: ONE compile serves both chain
-    # lengths (a static-length lax.scan recompiles the whole Mosaic kernel
-    # per length — minutes each through the remote compile service)
+def chained_ms(make_step, arrays, steps_small=4, steps_large=16):
+    """``make_step(acc, *arrays) -> acc``.
+
+    - fori_loop with a *traced* trip count: ONE compile serves both chain
+      lengths (a static-length lax.scan recompiles the whole Mosaic kernel
+      per length -- minutes each through the remote compile service).
+    - ``arrays`` must be explicit jit ARGUMENTS: closed-over device arrays
+      are serialized into the compile request, and the remote compile
+      service rejects large bodies (HTTP 413).
+    """
     @jax.jit
-    def run(steps):
+    def run(steps, *arrays):
         return jax.lax.fori_loop(
-            0, steps, lambda _i, acc: make_step(acc), jnp.float32(0.0))
+            0, steps, lambda _i, acc: make_step(acc, *arrays),
+            jnp.float32(0.0))
 
     t_compile = time.perf_counter()
     for s in (steps_small, steps_large):
-        np.asarray(run(s))
+        np.asarray(run(s, *arrays))
     print(f"  [compiled+warm in {time.perf_counter() - t_compile:.1f}s]",
           file=sys.stderr, flush=True)
     ts = {}
     for s in (steps_small, steps_large):
         t0 = time.perf_counter()
-        np.asarray(run(s))
+        np.asarray(run(s, *arrays))
         ts[s] = time.perf_counter() - t0
     return (ts[steps_large] - ts[steps_small]) / (
         steps_large - steps_small) * 1e3
@@ -234,13 +241,13 @@ def main():
             cd, st = codes_u8, starts
         lt = luts_p if variant.startswith("bf16") else luts
 
-        def step(acc, cd=cd, st=st, lt=lt, variant=variant):
+        def step(acc, cd, st, lens, lut_idx, lt, variant=variant):
             out = run_variant(cd, st, lens, lut_idx, lt,
                               seg=seg, group=args.group, variant=variant)
             return out.reshape(-1)[0] * 0.0 + acc
 
         try:
-            ms = chained_ms(step)
+            ms = chained_ms(step, (cd, st, lens, lut_idx, lt))
         except Exception as e:        # noqa: BLE001 — report per-variant
             print(json.dumps({"variant": variant, "error": str(e)[:200]}),
                   flush=True)

@@ -189,6 +189,7 @@ def synthetic_dataset_device(
     chunk: int = 1 << 20,
     parts: Tuple[str, ...] = ("xb", "xt", "xq"),
     to_host: bool = True,
+    spectrum_tau: float = 0.0,
 ) -> Dataset:
     """Clustered synthetic corpus generated ON the accelerator.
 
@@ -205,7 +206,16 @@ def synthetic_dataset_device(
 
     ``to_host=False`` leaves the splits as device arrays — combine with the
     device-resident ``build_ivfpq`` path so the corpus never crosses the
-    (slow) host↔device link at all."""
+    (slow) host↔device link at all.
+
+    ``spectrum_tau > 0`` makes the within-cluster covariance *anisotropic*:
+    component j of the latent draw is scaled by ``exp(-j / tau)`` before the
+    random mixing, so the local covariance has an exponentially decaying
+    eigen-spectrum in a non-axis-aligned basis — the statistics of real
+    descriptor corpora (SIFT's covariance spectrum decays to noise within
+    ~d/2 components; iid-Gaussian clusters are PQ's information-theoretic
+    worst case, see ``synthetic_dataset``).  0 keeps the legacy isotropic
+    low-rank draw (and its PRNG stream / cache keys)."""
     import jax
     import jax.numpy as jnp
 
@@ -214,6 +224,11 @@ def synthetic_dataset_device(
     k_c, k_p = jax.random.split(key)
     centers = jax.random.normal(k_c, (n_clusters, d), jnp.float32) * 4.0
     proj = jax.random.normal(k_p, (rank, d), jnp.float32) / np.sqrt(rank)
+    if spectrum_tau > 0:
+        lam = jnp.exp(-jnp.arange(rank, dtype=jnp.float32) / spectrum_tau)
+        # keep total within-cluster energy comparable to the isotropic draw
+        lam = lam * jnp.sqrt(rank / jnp.sum(lam * lam))
+        proj = proj * lam[:, None]
 
     import functools
 
@@ -249,6 +264,7 @@ def synthetic_dataset(
     seed: int = 0,
     n_clusters: int = 0,
     rank: Optional[int] = None,
+    spectrum_tau: float = 0.0,
 ) -> Dataset:
     """Deterministic synthetic dataset.
 
@@ -265,6 +281,11 @@ def synthetic_dataset(
         rank = rank or max(4, d // 4)
         centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 4.0
         proj = rng.standard_normal((rank, d)).astype(np.float32) / np.sqrt(rank)
+        if spectrum_tau > 0:
+            # anisotropic within-cluster spectrum (see the device generator)
+            lam = np.exp(-np.arange(rank, dtype=np.float32) / spectrum_tau)
+            lam *= np.sqrt(rank / np.sum(lam * lam))
+            proj = proj * lam[:, None]
 
         def draw(n, salt):
             r = np.random.default_rng(seed + salt)

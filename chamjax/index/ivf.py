@@ -174,22 +174,47 @@ def build_ivfpq(
     on_device = isinstance(xb, jax.Array)
 
     opq_R = None
+    centroids = None
+    train_assign = None
     if cfg.opq:
-        # OPQ trains on (a sample of) xt — small; pull if device-resident.
-        opq_R, _ = train_opq(np.asarray(xt), cfg.m, nbits=cfg.nbits,
-                             seed=seed)
-        R = jnp.asarray(opq_R) if on_device else opq_R
-        xt_r = xt @ R
-        xb_r = xb @ R
+        if cfg.by_residual:
+            # Residual-OPQ: the rotation must minimize PQ error of what PQ
+            # actually encodes — the coarse residuals.  L2 is rotation-
+            # invariant, so coarse k-means in raw space gives the same
+            # cells; train R on a residual sample, then fold the rotation
+            # into the centroids (search stays q @ R → coarse → residual).
+            if verbose:
+                print(f"[build] kmeans nlist={cfg.nlist} (pre-OPQ)",
+                      file=sys.stderr, flush=True)
+            cent_raw = kmeans(xt, cfg.nlist, iters=kmeans_iters, seed=seed)
+            train_assign = kmeans_assign(xt, cent_raw)
+            n_s = min(xt.shape[0], 1 << 17)
+            if on_device:
+                resid = (xt[:n_s]
+                         - jnp.asarray(cent_raw)[jnp.asarray(
+                             train_assign[:n_s])])
+                resid = np.asarray(resid)
+            else:
+                resid = xt[:n_s] - cent_raw[train_assign[:n_s]]
+            opq_R, _ = train_opq(resid, cfg.m, nbits=cfg.nbits, seed=seed)
+            R = jnp.asarray(opq_R) if on_device else opq_R
+            xt_r, xb_r = xt @ R, xb @ R
+            centroids = np.asarray(cent_raw) @ opq_R
+        else:
+            opq_R, _ = train_opq(np.asarray(xt), cfg.m, nbits=cfg.nbits,
+                                 seed=seed)
+            R = jnp.asarray(opq_R) if on_device else opq_R
+            xt_r = xt @ R
+            xb_r = xb @ R
     else:
         xt_r, xb_r = xt, xb
 
-    if verbose:
-        print(f"[build] kmeans nlist={cfg.nlist} on {xt_r.shape}",
-              file=sys.stderr, flush=True)
-    centroids = kmeans(xt_r, cfg.nlist, iters=kmeans_iters, seed=seed)
-
-    train_assign = kmeans_assign(xt_r, centroids)
+    if centroids is None:
+        if verbose:
+            print(f"[build] kmeans nlist={cfg.nlist} on {xt_r.shape}",
+                  file=sys.stderr, flush=True)
+        centroids = kmeans(xt_r, cfg.nlist, iters=kmeans_iters, seed=seed)
+        train_assign = kmeans_assign(xt_r, centroids)
     if cfg.by_residual:
         cent_rows = (jnp.asarray(centroids)[jnp.asarray(train_assign)]
                      if on_device else centroids[train_assign])

@@ -128,6 +128,31 @@ def pq_decode(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     return picked.reshape(codes.shape[0], m * dsub)
 
 
+def _eig_alloc_init(x: np.ndarray, m: int) -> np.ndarray:
+    """Eigenvalue-allocation OPQ init (the OPQ paper's parametric solution):
+    PCA-rotate, then greedily deal eigen-directions (descending eigenvalue)
+    to the subspace with the smallest eigenvalue *product* so each of the M
+    codebooks faces equal variance.  On anisotropic data this beats a Haar-
+    random start by several recall points and converges in fewer alternations.
+    """
+    d = x.shape[1]
+    dsub = d // m
+    cov = np.cov(x.astype(np.float64), rowvar=False)
+    w, v = np.linalg.eigh(cov)                    # ascending
+    w, v = w[::-1], v[:, ::-1]                    # descending
+    logs = np.log(np.maximum(w, 1e-12))
+    buckets = [[] for _ in range(m)]
+    sums = np.zeros(m)
+    for j in range(d):
+        for b in np.argsort(sums):
+            if len(buckets[b]) < dsub:
+                buckets[b].append(j)
+                sums[b] += logs[j]
+                break
+    perm = [j for b in buckets for j in b]
+    return np.ascontiguousarray(v[:, perm], np.float32)
+
+
 def train_opq(
     x: np.ndarray,
     m: int,
@@ -136,9 +161,15 @@ def train_opq(
     pq_iters: int = 8,
     seed: int = 0,
     max_train: int = 1 << 17,
+    init: str = "eig",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """OPQ: alternate PQ training with an orthogonal-Procrustes rotation
     update (the ``OPQ{m}`` prefix of reference index keys).
+
+    ``init``: ``"eig"`` (eigenvalue-allocation, default) or ``"random"``
+    (Haar).  Train on the vectors PQ will actually encode — for a
+    ``by_residual`` IVF that means coarse *residuals*, not raw vectors
+    (``build_ivfpq`` does this).
 
     Returns ``(R (d, d) float32, codebooks (m, 2**nbits, d//m))``; apply as
     ``x @ R`` before encoding/search.
@@ -148,10 +179,12 @@ def train_opq(
     if n > max_train:
         x = x[np.sort(rng.choice(n, size=max_train, replace=False))]
     x = np.ascontiguousarray(x, np.float32)
-    # Random orthogonal init (Haar) — breaks subspace-alignment pathologies.
-    A = rng.standard_normal((d, d)).astype(np.float32)
-    Q, _ = np.linalg.qr(A)
-    R = Q.astype(np.float32)
+    if init == "eig":
+        R = _eig_alloc_init(x, m)
+    else:
+        A = rng.standard_normal((d, d)).astype(np.float32)
+        Q, _ = np.linalg.qr(A)
+        R = Q.astype(np.float32)
     codebooks = None
     for _ in range(outer_iters):
         xr = x @ R
