@@ -1,0 +1,265 @@
+#!/usr/bin/env python
+"""Billion-vector IVF-PQ benchmark: the reference's headline scale.
+
+Every Chameleon headline is a 1000M corpus (SIFT1000M/Deep1000M search,
+RALM-S/L-1000M serving — ``BASELINE.md``; FPGA analytic QPS ≈ 2,048 at
+nprobe=32/nlist=32768, measured 1,911-1,932).  1B×PQ16 is ~16 GB codes +
+4 GB ids — beyond one v5e's 16 GB HBM — so this driver realizes the two
+designed 1B paths and measures both at TRUE 1B shapes on one chip:
+
+1. **Row-sharded HBM serving** (the scale-out design): the corpus splits
+   into ``--shards`` row ranges; ONE global coarse/product quantizer is
+   trained, then every shard is built against it — i.e. each inverted
+   list's rows split across shards exactly like the FPGA splits every
+   list round-robin across its 4 DRAM banks
+   (``extract_Enzian_U250_required_data.py:296-360``).  A query probes
+   the same global lists in every shard; merged top-k is bit-equivalent
+   to a single giant index.  The chip builds+serves each shard
+   SEQUENTIALLY (swap-in/swap-out), measuring per-shard scan latency at
+   the real per-chip working set — the per-chip number an 8-chip mesh
+   (``parallel/sharded_search.py``, driver-validated by
+   ``__graft_entry__.dryrun_multichip``) sustains in parallel; recall is
+   measured against exact 1B ground truth computed the same streamed way.
+2. **Host-streamed serving** (the single-chip capacity design,
+   ``chamjax/streamed.py``): codes/ids host-resident, probed windows
+   staged per batch.  Measured separately in RESULTS.md — through this
+   environment's ~2 MB/s axon tunnel it measures the tunnel; the design
+   ceiling on a PCIe host is the slab bandwidth.
+
+Usage (real TPU, ~30-40 min):
+    python benchmarks/bench_1b.py                 # 2^30 rows in 8 shards
+    python benchmarks/bench_1b.py --shards 2 --shard-rows 8388608  # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_T0 = time.time()
+
+
+def note(msg: str) -> None:
+    print(f"[1b +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from chamjax.config import IndexConfig
+    from chamjax.eval import recall_at_k
+    from chamjax.index import build_ivfpq_device, compute_ground_truth_streamed
+    from chamjax.index.device_build import lloyd_device, _assign_blocked
+    from chamjax.index.pq import train_pq
+    from chamjax.searcher import auto_seg, auto_windows, ivfpq_search
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--shard-rows", type=int, default=128 * (1 << 20),
+                    help="rows per shard (default 2^27 -> 2^30 total)")
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--nlist", type=int, default=65536)
+    ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--nprobes", type=str, default="8,32")
+    ap.add_argument("--nq-gt", type=int, default=128)
+    ap.add_argument("--seg", type=int, default=0)
+    ap.add_argument("--group", type=int, default=8)
+    ap.add_argument("--n-clusters", type=int, default=65536)
+    ap.add_argument("--spectrum-tau", type=float, default=0.0)
+    ap.add_argument("--nt", type=int, default=2_000_000)
+    ap.add_argument("--chunk", type=int, default=1 << 22)
+    ap.add_argument("--block", type=int, default=4096)
+    ap.add_argument("--kmeans-iters", type=int, default=8)
+    ap.add_argument("--pq-iters", type=int, default=10)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--recall-target", type=float, default=0.99)
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
+    note(f"backend {jax.default_backend()} {jax.devices()}")
+
+    d = args.d
+    nb_total = args.shards * args.shard_rows
+    rank = max(4, d // 4)
+    key = jax.random.PRNGKey(args.seed)
+    k_c, k_p = jax.random.split(key)
+    centers = jax.random.normal(k_c, (args.n_clusters, d), jnp.float32) * 4.0
+    proj = jax.random.normal(k_p, (rank, d), jnp.float32) / np.sqrt(rank)
+    if args.spectrum_tau > 0:
+        lam = jnp.exp(-jnp.arange(rank, dtype=jnp.float32)
+                      / args.spectrum_tau)
+        lam = lam * jnp.sqrt(rank / jnp.sum(lam * lam))
+        proj = proj * lam[:, None]
+
+    GEN = 1 << 20
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def _gen(k, n):
+        k1, k2, k3 = jax.random.split(k, 3)
+        asg = jax.random.randint(k1, (n,), 0, args.n_clusters)
+        z = jax.random.normal(k2, (n, rank), jnp.float32)
+        noise = jax.random.normal(k3, (n, d), jnp.float32) * 0.05
+        return centers[asg] + jnp.dot(z, proj) + noise
+
+    def draw_global(salt):
+        base = jax.random.fold_in(key, salt)
+
+        def draw(s, c):
+            assert s % GEN == 0 and c % GEN == 0, (s, c)
+            parts = [_gen(jax.random.fold_in(base, s + i), GEN)
+                     for i in range(0, c, GEN)]
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        return draw
+
+    draw_b = draw_global(1)
+    assert args.shard_rows % GEN == 0 and args.chunk % GEN == 0
+
+    nt = (args.nt // args.block) * args.block
+    xt = jnp.concatenate(
+        [_gen(jax.random.fold_in(jax.random.fold_in(key, 2), i), GEN)
+         for i in range(0, nt + GEN - 1, GEN)])[:nt]
+    xq = _gen(jax.random.fold_in(key, 3), GEN)[: args.nq_gt]
+    note(f"train sample {xt.shape}, queries {xq.shape}")
+
+    # -------- global quantizers: trained ONCE, shared by all shards ------
+    cfg = IndexConfig(dim=d, nlist=args.nlist, m=args.m, list_pad=128)
+    t0 = time.time()
+    cent = lloyd_device(xt, cfg.nlist, iters=args.kmeans_iters,
+                        seed=args.seed, block=args.block, cand=8)
+    a_t = _assign_blocked(xt, cent, block=args.block, cand=8)
+    cbooks = jnp.asarray(train_pq(xt - cent[a_t], cfg.m, nbits=8,
+                                  iters=args.pq_iters, seed=args.seed))
+    del a_t
+    note(f"global quantizers trained in {time.time() - t0:.1f}s "
+         f"(nlist={cfg.nlist}, m={cfg.m})")
+
+    nprobes = [int(x) for x in args.nprobes.split(",")]
+    per_shard = {np_: [] for np_ in nprobes}   # (d, i) host results
+    shard_ms = {np_: [] for np_ in nprobes}
+    gt_d_parts, gt_i_parts = [], []
+    build_s_total = 0.0
+    seg_w = {}          # fixed after shard 0 so compiled programs reuse
+    chain_cache = {}    # one chained-slope program per kw signature
+
+    def get_chain(kw):
+        ck = tuple(sorted(kw.items()))
+        if ck not in chain_cache:
+            @jax.jit
+            def chain(steps, dev, q):
+                def body(_i, acc):
+                    dd, _ = ivfpq_search(dev, q + acc, **kw)
+                    return dd[0, 0] * 0.0
+                return jax.lax.fori_loop(0, steps, body, jnp.float32(0.0))
+            chain_cache[ck] = chain
+        return chain_cache[ck]
+
+    for s in range(args.shards):
+        row0 = s * args.shard_rows
+
+        def draw_shard(a, c, _row0=row0):
+            return draw_b(_row0 + a, c)
+
+        t0 = time.time()
+        dev, info = build_ivfpq_device(
+            draw_shard, args.shard_rows, cfg, None,
+            chunk=args.chunk, block=args.block,
+            quantizers=(cent, cbooks, None), verbose=False)
+        jax.block_until_ready(dev.codes_t)
+        b_s = time.time() - t0
+        build_s_total += b_s
+        lens = info["list_len"]
+        note(f"shard {s}: built {args.shard_rows} rows in {b_s:.1f}s; "
+             f"list p50/p99/max="
+             f"{np.percentile(lens, [50, 99, 100]).astype(int).tolist()}")
+
+        # exact GT over this shard (streamed, same generator)
+        t0 = time.time()
+        g_i, g_d = compute_ground_truth_streamed(
+            draw_shard, args.shard_rows, xq, k=10, chunk=args.chunk)
+        gt_i_parts.append(np.asarray(g_i, np.int64) + row0)
+        gt_d_parts.append(np.asarray(g_d))
+        note(f"shard {s}: ground truth in {time.time() - t0:.1f}s")
+
+        for np_ in nprobes:
+            if np_ not in seg_w:
+                seg0 = args.seg or auto_seg(lens)
+                W0 = auto_windows(lens, seg0, np_)
+                W0 += (-W0) % args.group
+                seg_w[np_] = (seg0, W0)
+            seg, W = seg_w[np_]
+            kw = dict(nprobe=np_, k=args.k, windows=W, seg=seg,
+                      group=args.group, use_approx=True,
+                      recall_target=args.recall_target, backend="seg")
+            d_r, i_r = ivfpq_search(dev, xq, **kw)
+            d_h = np.asarray(d_r)
+            i_h = np.asarray(i_r, np.int64)
+            i_h = np.where(i_h >= 0, i_h + row0, -1)
+            per_shard[np_].append((d_h, i_h))
+
+            # per-shard scan latency: chained fori_loop slope (one compile
+            # per kw, reused across shards; index passed as a jit ARG --
+            # closed-over buffers overflow the remote compile service)
+            chain = get_chain(kw)
+            qb = xq[: args.batch] if args.batch <= xq.shape[0] else \
+                jnp.tile(xq, (args.batch // xq.shape[0] + 1, 1))[: args.batch]
+            for st in (2, 10):
+                np.asarray(chain(st, dev, qb))
+            ts = {}
+            for st in (2, 10):
+                t0 = time.perf_counter()
+                np.asarray(chain(st, dev, qb))
+                ts[st] = time.perf_counter() - t0
+            ms = (ts[10] - ts[2]) / 8 * 1e3
+            shard_ms[np_].append(ms)
+            note(f"shard {s} nprobe={np_}: {ms:.2f} ms/batch{args.batch}")
+        del dev
+
+    # -------- merge: exact 1B ground truth + per-shard answers -----------
+    gt_d = np.concatenate(gt_d_parts, axis=1)
+    gt_i = np.concatenate(gt_i_parts, axis=1)
+    order = np.argsort(gt_d, axis=1, kind="stable")[:, :10]
+    gt_1b = np.take_along_axis(gt_i, order, axis=1)
+
+    results = []
+    for np_ in nprobes:
+        dd = np.concatenate([p[0] for p in per_shard[np_]], axis=1)
+        ii = np.concatenate([p[1] for p in per_shard[np_]], axis=1)
+        order = np.argsort(dd, axis=1, kind="stable")[:, : args.k]
+        ii_k = np.take_along_axis(ii, order, axis=1)
+        r1 = recall_at_k(ii_k, gt_1b, 1)
+        r10 = recall_at_k(ii_k, gt_1b, 10)
+        ms_max = max(shard_ms[np_])
+        ms_sum = sum(shard_ms[np_])
+        res = {
+            "nb": nb_total, "shards": args.shards, "nprobe": np_,
+            "k": args.k, "batch": args.batch,
+            "R@1": round(float(r1), 4), "R@10": round(float(r10), 4),
+            "per_shard_ms_max": round(ms_max, 3),
+            "per_shard_ms_mean": round(ms_sum / args.shards, 3),
+            # an n-chip mesh runs shards in parallel; merge (all_gather of
+            # (shards, b, k) + top-k) is sub-ms at these shapes
+            "projected_mesh_qps": round(args.batch / ms_max * 1e3, 1),
+            "sequential_1chip_qps": round(args.batch / ms_sum * 1e3, 1),
+            "build_s_total": round(build_s_total, 1),
+        }
+        results.append(res)
+        print(json.dumps(res), flush=True)
+
+    note("reference anchor: FPGA 1,911-1,932 QPS / analytic 2,048 QPS at "
+         "SIFT1000M nprobe=32 (BASELINE.md)")
+
+
+if __name__ == "__main__":
+    main()

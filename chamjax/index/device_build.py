@@ -248,50 +248,69 @@ def _pack_codes_t(codes: jax.Array, gather_ids: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
-                         chunk, block, cand, verbose):
+                         chunk, block, cand, verbose, quantizers=None):
     """Shared front half of the streamed builders: (optionally OPQ-)train
     quantizers and stream-assign/encode the corpus.  Returns
-    ``(cent, cbooks, opq_R, assignment, codes)`` — all device arrays."""
+    ``(cent, cbooks, opq_R, assignment, codes)`` — all device arrays.
+
+    ``quantizers=(cent, cbooks, opq_R)`` skips training entirely and
+    encodes against the given arrays — the shard-at-a-time 1B path trains
+    once globally, then row-shards every list across sequential builds
+    (the FPGA's own 4-bank round-robin list split,
+    ``extract_Enzian_U250_required_data.py:296-360``, scaled up)."""
     from chamjax.index.pq import train_opq, train_pq
 
     assert cfg.nbits == 8, "streamed device build is specialized for 8-bit PQ"
-    if callable(xt):
-        # lazy sample: materialized here and freed right after training, so
-        # a multi-GB (nt, d) sample doesn't sit in HBM through the pack
-        xt = xt()
-    xt = xt.astype(jnp.float32)
+    if quantizers is not None:
+        cent, cbooks, opq_R = quantizers
+        cent = jnp.asarray(cent, jnp.float32)
+        cbooks = jnp.asarray(cbooks, jnp.float32)
+        if opq_R is not None:
+            opq_R = jnp.asarray(opq_R, jnp.float32)
+            base_draw = draw
 
-    opq_R = None
-    if cfg.opq:
-        # OPQ trains host-side on a small subsample — the single host pull
-        # this builder allows (≤131k rows; the corpus itself never crosses).
-        sample = np.asarray(xt[: 1 << 17])
+            def draw(s, c, _base=base_draw, _R=opq_R):   # noqa: F811
+                return jnp.dot(_base(s, c), _R,
+                               precision=jax.lax.Precision.HIGHEST)
+    else:
+        if callable(xt):
+            # lazy sample: materialized here and freed right after
+            # training, so a multi-GB (nt, d) sample doesn't sit in HBM
+            # through the pack
+            xt = xt()
+        xt = xt.astype(jnp.float32)
+
+        opq_R = None
+        if cfg.opq:
+            # OPQ trains host-side on a small subsample — the single host
+            # pull this builder allows (≤131k rows).
+            sample = np.asarray(xt[: 1 << 17])
+            if verbose:
+                print(f"[build-dev] OPQ on {sample.shape}", flush=True)
+            R_host, _ = train_opq(sample, cfg.m, nbits=cfg.nbits, seed=seed)
+            opq_R = jnp.asarray(R_host)
+            xt = jnp.dot(xt, opq_R, precision=jax.lax.Precision.HIGHEST)
+            base_draw = draw
+
+            def draw(s, c, _base=base_draw, _R=opq_R):   # noqa: F811
+                return jnp.dot(_base(s, c), _R,
+                               precision=jax.lax.Precision.HIGHEST)
         if verbose:
-            print(f"[build-dev] OPQ on {sample.shape}", flush=True)
-        R_host, _ = train_opq(sample, cfg.m, nbits=cfg.nbits, seed=seed)
-        opq_R = jnp.asarray(R_host)
-        xt = jnp.dot(xt, opq_R, precision=jax.lax.Precision.HIGHEST)
-        base_draw = draw
+            print(f"[build-dev] lloyd nlist={cfg.nlist} on {xt.shape}",
+                  flush=True)
+        cent = lloyd_device(xt, cfg.nlist, iters=kmeans_iters, seed=seed,
+                            block=block, cand=cand, verbose=verbose)
 
-        def draw(s, c, _base=base_draw, _R=opq_R):   # noqa: F811
-            return jnp.dot(_base(s, c), _R,
-                           precision=jax.lax.Precision.HIGHEST)
-    if verbose:
-        print(f"[build-dev] lloyd nlist={cfg.nlist} on {xt.shape}",
-              flush=True)
-    cent = lloyd_device(xt, cfg.nlist, iters=kmeans_iters, seed=seed,
-                        block=block, cand=cand, verbose=verbose)
-
-    # PQ trains on (residuals of) the training sample — train_pq keeps
-    # device arrays on device and only pulls (m, 256, dsub) per iteration.
-    a_t = _assign_blocked(xt, cent, block=block, cand=cand)
-    train_vecs = xt - cent[a_t] if cfg.by_residual else xt
-    if verbose:
-        print(f"[build-dev] PQ m={cfg.m}", flush=True)
-    cbooks = jnp.asarray(train_pq(train_vecs, cfg.m, nbits=cfg.nbits,
-                                  iters=pq_iters, seed=seed))
-    del xt, train_vecs, a_t          # free the training sample before the
-    #                                  corpus-sized encode/pack buffers
+        # PQ trains on (residuals of) the training sample — train_pq keeps
+        # device arrays on device, pulling (m, 256, dsub) per iteration.
+        a_t = _assign_blocked(xt, cent, block=block, cand=cand)
+        train_vecs = xt - cent[a_t] if cfg.by_residual else xt
+        if verbose:
+            print(f"[build-dev] PQ m={cfg.m}", flush=True)
+        cbooks = jnp.asarray(train_pq(train_vecs, cfg.m, nbits=cfg.nbits,
+                                      iters=pq_iters, seed=seed))
+        del xt, train_vecs, a_t      # free the training sample before the
+        #                              corpus-sized encode/pack buffers
 
     # streamed assign + encode; the non-block-aligned tail runs as one
     # extra small-shape call (one extra compile, zero dropped rows)
@@ -334,6 +353,7 @@ def build_ivfpq_device(
     cand: int = 8,
     tail_pad: Optional[int] = None,
     verbose: bool = False,
+    quantizers=None,
 ):
     """Train + populate an IVF-PQ index without ever materializing the
     corpus (neither on host nor fully in HBM).
@@ -348,6 +368,10 @@ def build_ivfpq_device(
     supported: ``cfg.opq`` host-trains the rotation on a ≤131k-row sample
     inside ``_train_encode_stream`` and folds it into ``draw``; only the
     *sharded* builder asserts it away.
+
+    ``quantizers=(centroids, codebooks, opq_R)`` populates against preset
+    quantizers (no training) — the shard-at-a-time path for corpora beyond
+    one chip's HBM (``benchmarks/bench_1b.py``).
     """
     from chamjax.ops.scan_seg import MAX_SEG
     from chamjax.searcher import DeviceIVF
@@ -356,7 +380,8 @@ def build_ivfpq_device(
         tail_pad = 8192
     cent, cbooks, opq_R, assignment, codes = _train_encode_stream(
         draw, n, cfg, xt, kmeans_iters=kmeans_iters, pq_iters=pq_iters,
-        seed=seed, chunk=chunk, block=block, cand=cand, verbose=verbose)
+        seed=seed, chunk=chunk, block=block, cand=cand, verbose=verbose,
+        quantizers=quantizers)
     n_use = n
 
     # device pack into the searcher's CSR layout (+MAX_SEG overread pad)

@@ -201,3 +201,30 @@ def test_device_retriever_contract(ds):
     # fused path returns device arrays with the same content
     out_d = r.retrieve_device(jnp.asarray(ds.xq), nprobe=16, k=10)
     np.testing.assert_array_equal(np.asarray(out_d.ids), out.ids)
+
+
+def test_build_device_preset_quantizers():
+    """Shard-at-a-time 1B path: populate against frozen global quantizers
+    must equal a normal build that trained them itself."""
+    import jax.numpy as jnp
+    from chamjax.index.device_build import build_ivfpq_device
+
+    ds = synthetic_dataset(nb=6000, nq=8, nt=3000, d=32, seed=21,
+                           n_clusters=32)
+    cfg = IndexConfig(dim=32, nlist=32, m=8, list_pad=64)
+    xb = jnp.asarray(ds.xb)
+
+    def draw(s, c):
+        return xb[s:s + c]
+
+    dev_a, info_a = build_ivfpq_device(
+        draw, ds.nb, cfg, jnp.asarray(ds.xt), kmeans_iters=4, pq_iters=4,
+        chunk=4096, block=512)
+    dev_b, info_b = build_ivfpq_device(
+        draw, ds.nb, cfg, None, chunk=4096, block=512,
+        quantizers=(dev_a.centroids, dev_a.codebooks, None))
+    np.testing.assert_array_equal(np.asarray(dev_a.codes_t),
+                                  np.asarray(dev_b.codes_t))
+    np.testing.assert_array_equal(np.asarray(dev_a.ids),
+                                  np.asarray(dev_b.ids))
+    np.testing.assert_array_equal(info_a["list_len"], info_b["list_len"])
