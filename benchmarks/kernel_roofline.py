@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 HBM_GBPS = 819.0          # v5e spec
 
 
-def chained_ms(make_step, steps_small=4, steps_large=16):
+def chained_ms(make_step, arrays, steps_small=4, steps_large=16):
     import jax
     import jax.numpy as jnp
 
@@ -40,16 +40,17 @@ def chained_ms(make_step, steps_small=4, steps_large=16):
     # lengths (static-length scan would recompile the Mosaic kernel per
     # length — minutes each through the remote compile service)
     @jax.jit
-    def run(steps):
+    def run(steps, *arrays):
         return jax.lax.fori_loop(
-            0, steps, lambda _i, acc: make_step(acc), jnp.float32(0.0))
+            0, steps, lambda _i, acc: make_step(acc, *arrays),
+            jnp.float32(0.0))
 
     for s in (steps_small, steps_large):
-        np.asarray(run(s))
+        np.asarray(run(s, *arrays))
     ts = {}
     for s in (steps_small, steps_large):
         t0 = time.perf_counter()
-        np.asarray(run(s))
+        np.asarray(run(s, *arrays))
         ts[s] = time.perf_counter() - t0
     return (ts[steps_large] - ts[steps_small]) / (
         steps_large - steps_small) * 1e3
@@ -99,14 +100,16 @@ def main() -> None:
                 lut_bf16 = variant.endswith("bf16")
                 lt = luts_p if lut_bf16 else luts
 
-                def step(acc, lt=lt, starts=starts, lens=lens, seg=seg,
-                         group=group, lut_bf16=lut_bf16):
+                def step(acc, codes_t, starts, lens, lut_idx, lt,
+                         seg=seg, group=group, lut_bf16=lut_bf16):
+                    iacc = jnp.int32(acc)   # real data dep, zero at runtime
                     out = adc_scan_segments_multi(
-                        codes_t, starts, lens, lut_idx, lt,
+                        codes_t, starts ^ iacc, lens, lut_idx ^ iacc, lt,
                         seg=seg, group=group, lut_bf16=lut_bf16)
                     return out.reshape(-1)[0] * 0.0 + acc
 
-                ms = chained_ms(step)
+                ms = chained_ms(step,
+                                (codes_t, starts, lens, lut_idx, lt))
                 grows = total_rows / ms / 1e6
                 gbs = grows * m
                 rows.append(dict(variant=variant, seg=seg, group=group,

@@ -242,7 +242,12 @@ def main():
         lt = luts_p if variant.startswith("bf16") else luts
 
         def step(acc, cd, st, lens, lut_idx, lt, variant=variant):
-            out = run_variant(cd, st, lens, lut_idx, lt,
+            # thread the carry through a consumed input (xor with the
+            # always-zero int carry) -- without a real data dependency XLA
+            # hoists the loop-invariant kernel out of the fori_loop and the
+            # slope measures nothing
+            iacc = jnp.int32(acc)
+            out = run_variant(cd, st ^ iacc, lens, lut_idx ^ iacc, lt,
                               seg=seg, group=args.group, variant=variant)
             return out.reshape(-1)[0] * 0.0 + acc
 

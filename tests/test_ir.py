@@ -315,3 +315,49 @@ def test_seq2seq_reranker_contract():
              for qid in list(queries)[:2]}
     out = Rerank(model).rerank(corpus, queries, first, top_k=5)
     assert all(len(v) == 5 for v in out.values())
+
+
+def test_hf_encoder_local_checkpoint(tmp_path):
+    """HFEncoder against a real transformers checkpoint built locally
+    (random weights — no network): load path, tokenization, masking and
+    mean pooling are validated against a manual forward (VERDICT r1:
+    encoder adapters had never run a real checkpoint)."""
+    torch = pytest.importorskip("torch")
+    from transformers import BertConfig, BertModel, BertTokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "the", "cat", "sat", "on", "mat", "dog", "ran"]
+    vpath = tmp_path / "vocab.txt"
+    vpath.write_text("\n".join(vocab))
+    tok = BertTokenizer(str(vpath), do_lower_case=True)
+    cfg = BertConfig(vocab_size=len(vocab), hidden_size=16,
+                     num_hidden_layers=1, num_attention_heads=2,
+                     intermediate_size=32, max_position_embeddings=32)
+    torch.manual_seed(0)
+    model = BertModel(cfg)
+    mdir = tmp_path / "tiny-bert"
+    model.save_pretrained(mdir)
+    tok.save_pretrained(mdir)
+
+    from chamjax.ir.dense import HFEncoder
+    enc = HFEncoder(model_name=str(mdir), max_length=16)
+    texts = ["the cat sat", "dog ran", "the dog sat on the mat"]
+    q = enc.encode_queries(texts, batch_size=2)
+    assert q.shape == (3, 16) and q.dtype == np.float32
+    # determinism across calls + batch-size invariance
+    q2 = enc.encode_queries(texts, batch_size=3)
+    np.testing.assert_allclose(q, q2, atol=1e-5)
+
+    # manual mean-pooled forward for one text must match
+    model.eval()            # HFEncoder eval()s its copy; disable dropout
+    with torch.no_grad():
+        e = tok(["dog ran"], return_tensors="pt")
+        h = model(**e).last_hidden_state
+        mask = e["attention_mask"].unsqueeze(-1)
+        ref = ((h * mask).sum(1) / mask.sum(1)).numpy()[0]
+    np.testing.assert_allclose(q[1], ref, atol=1e-5)
+
+    # corpus flavor with title+text dicts
+    c = enc.encode_corpus([{"title": "the", "text": "cat"},
+                           {"text": "dog"}])
+    assert c.shape == (2, 16)
