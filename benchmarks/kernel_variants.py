@@ -75,6 +75,17 @@ def _tile_nogather(lut, cc):
     return jnp.sum(cc.astype(jnp.float32), axis=0)
 
 
+# byte-extraction variants: the u8 scratch is viewed as i32 (m, seg/4)
+# (reshape+bitcast, no cross-lane moves); extraction round b yields codes
+# for *permuted* positions p = 4*f + b.  The astype-free unpack is 2 ops
+# per tile; output order is a fixed recoverable permutation.
+
+
+def _codes_i32_view(codes_u8, m, seg):
+    v = codes_u8.reshape(m, seg // 4, 4)
+    return jax.lax.bitcast_convert_type(v, jnp.int32)   # (m, seg/4)
+
+
 def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
     lut_refs = rest[:group]
     codes_hbm = rest[group]
@@ -84,6 +95,11 @@ def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
     nw = pl.num_programs(0)
 
     def dma(slot, w):
+        if variant.startswith("i32view"):
+            start = pl.multiple_of(starts_ref[w] // 4, LANES // 4)
+            return pltpu.make_async_copy(
+                codes_hbm.at[:, pl.ds(start, seg // 4)], scratch.at[slot],
+                sems.at[slot])
         start = pl.multiple_of(starts_ref[w], LANES)
         return pltpu.make_async_copy(
             codes_hbm.at[:, pl.ds(start, seg)], scratch.at[slot],
@@ -107,10 +123,27 @@ def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
         def _(sl=sl):
             for j in range(group):
                 lut = lut_refs[j][0]
-                if variant in ("bf16", "bf16_trim"):
+                if variant in ("bf16", "bf16_trim", "bytes_bf16t"):
                     lut = jax.lax.bitcast_convert_type(lut, jnp.float32)
                 dma(sl * group + j, i * group + j).wait()
                 codes = scratch[sl * group + j]
+                if variant.startswith(("bytes_", "i32view_")):
+                    if variant.startswith("bytes_"):
+                        v32 = _codes_i32_view(codes, codes.shape[0], seg)
+                    else:
+                        v32 = codes               # DMA'd as i32 directly
+                    q = seg // 4              # lanes per extraction round
+                    for b in range(4):
+                        cb = (v32 >> (8 * b)) & 0xFF     # (m, seg/4)
+                        for t2 in range(q // LANES):
+                            cc = cb[:, t2 * LANES:(t2 + 1) * LANES]
+                            if variant.endswith("_f32"):
+                                d = _tile_f32(lut, cc)
+                            else:
+                                d = _tile_bf16_trim(lut, cc)
+                            f0 = b * q + t2 * LANES
+                            out_ref[j, f0 // LANES, :] = d
+                    continue
                 if variant != "i32codes":
                     codes = codes.astype(jnp.int32)
                 for t in range(seg // LANES):
@@ -137,7 +170,9 @@ def run_variant(codes, starts, lens, lut_idx, luts, *, seg, group, variant,
     bw = starts.shape[0]
     m = codes.shape[0]
     ksub = luts.shape[-1]
-    cdt = jnp.int32 if variant == "i32codes" else jnp.uint8
+    i32view = variant.startswith("i32view")
+    cdt = jnp.int32 if (variant == "i32codes" or i32view) else jnp.uint8
+    scr_lanes = seg // 4 if i32view else seg
 
     def lut_spec(j):
         return pl.BlockSpec(
@@ -155,7 +190,7 @@ def run_variant(codes, starts, lens, lut_idx, luts, *, seg, group, variant,
             lambda i, s, l, li: (i, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2 * group, m, seg), cdt),
+            pltpu.VMEM((2 * group, m, scr_lanes), cdt),
             pltpu.SemaphoreType.DMA((2 * group,)),
         ])
     out = pl.pallas_call(
@@ -168,7 +203,7 @@ def run_variant(codes, starts, lens, lut_idx, luts, *, seg, group, variant,
     return out.reshape(bw, seg)
 
 
-def chained_ms(make_step, arrays, steps_small=4, steps_large=16):
+def chained_ms(make_step, arrays, steps_small=8, steps_large=64):
     """``make_step(acc, *arrays) -> acc``.
 
     - fori_loop with a *traced* trip count: ONE compile serves both chain
@@ -204,8 +239,8 @@ def main():
     ap.add_argument("--m", type=int, default=16)
     ap.add_argument("--bw", type=int, default=4096)
     ap.add_argument("--n_lut", type=int, default=4096)
-    ap.add_argument("--seg", type=int, default=2048)
-    ap.add_argument("--group", type=int, default=8)
+    ap.add_argument("--segs", type=int, nargs="+", default=[2048])
+    ap.add_argument("--groups", type=int, nargs="+", default=[8])
     ap.add_argument("--variants", nargs="+",
                     default=["f32", "bf16", "bf16_trim", "i32codes",
                              "nosum", "nogather"])
@@ -215,53 +250,63 @@ def main():
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    m, n, bw, seg = args.m, args.n, args.bw, args.seg
+    m, n, bw = args.m, args.n, args.bw
     codes_u8 = jax.random.randint(k1, (m, n), 0, 256, jnp.uint8)
     luts = jax.random.uniform(k2, (args.n_lut, m, 256), jnp.float32)
     luts_p = pack_luts_bf16(luts)
     lut_idx = jax.random.randint(k3, (bw,), 0, args.n_lut, jnp.int32)
-    starts = (jax.random.randint(k4, (bw,), 0, (n - seg) // 128, jnp.int32)
-              * 128)
-    lens = jnp.full((bw,), seg, jnp.int32)
-    np.asarray(starts[0])
-    print(f"[data ready] n={n} m={m} bw={bw} seg={seg}", file=sys.stderr,
-          flush=True)
+    np.asarray(lut_idx[0])
+    print(f"[data ready] n={n} m={m} bw={bw}", file=sys.stderr, flush=True)
     codes_i32 = None
 
-    for variant in args.variants:
-        if variant == "i32codes":
-            if codes_i32 is None:
-                # 4x HBM: cap the slab so it fits alongside the u8 one
-                n32 = min(n, 4_000_000)
-                codes_i32 = codes_u8[:, :n32].astype(jnp.int32)
-                starts32 = (jax.random.randint(
-                    k4, (bw,), 0, (n32 - seg) // 128, jnp.int32) * 128)
-            cd, st = codes_i32, starts32
-        else:
-            cd, st = codes_u8, starts
-        lt = luts_p if variant.startswith("bf16") else luts
+    for seg in args.segs:
+        starts = (jax.random.randint(k4, (bw,), 0, (n - seg) // 128,
+                                     jnp.int32) * 128)
+        lens = jnp.full((bw,), seg, jnp.int32)
+        for group in args.groups:
+            for variant in args.variants:
+                if variant == "i32codes":
+                    if codes_i32 is None:
+                        # 4x HBM: cap the slab to fit beside the u8 one
+                        n32 = min(n, 4_000_000)
+                        codes_i32 = codes_u8[:, :n32].astype(jnp.int32)
+                    st = (jax.random.randint(
+                        k4, (bw,), 0, (codes_i32.shape[1] - seg) // 128,
+                        jnp.int32) * 128)
+                    cd = codes_i32
+                elif variant.startswith("i32view"):
+                    if not hasattr(main, "_v32"):
+                        main._v32 = jax.lax.bitcast_convert_type(
+                            codes_u8.reshape(m, n // 4, 4), jnp.int32)
+                    cd, st = main._v32, starts
+                else:
+                    cd, st = codes_u8, starts
+                lt = luts_p if ("bf16" in variant) else luts
 
-        def step(acc, cd, st, lens, lut_idx, lt, variant=variant):
-            # thread the carry through a consumed input (xor with the
-            # always-zero int carry) -- without a real data dependency XLA
-            # hoists the loop-invariant kernel out of the fori_loop and the
-            # slope measures nothing
-            iacc = jnp.int32(acc)
-            out = run_variant(cd, st ^ iacc, lens, lut_idx ^ iacc, lt,
-                              seg=seg, group=args.group, variant=variant)
-            return out.reshape(-1)[0] * 0.0 + acc
+                def step(acc, cd, st, lens, lut_idx, lt, variant=variant,
+                         seg=seg, group=group):
+                    # thread the carry through a consumed input (xor with
+                    # the always-zero int carry) -- without a real data
+                    # dependency XLA hoists the loop-invariant kernel out
+                    # of the fori_loop and the slope measures nothing
+                    iacc = jnp.int32(acc)
+                    out = run_variant(cd, st ^ iacc, lens, lut_idx ^ iacc,
+                                      lt, seg=seg, group=group,
+                                      variant=variant)
+                    return out.reshape(-1)[0] * 0.0 + acc
 
-        try:
-            ms = chained_ms(step, (cd, st, lens, lut_idx, lt))
-        except Exception as e:        # noqa: BLE001 — report per-variant
-            print(json.dumps({"variant": variant, "error": str(e)[:200]}),
-                  flush=True)
-            continue
-        grows = bw * seg / ms / 1e6
-        print(json.dumps({
-            "variant": variant, "seg": seg, "group": args.group,
-            "ms": round(ms, 3), "grows": round(grows, 3),
-            "code_gbs": round(grows * m, 1)}), flush=True)
+                try:
+                    ms = chained_ms(step, (cd, st, lens, lut_idx, lt))
+                except Exception as e:    # noqa: BLE001 — per-variant
+                    print(json.dumps({"variant": variant, "seg": seg,
+                                      "group": group,
+                                      "error": str(e)[:200]}), flush=True)
+                    continue
+                grows = bw * seg / ms / 1e6
+                print(json.dumps({
+                    "variant": variant, "seg": seg, "group": group,
+                    "ms": round(ms, 3), "grows": round(grows, 3),
+                    "code_gbs": round(grows * m, 1)}), flush=True)
 
 
 if __name__ == "__main__":
