@@ -201,7 +201,7 @@ def main() -> None:
               backend="seg",
               coarse_approx=os.environ.get("CHAMJAX_COARSE_APPROX",
                                            "1") == "1",
-              lut_bf16=os.environ.get("CHAMJAX_LUT_BF16", "0") == "1")
+              lut_bf16=os.environ.get("CHAMJAX_LUT_BF16", "1") == "1")
 
     # quality gate: recall@10 on 256 held-out queries
     d_r, i_r = ivfpq_search(dev, jnp.asarray(ds.xq[:256]), **kw)

@@ -96,7 +96,7 @@ def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
 
     def dma(slot, w):
         if variant.startswith("i32view"):
-            start = pl.multiple_of(starts_ref[w] // 4, LANES // 4)
+            start = pl.multiple_of(starts_ref[w] // 4, LANES)
             return pltpu.make_async_copy(
                 codes_hbm.at[:, pl.ds(start, seg // 4)], scratch.at[slot],
                 sems.at[slot])
@@ -224,12 +224,14 @@ def chained_ms(make_step, arrays, steps_small=8, steps_large=64):
         np.asarray(run(s, *arrays))
     print(f"  [compiled+warm in {time.perf_counter() - t_compile:.1f}s]",
           file=sys.stderr, flush=True)
-    ts = {}
-    for s in (steps_small, steps_large):
-        t0 = time.perf_counter()
-        np.asarray(run(s, *arrays))
-        ts[s] = time.perf_counter() - t0
-    return (ts[steps_large] - ts[steps_small]) / (
+    # min over repetitions: the chip/tunnel shows heavy contention jitter
+    ts = {steps_small: [], steps_large: []}
+    for _rep in range(3):
+        for s in (steps_small, steps_large):
+            t0 = time.perf_counter()
+            np.asarray(run(s, *arrays))
+            ts[s].append(time.perf_counter() - t0)
+    return (min(ts[steps_large]) - min(ts[steps_small])) / (
         steps_large - steps_small) * 1e3
 
 
@@ -260,8 +262,9 @@ def main():
     codes_i32 = None
 
     for seg in args.segs:
-        starts = (jax.random.randint(k4, (bw,), 0, (n - seg) // 128,
-                                     jnp.int32) * 128)
+        starts = (jax.random.randint(k4, (bw,), 0, (n - seg) // 512,
+                                     jnp.int32) * 512)   # 512-row align:
+        # i32view DMAs slice at start/4, which must hit 128-lane multiples
         lens = jnp.full((bw,), seg, jnp.int32)
         for group in args.groups:
             for variant in args.variants:
@@ -300,7 +303,7 @@ def main():
                 except Exception as e:    # noqa: BLE001 — per-variant
                     print(json.dumps({"variant": variant, "seg": seg,
                                       "group": group,
-                                      "error": str(e)[:200]}), flush=True)
+                                      "error": str(e)[:800]}), flush=True)
                     continue
                 grows = bw * seg / ms / 1e6
                 print(json.dumps({

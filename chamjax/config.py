@@ -108,6 +108,12 @@ class SearchConfig:
     # Windows processed per kernel grid step (amortizes per-step machinery;
     # 8 measured best on v5e).
     seg_group: int = 8
+    # Packed-bf16 ADC LUTs (seg backends): one lane-gather + 3-op decode
+    # per subspace instead of two gathers + select — measured 2.3-2.8x
+    # kernel throughput on v5e at full windows, recall-identical (entry
+    # rounding ~0.4% relative, far below PQ error; re-gated on device by
+    # ``bench.py --matrix``).
+    lut_bf16: bool = True
     # Approximate (approx_max_k) probe selection in the coarse scan.  Opt-in
     # (like lut_bf16): a ~2% per-element miss is absorbed by multi-probe at
     # large nprobe (measured recall-neutral at nprobe=32 on the 1M bench),

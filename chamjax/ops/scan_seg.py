@@ -62,10 +62,16 @@ def pack_luts_bf16(luts: jax.Array) -> jax.Array:
 def _adc_tile(lut_lo, lut_hi, lut_packed, cc, lut_bf16: bool):
     """Distances for one 128-lane tile of codes ``cc`` (m, 128) int32."""
     if lut_bf16:
+        # 3-op decode (constant shifts only): even code takes the low bf16
+        # half shifted up, odd keeps the high half in place — measured
+        # 2.3-2.7x the f32 path on v5e, where the original 4-op decode
+        # (variable where+mask+shift chain) was a de-optimization
+        # (benchmarks/kernel_variants.py).
         vf = jnp.take_along_axis(lut_packed, cc >> 1, axis=1)
         v = jax.lax.bitcast_convert_type(vf, jnp.int32)
-        half = jnp.where((cc & 1) == 1, v >> 16, v) & 0xFFFF
-        g = jax.lax.bitcast_convert_type(half << 16, jnp.float32)
+        hi = v & jnp.int32(-65536)
+        g = jax.lax.bitcast_convert_type(
+            jnp.where((cc & 1) == 1, hi, v << 16), jnp.float32)
     else:
         idx = cc & (LANES - 1)
         glo = jnp.take_along_axis(lut_lo, idx, axis=1)

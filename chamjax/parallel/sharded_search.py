@@ -110,7 +110,7 @@ def place_sharded(sh: ShardedIVF, mesh: Mesh, axis: str = "lists"
     jax.jit,
     static_argnames=("mesh", "axis", "nprobe", "k", "scan_len", "windows",
                      "seg", "group", "by_residual", "use_approx", "backend",
-                     "interpret"),
+                     "interpret", "lut_bf16"),
 )
 def sharded_search(
     sh: ShardedIVF,
@@ -128,6 +128,7 @@ def sharded_search(
     use_approx: bool = True,
     backend: str = "pallas",
     interpret: bool = False,
+    lut_bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full sharded search. Returns replicated ``(dists (b,k), ids (b,k))``.
 
@@ -154,7 +155,8 @@ def sharded_search(
             local_d, local_i = scan_lists_seg_multi(
                 codes_t, ids, list_start, list_len, luts, list_ids,
                 windows=w_sh, seg=seg, group=group, k=k,
-                use_approx=use_approx, interpret=interpret)
+                use_approx=use_approx, interpret=interpret,
+                lut_bf16=lut_bf16)
         elif backend == "pallas":
             local_d, local_i = scan_lists_pallas(
                 codes_t, ids, list_start, list_len, luts, list_ids,
@@ -190,7 +192,7 @@ def sharded_search(
     jax.jit,
     static_argnames=("mesh", "axis", "batch_axis", "nprobe", "k", "scan_len",
                      "windows", "seg", "group", "by_residual", "use_approx",
-                     "backend", "interpret"),
+                     "backend", "interpret", "lut_bf16"),
 )
 def sharded_search_2d(
     sh: ShardedIVF,
@@ -209,6 +211,7 @@ def sharded_search_2d(
     use_approx: bool = True,
     backend: str = "seg",
     interpret: bool = False,
+    lut_bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """2-D mesh search: queries split over ``batch_axis`` (data parallel),
     inverted lists split over ``axis`` — the multi-chip serving layout.
@@ -230,7 +233,8 @@ def sharded_search_2d(
         local_d, local_i = scan_lists_seg_multi(
             codes_t, ids, list_start, list_len, luts, list_ids,
             windows=w_sh, seg=seg, group=group, k=k,
-            use_approx=use_approx, interpret=interpret)
+            use_approx=use_approx, interpret=interpret,
+            lut_bf16=lut_bf16)
         all_d = jax.lax.all_gather(local_d, axis)     # (S, b_local, k)
         all_i = jax.lax.all_gather(local_i, axis)
         S, b = all_d.shape[0], all_d.shape[1]

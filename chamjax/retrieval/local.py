@@ -99,7 +99,8 @@ class DeviceRetriever(BaseRetriever):
             by_residual=True, use_approx=self.scfg.use_approx_topk,
             recall_target=self.scfg.approx_recall_target,
             backend="seg", interpret=self.interpret,
-            coarse_approx=self.scfg.coarse_approx and not self.interpret)
+            coarse_approx=self.scfg.coarse_approx and not self.interpret,
+            lut_bf16=self.scfg.lut_bf16)
 
     def retrieve(self, queries: np.ndarray, nprobe: int, k: int
                  ) -> RetrievalResult:

@@ -158,7 +158,7 @@ def ivfpq_search(
     jax.jit,
     static_argnames=("k", "nprobe", "scan_len", "windows", "seg", "group",
                      "by_residual", "use_approx", "recall_target", "backend",
-                     "tile", "interpret"),
+                     "tile", "interpret", "lut_bf16"),
 )
 def ivfpq_search_preassigned(
     index: DeviceIVF,
@@ -177,6 +177,7 @@ def ivfpq_search_preassigned(
     backend: str = "seg",
     tile: int = 0,
     interpret: bool = False,
+    lut_bf16: bool = False,
 ):
     """Search with externally supplied IVF cells — the disaggregated-path
     contract (reference ``retrieve_with_lists`` /
@@ -199,7 +200,8 @@ def ivfpq_search_preassigned(
         index, luts, list_ids, k=k, scan_len=scan_len, windows=windows,
         seg=seg, group=group, probe_chunk=min(8, nprobe),
         use_approx=use_approx, recall_target=recall_target, backend=backend,
-        tile=tile, interpret=interpret)
+        tile=tile, interpret=interpret,
+        lut_bf16=lut_bf16 and backend == "seg")
 
 
 def auto_seg(list_len: np.ndarray) -> int:
@@ -304,6 +306,7 @@ class IVFSearcher:
             recall_target=self.scfg.approx_recall_target,
             backend=self.backend, tile=self.tile, interpret=self.interpret,
             coarse_approx=self.scfg.coarse_approx and not self.interpret,
+            lut_bf16=self.scfg.lut_bf16,
         )
         return np.asarray(d), np.asarray(i, np.int64)
 
@@ -323,5 +326,6 @@ class IVFSearcher:
             use_approx=self.scfg.use_approx_topk,
             recall_target=self.scfg.approx_recall_target,
             backend=self.backend, tile=self.tile, interpret=self.interpret,
+            lut_bf16=self.scfg.lut_bf16,
         )
         return np.asarray(d), np.asarray(i, np.int64)

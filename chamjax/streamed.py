@@ -70,7 +70,8 @@ def plan_windows(
 @functools.partial(
     jax.jit,
     static_argnames=("nprobe", "k", "seg", "group", "use_approx",
-                     "recall_target", "interpret", "by_residual"),
+                     "recall_target", "interpret", "by_residual",
+                     "lut_bf16"),
 )
 def scan_staged(
     slab_codes: jax.Array,       # (bW, seg, m) uint8 — staged windows
@@ -90,6 +91,7 @@ def scan_staged(
     recall_target: float = 0.99,
     interpret: bool = False,
     by_residual: bool = True,
+    lut_bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Device phase 2: ADC over the staged slab + selection.
 
@@ -110,9 +112,12 @@ def scan_staged(
     lut_idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * nprobe
                + probe).reshape(-1)
     luts_k = luts.transpose(0, 1, 3, 2).reshape(b * nprobe, m, ksub)
+    if lut_bf16:
+        from chamjax.ops.scan_seg import pack_luts_bf16
+        luts_k = pack_luts_bf16(luts_k)
     dists = adc_scan_segments_multi(
         codes_t, v_starts, lens.reshape(-1), lut_idx, luts_k,
-        seg=seg, group=group, interpret=interpret)
+        seg=seg, group=group, interpret=interpret, lut_bf16=lut_bf16)
     flat = dists.reshape(b, W * seg)
     best_d, pos = select_topk(flat, k, use_approx=use_approx,
                               recall_target=recall_target)
@@ -189,5 +194,6 @@ class HostStreamedSearcher:
             nprobe=self.scfg.nprobe, k=k, seg=self.seg, group=self.group,
             use_approx=self.scfg.use_approx_topk,
             recall_target=self.scfg.approx_recall_target,
-            interpret=self.interpret, by_residual=self.cfg.by_residual)
+            interpret=self.interpret, by_residual=self.cfg.by_residual,
+            lut_bf16=self.scfg.lut_bf16)
         return np.asarray(d), np.asarray(i, np.int64)

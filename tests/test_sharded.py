@@ -85,7 +85,7 @@ def test_sharded_seg_backend_matches_single_device(setup, n_shards):
     d_sh, i_sh = sharded_search(
         sh, jnp.asarray(ds.xq[:8]), mesh=mesh, nprobe=8, k=10,
         windows=32, seg=256, group=4, use_approx=False, backend="seg",
-        interpret=True)
+        interpret=True, lut_bf16=True)   # match the production default
     single = IVFSearcher(idx, SearchConfig(nprobe=8, k=10, backend="seg",
                                            use_approx_topk=False))
     d_ref, i_ref = single.search(ds.xq[:8])
@@ -107,7 +107,7 @@ def test_sharded_2d_data_and_lists(setup):
                        NamedSharding(mesh, P("data")))
     d_sh, i_sh = sharded_search_2d(
         sh, q, mesh=mesh, nprobe=8, k=10, windows=32, seg=256, group=4,
-        use_approx=False, backend="seg", interpret=True)
+        use_approx=False, backend="seg", interpret=True, lut_bf16=True)
     single = IVFSearcher(idx, SearchConfig(nprobe=8, k=10, backend="seg",
                                            use_approx_topk=False))
     d_ref, i_ref = single.search(ds.xq[:8])
