@@ -40,14 +40,16 @@ def _note(msg: str) -> None:
           flush=True)
 
 
-def _slope_ms(run, n_small=4, n_large=36):
-    """Device ms/call via two-point dispatch-slope measurement."""
-    ts = {}
-    for n in (n_small, n_large):
-        t0 = time.perf_counter()
-        run(n)
-        ts[n] = time.perf_counter() - t0
-    return (ts[n_large] - ts[n_small]) / (n_large - n_small) * 1e3
+def _slope_ms(run, n_small=4, n_large=36, reps=3):
+    """Device ms/call via dispatch-slope; min over reps (the tunnel/chip
+    shows multi-x contention jitter — min is the uncontended estimate)."""
+    ts = {n_small: [], n_large: []}
+    for _ in range(reps):
+        for n in (n_small, n_large):
+            t0 = time.perf_counter()
+            run(n)
+            ts[n].append(time.perf_counter() - t0)
+    return (min(ts[n_large]) - min(ts[n_small])) / (n_large - n_small) * 1e3
 
 
 def _recall_matrix(ds, idx, dev, gt, base_kw, nprobe, k, ivfpq_search,
@@ -249,12 +251,13 @@ def main() -> None:
     qstack = jnp.asarray(ds.xq[256:256 + 80])
     for steps in (8, 72):
         _ = np.asarray(chained_b1(dev, qstack, steps))   # compile
-    t = {}
-    for steps in (8, 72):
-        t0 = time.perf_counter()
-        np.asarray(chained_b1(dev, qstack, steps))
-        t[steps] = time.perf_counter() - t0
-    ms_b1 = (t[72] - t[8]) / 64 * 1e3
+    t = {8: [], 72: []}
+    for _rep in range(3):
+        for steps in (8, 72):
+            t0 = time.perf_counter()
+            np.asarray(chained_b1(dev, qstack, steps))
+            t[steps].append(time.perf_counter() - t0)
+    ms_b1 = (min(t[72]) - min(t[8])) / 64 * 1e3
 
     baseline_qps = 1932.0   # reference 1FPGA-1GPU tik-tok b=128 (BASELINE.md)
     result = {
