@@ -60,6 +60,9 @@ def main() -> None:
     ap.add_argument("--seg", type=int, default=0, help="0 = auto")
     ap.add_argument("--group", type=int, default=8)
     ap.add_argument("--n-clusters", type=int, default=65536)
+    ap.add_argument("--spectrum-tau", type=float, default=0.0,
+                    help=">0: anisotropic within-cluster spectrum "
+                         "(descriptor-like statistics; see datasets.py)")
     ap.add_argument("--nt", type=int, default=2_000_000)
     ap.add_argument("--chunk", type=int, default=1 << 22)
     ap.add_argument("--block", type=int, default=4096)
@@ -82,6 +85,11 @@ def main() -> None:
     k_c, k_p = jax.random.split(key)
     centers = jax.random.normal(k_c, (args.n_clusters, d), jnp.float32) * 4.0
     proj = jax.random.normal(k_p, (rank, d), jnp.float32) / np.sqrt(rank)
+    if args.spectrum_tau > 0:
+        lam = jnp.exp(-jnp.arange(rank, dtype=jnp.float32)
+                      / args.spectrum_tau)
+        lam = lam * jnp.sqrt(rank / jnp.sum(lam * lam))
+        proj = proj * lam[:, None]
 
     GEN = 1 << 20   # fixed generator granularity → draws are identical
                     # regardless of the caller's chunking (build vs GT)
@@ -142,7 +150,7 @@ def main() -> None:
                   group=args.group,
                   by_residual=cfg.by_residual, use_approx=True,
                   recall_target=args.recall_target, backend="seg",
-                  coarse_approx=True)
+                  coarse_approx=True, lut_bf16=True)
         d_r, i_r = ivfpq_search(dev, xq[: args.nq_gt], **kw)
         r1 = recall_at_k(np.asarray(i_r), gt, 1)
         r10 = recall_at_k(np.asarray(i_r), gt, 10)
@@ -166,13 +174,15 @@ def main() -> None:
             outs = [ivfpq_search(dev, q, **kw) for q in pool]
             np.asarray(outs[-1][0][0, 0])
 
-        def slope(lo, hi):
-            ts = {}
-            for n in (lo, hi):
-                t0 = time.perf_counter()
-                run(n)
-                ts[n] = time.perf_counter() - t0
-            return (ts[hi] - ts[lo]) / (hi - lo) * 1e3
+        def slope(lo, hi, reps=3):
+            # min over reps: chip/tunnel contention jitter is multi-x
+            ts = {lo: [], hi: []}
+            for _ in range(reps):
+                for n in (lo, hi):
+                    t0 = time.perf_counter()
+                    run(n)
+                    ts[n].append(time.perf_counter() - t0)
+            return (min(ts[hi]) - min(ts[lo])) / (hi - lo) * 1e3
         ms = slope(4, 36)
         if ms < 0.5:        # fast configs: noise swamps a short slope
             ms = slope(16, 144)
