@@ -84,6 +84,10 @@ def main() -> None:
     ap.add_argument("--kmeans-iters", type=int, default=8)
     ap.add_argument("--pq-iters", type=int, default=10)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--opq", action="store_true",
+                    help="train a global OPQ rotation (reference key "
+                         "'OPQ16,IVF...,PQ16'); queries are rotated inside "
+                         "ivfpq_search, ground truth stays in raw space")
     ap.add_argument("--recall-target", type=float, default=0.99)
     args = ap.parse_args()
 
@@ -136,6 +140,15 @@ def main() -> None:
     # -------- global quantizers: trained ONCE, shared by all shards ------
     cfg = IndexConfig(dim=d, nlist=args.nlist, m=args.m, list_pad=128)
     t0 = time.time()
+    opq_R = None
+    if args.opq:
+        from chamjax.index.pq import train_opq
+        sample = np.asarray(xt[: 1 << 17])
+        R_host, _ = train_opq(sample, cfg.m, nbits=8, seed=args.seed)
+        opq_R = jnp.asarray(R_host)
+        xt = jnp.dot(xt, opq_R, precision=jax.lax.Precision.HIGHEST)
+        note(f"OPQ rotation trained on {sample.shape} "
+             f"in {time.time() - t0:.1f}s")
     cent = lloyd_device(xt, cfg.nlist, iters=args.kmeans_iters,
                         seed=args.seed, block=args.block, cand=8)
     a_t = _assign_blocked(xt, cent, block=args.block, cand=8)
@@ -175,7 +188,7 @@ def main() -> None:
         dev, info = build_ivfpq_device(
             draw_shard, args.shard_rows, cfg, None,
             chunk=args.chunk, block=args.block,
-            quantizers=(cent, cbooks, None), verbose=False)
+            quantizers=(cent, cbooks, opq_R), verbose=False)
         jax.block_until_ready(dev.codes_t)
         b_s = time.time() - t0
         build_s_total += b_s
@@ -201,7 +214,8 @@ def main() -> None:
             seg, W = seg_w[np_]
             kw = dict(nprobe=np_, k=args.k, windows=W, seg=seg,
                       group=args.group, use_approx=True,
-                      recall_target=args.recall_target, backend="seg")
+                      recall_target=args.recall_target, backend="seg",
+                      lut_bf16=True)
             d_r, i_r = ivfpq_search(dev, xq, **kw)
             d_h = np.asarray(d_r)
             i_h = np.asarray(i_r, np.int64)
@@ -244,7 +258,8 @@ def main() -> None:
         ms_sum = sum(shard_ms[np_])
         res = {
             "nb": nb_total, "shards": args.shards, "nprobe": np_,
-            "k": args.k, "batch": args.batch,
+            "k": args.k, "batch": args.batch, "opq": args.opq,
+            "spectrum_tau": args.spectrum_tau,
             "R@1": round(float(r1), 4), "R@10": round(float(r10), 4),
             "per_shard_ms_max": round(ms_max, 3),
             "per_shard_ms_mean": round(ms_sum / args.shards, 3),
