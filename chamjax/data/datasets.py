@@ -305,6 +305,12 @@ def synthetic_dataset(
 _KNOWN = {
     # name: (d, default nb) — loaders for on-disk TexMex/bigann layouts.
     "SIFT1M": (128, 1_000_000),
+    # synthetic stand-ins (no real TexMex data in this environment): same
+    # dims/sizes as their SIFT namesakes so cached index artifacts under
+    # data/indexes/SYN* reproduce bit-identically (draws depend only on
+    # nb/d/seed/n_clusters, not the name)
+    "SYN1M": (128, 1_000_000),
+    "SYN10M": (128, 10_000_000),
     "SIFT10M": (128, 10_000_000),
     "SIFT100M": (128, 100_000_000),
     "Deep1M": (96, 1_000_000),
