@@ -109,13 +109,20 @@ def main() -> None:
 
     GEN = 1 << 20
 
+    # centers/proj are jit ARGUMENTS, not closures: at n_clusters=262144
+    # the (n_clusters, d) table is 134 MB and a closed-over constant would
+    # exceed the remote compile service's ~100 MB request cap (RESULTS.md,
+    # environment findings)
     @functools.partial(jax.jit, static_argnames=("n",))
-    def _gen(k, n):
+    def _gen_impl(k, cents, pr, n):
         k1, k2, k3 = jax.random.split(k, 3)
-        asg = jax.random.randint(k1, (n,), 0, args.n_clusters)
+        asg = jax.random.randint(k1, (n,), 0, cents.shape[0])
         z = jax.random.normal(k2, (n, rank), jnp.float32)
         noise = jax.random.normal(k3, (n, d), jnp.float32) * 0.05
-        return centers[asg] + jnp.dot(z, proj) + noise
+        return cents[asg] + jnp.dot(z, pr) + noise
+
+    def _gen(k, n):
+        return _gen_impl(k, centers, proj, n)
 
     def draw_global(salt):
         base = jax.random.fold_in(key, salt)

@@ -1,0 +1,128 @@
+"""Host-streamed serving tier: measured stage costs + design-ceiling math.
+
+The single-chip larger-than-HBM path (``chamjax/streamed.py``): codes/ids
+host-RAM- or memmap-resident, per-batch probed windows staged to HBM.  The
+TPU analogue of the FPGA's DRAM-streaming scan (``SRC/DRAM_utils.hpp``).
+
+What this measures (and why separately):
+
+- **host gather bandwidth** — the numpy window-slab gather, the host half
+  of the PQ-code streamer.  This is real on any host.
+- **device plan+scan time** — coarse scan/window table (phase 1) and the
+  staged-slab ADC+top-k (phase 2), dispatch-slope timed.
+- **end-to-end QPS through the axon tunnel** — honest but tunnel-bound
+  (~2 MB/s host→device): it measures this environment's link, not the
+  design.  The design ceiling on a PCIe host is
+  ``min(host_gather_BW, PCIe_BW) / slab_bytes_per_query`` and is printed
+  from the *measured* gather bandwidth + Gen4 x16 (~24 GB/s effective).
+
+Usage (real TPU): python benchmarks/bench_streamed.py [--nb 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from chamjax.config import IndexConfig, SearchConfig
+    from chamjax.data import load_dataset
+    from chamjax.data.ground_truth import compute_ground_truth
+    from chamjax.eval import recall_at_k
+    from chamjax.index import build_ivfpq
+    from chamjax.index.ivf import PackedIVF
+    from chamjax.streamed import HostStreamedSearcher, plan_windows
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dbname", default="SYN1M")
+    ap.add_argument("--nlist", type=int, default=4096)
+    ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--nprobe", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--n_batches", type=int, default=8)
+    ap.add_argument("--index_dir", default="data/indexes")
+    args = ap.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
+
+    ds = load_dataset(args.dbname)
+    cfg = IndexConfig(dim=ds.d, nlist=args.nlist, m=args.m)
+    cache = os.path.join(args.index_dir,
+                         f"{args.dbname}_{cfg.key.replace(',', '_')}.npz")
+    if os.path.exists(cache):
+        packed = PackedIVF.load(cache)
+    else:
+        packed = build_ivfpq(ds.xb, cfg, xt=ds.xt)
+        os.makedirs(args.index_dir, exist_ok=True)
+        packed.save(cache)
+    gt, _ = compute_ground_truth(ds.xb, ds.xq[:256], k=10)
+
+    scfg = SearchConfig(nprobe=args.nprobe, k=args.k)
+    st = HostStreamedSearcher(packed, scfg)
+    b = args.batch
+    m = cfg.m
+    seg, W = st.seg, st.windows
+    slab_bytes = b * W * seg * (m + 4)
+    print(f"[streamed] seg={seg} W={W} slab={slab_bytes / 2**20:.1f} MiB "
+          f"per batch{b} ({slab_bytes / b / 2**20:.2f} MiB/query)",
+          file=sys.stderr, flush=True)
+
+    # ---- correctness + end-to-end wall (tunnel-bound) -------------------
+    qs = np.resize(ds.xq[:256], (max(256, b), ds.d))
+    d0, i0 = st.search(qs[:b])                     # compile + warm
+    t0 = time.perf_counter()
+    ids_all = []
+    for i in range(args.n_batches):
+        _d, ii = st.search(qs[(i * b) % 128:][:b])
+        ids_all.append(ii)
+    e2e_s = (time.perf_counter() - t0) / args.n_batches
+    ids = np.concatenate(ids_all)[: min(256, args.n_batches * b)]
+    r10 = float(recall_at_k(ids, gt[: ids.shape[0]], 10))
+
+    # ---- host gather bandwidth (the real-host number) -------------------
+    q = jnp.asarray(qs[:b], jnp.float32)
+    starts, lens, probe, list_ids, q_rot = plan_windows(
+        q, st.centroids, st.list_start, st.list_len, st.opq_R,
+        nprobe=args.nprobe, windows=W, seg=seg)
+    starts_h, lens_h = np.asarray(starts), np.asarray(lens)
+    st._stage(starts_h, lens_h)                    # warm page cache
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        st._stage(starts_h, lens_h)
+    gather_s = (time.perf_counter() - t0) / reps
+    gather_gbs = slab_bytes / gather_s / 2**30
+
+    # ---- design ceiling -------------------------------------------------
+    pcie_gbs = 24.0                                # Gen4 x16 effective
+    eff_gbs = min(gather_gbs, pcie_gbs)
+    per_query = slab_bytes / b
+    ceiling_qps = eff_gbs * 2**30 / per_query
+
+    out = {
+        "tier": "host_streamed", "nb": int(packed.ntotal),
+        "nprobe": args.nprobe, "batch": b, "seg": seg, "windows": W,
+        "R@10": round(r10, 4),
+        "slab_MiB_per_query": round(per_query / 2**20, 3),
+        "host_gather_GBs": round(gather_gbs, 2),
+        "e2e_ms_per_batch_tunnel": round(e2e_s * 1e3, 1),
+        "e2e_qps_tunnel": round(b / e2e_s, 1),
+        "design_ceiling_qps_pcie": round(ceiling_qps, 1),
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
