@@ -81,34 +81,70 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--seg", type=int, default=512)
     ap.add_argument("--group", type=int, default=8)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="balanced random index at full shape (no build): "
+                         "profile 100M/1B configs in seconds")
+    ap.add_argument("--lut-bf16", action="store_true",
+                    help="also time the packed-bf16 ADC scan (the "
+                         "production default path)")
     ap.add_argument("--out", default="results/profiling_stages.pkl")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
-    # Reuse bench.py's cached index when the shapes match (same generator
-    # stream + build params), else build device-resident (the tunnel moves
-    # ~2 MB/s — host-resident corpora cost minutes per pass).
-    nq_bench = 128 * 65 + 256
-    bench_cache = (f"/tmp/chamjax_bench_idx_v5_{args.nb}_{args.d}"
-                   f"_{args.nlist}_{args.m}_{nq_bench}.npz")
-    cache = bench_cache if os.path.exists(bench_cache) else (
-        f"/tmp/chamjax_prof_idx_v5_{args.nb}_{args.d}_{args.nlist}"
-        f"_{args.m}.npz")
-    cold = not os.path.exists(cache)
-    ds = synthetic_dataset(nb=args.nb, nq=8192, nt=100_000, d=args.d,
-                           seed=42, n_clusters=4096,
-                           parts=(("xb", "xt", "xq") if cold else ("xq",)),
-                           to_host=False)
-    if not cold:
-        idx = PackedIVF.load(cache)
+    if args.synthetic:
+        # Stage *timings* depend only on shapes, never on data values —
+        # a balanced random index at full (nb, nlist, m) shape profiles
+        # the 100M/1B configs in seconds with no k-means build.
+        from chamjax.ops.scan_seg import MAX_SEG
+        from chamjax.searcher import DeviceIVF as _DIVF
+
+        L = args.nb // args.nlist
+        Lpad = -(-L // 128) * 128
+        n_pad = args.nlist * Lpad + MAX_SEG
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 4)
+        dev = _DIVF(
+            centroids=jax.random.normal(ks[0], (args.nlist, args.d),
+                                        jnp.float32),
+            codebooks=jax.random.normal(
+                ks[1], (args.m, 256, args.d // args.m), jnp.float32),
+            codes_t=jax.random.randint(ks[2], (args.m, n_pad), 0, 256,
+                                       jnp.uint8),
+            ids=jnp.arange(n_pad, dtype=jnp.int32),
+            list_start=jnp.arange(args.nlist, dtype=jnp.int32) * Lpad,
+            list_len=jnp.full((args.nlist,), L, jnp.int32),
+            opq_R=None,
+        )
+        ds = synthetic_dataset(nb=1, nq=8192, nt=1, d=args.d, seed=42,
+                               n_clusters=64, parts=("xq",), to_host=False)
+        lens = np.full((args.nlist,), float(L))
     else:
-        idx = build_ivfpq(ds.xb, IndexConfig(
-            dim=args.d, nlist=args.nlist, m=args.m, balanced=True,
-            balance_factor=1.3, list_pad=128),
-            xt=ds.xt, kmeans_iters=10, pq_iters=10)
-        idx.save(cache)
-    dev = DeviceIVF.from_packed(idx)
-    lens = idx.list_len.astype(np.float64)
+        # Reuse bench.py's cached index when the shapes match (same
+        # generator stream + build params), else build device-resident
+        # (the tunnel moves ~2 MB/s — host-resident corpora cost minutes
+        # per pass).
+        nq_bench = 128 * 65 + 256
+        bench_cache = (f"/tmp/chamjax_bench_idx_v5_{args.nb}_{args.d}"
+                       f"_{args.nlist}_{args.m}_{nq_bench}.npz")
+        cache = bench_cache if os.path.exists(bench_cache) else (
+            f"/tmp/chamjax_prof_idx_v5_{args.nb}_{args.d}_{args.nlist}"
+            f"_{args.m}.npz")
+        cold = not os.path.exists(cache)
+        ds = synthetic_dataset(nb=args.nb, nq=8192, nt=100_000, d=args.d,
+                               seed=42, n_clusters=4096,
+                               parts=(("xb", "xt", "xq") if cold
+                                      else ("xq",)),
+                               to_host=False)
+        if not cold:
+            idx = PackedIVF.load(cache)
+        else:
+            idx = build_ivfpq(ds.xb, IndexConfig(
+                dim=args.d, nlist=args.nlist, m=args.m, balanced=True,
+                balance_factor=1.3, list_pad=128),
+                xt=ds.xt, kmeans_iters=10, pq_iters=10)
+            idx.save(cache)
+        dev = DeviceIVF.from_packed(idx)
+        lens = idx.list_len.astype(np.float64)
     store = ResultStore(args.out, load=True, overwrite=True)
 
     for v in args.values:
@@ -144,6 +180,17 @@ def main() -> None:
         t_scan = chained_ms(lambda acc: dep(adc_scan_segments_multi(
             dev.codes_t, starts.reshape(-1), lens_w.reshape(-1), lut_idx,
             luts_k0 + acc, seg=args.seg, group=args.group)))
+        t_scan_bf16 = None
+        if args.lut_bf16:
+            from chamjax.ops.scan_seg import pack_luts_bf16
+            luts_p0 = pack_luts_bf16(luts_k0)
+            t_scan_bf16 = chained_ms(lambda acc: dep(
+                adc_scan_segments_multi(
+                    dev.codes_t, starts.reshape(-1), lens_w.reshape(-1),
+                    lut_idx,
+                    pack_luts_bf16(luts_k0 + acc),
+                    seg=args.seg, group=args.group, lut_bf16=True)))
+            del luts_p0
         t_topk = chained_ms(lambda acc: dep(select_topk(
             dists0 + acc, k)[0]))
         t_expand = chained_ms(lambda acc: dep(expand_windows(
@@ -156,13 +203,17 @@ def main() -> None:
                        coarse_scan(q0 + acc, dev.centroids, nprobe)[0],
                        by_residual=True),
             coarse_scan(q0 + acc, dev.centroids, nprobe)[0],
-            windows=W, seg=args.seg, group=args.group, k=k)[0]))
+            windows=W, seg=args.seg, group=args.group, k=k,
+            lut_bf16=args.lut_bf16)[0]))
 
         model = pm.search_latency_model(args.nb, args.nlist, nprobe,
                                         args.m, args.d, batch)
         res = {
             "coarse_ms": round(t_coarse, 4), "lut_ms": round(t_lut, 4),
-            "scan_ms": round(t_scan, 4), "topk_ms": round(t_topk, 4),
+            "scan_ms": round(t_scan, 4),
+            **({"scan_bf16_ms": round(t_scan_bf16, 4)}
+               if t_scan_bf16 is not None else {}),
+            "topk_ms": round(t_topk, 4),
             "expand_ms": round(t_expand, 4),
             "full_ms": round(t_full, 4),
             "model_total_ms": round(model["t_total_s"] * 1e3, 4),
