@@ -43,13 +43,29 @@ from chamjax.retrieval.external import ExternalRetriever       # noqa: E402
 
 
 def _engine_proc(index_path: str, host: str, port: int, batch: int,
-                 dim: int, k: int, nprobe: int) -> None:
+                 dim: int, k: int, nprobe: int, delay_ms: float) -> None:
     """Full-search engine: coarse + PQ scan on the chip, one connection
-    (the coordinator's), plain-request flavor."""
+    (the coordinator's), plain-request flavor.
+
+    ``delay_ms > 0`` additionally sleeps per request: it emulates each
+    engine owning a *dedicated* accelerator with that service time (the
+    reference's N-FPGA topology; this host has ONE chip + ONE core, so
+    real-search engines contend instead of scaling — sleeps don't).
+    Answers stay real either way, so recall is still measured.
+    """
     from chamjax.retrieval.local import LocalRetriever
     from chamjax.retrieval.server import RetrievalServer
 
     retr = LocalRetriever.from_file(index_path, SearchConfig(k=k))
+    if delay_ms > 0:
+        inner = retr.retrieve
+
+        def timed(q, nprobe, k):
+            res = inner(q, nprobe, k)
+            time.sleep(delay_ms / 1e3)
+            return res
+
+        retr.retrieve = timed
     srv = RetrievalServer(retr, host, port, batch, dim, nprobe=nprobe)
     srv.start(n_connections=1, with_lists=False)
 
@@ -64,18 +80,22 @@ def _coord_proc(host: str, port: int, batch: int, dim: int, k: int,
     co.start()
 
 
-def _wait_port(host: str, port: int, proc: mp.Process,
-               deadline_s: float = 600.0) -> None:
+def _connect_client(host, port, batch, dim, k, nprobe, coord: mp.Process,
+                    deadline_s: float = 900.0) -> ExternalRetriever:
+    """Retry the client connect while the coordinator (and behind it the
+    engines' first TPU contact) starts up.  NO bare port-probes anywhere:
+    a probe connection would be *accepted* as a real client/engine slot
+    by the accept-N-then-serve servers."""
     t0 = time.time()
     while True:
         try:
-            socket.create_connection((host, port), timeout=1.0).close()
-            return
-        except OSError:
-            if not proc.is_alive():
-                raise RuntimeError(f"process for port {port} died")
+            return ExternalRetriever(host, port, batch, dim, k,
+                                     nprobe=nprobe, timeout=900.0)
+        except (ConnectionRefusedError, OSError):
+            if not coord.is_alive():
+                raise RuntimeError("coordinator died during startup")
             if time.time() - t0 > deadline_s:
-                raise TimeoutError(f"port {port} never opened")
+                raise
             time.sleep(0.5)
 
 
@@ -96,32 +116,58 @@ def main() -> None:
                          "round-robin only overlaps engines if >1 request "
                          "is in flight")
     ap.add_argument("--engines", type=int, nargs="+", default=[1, 2])
+    ap.add_argument("--delay_ms", type=float, default=0.0,
+                    help="per-request engine sleep emulating a dedicated "
+                         "accelerator per engine (this host shares ONE "
+                         "chip+core across engines, so real-search engines "
+                         "contend; sleeps overlap and expose the "
+                         "coordinator's scaling)")
     ap.add_argument("--host", default="127.0.0.1")
     args = ap.parse_args()
 
     base_port = 52000 + os.getpid() % 1000 * 8   # disjoint from test ranges
 
-    ds = load_dataset(args.dbname, data_dir=args.data_dir)
-    cfg = IndexConfig(dim=ds.d, nlist=args.nlist, m=args.m)
+    from chamjax.data.datasets import _KNOWN
+    dim = _KNOWN[args.dbname][0]
+    cfg = IndexConfig(dim=dim, nlist=args.nlist, m=args.m)
     cache = os.path.join(args.index_dir,
                          f"{args.dbname}_{cfg.key.replace(',', '_')}.npz")
-    if not os.path.exists(cache):
-        os.makedirs(args.index_dir, exist_ok=True)
-        build_ivfpq(ds.xb, cfg, xt=ds.xt).save(cache)
-    gt = ds.gt
-    if gt is None:
-        gt_cache = cache.replace(".npz", f"_gt{args.k}.npy")
-        if os.path.exists(gt_cache):
-            gt = np.load(gt_cache)
+    gt_cache = cache.replace(".npz", f"_gt{args.k}.npy")
+    xq_cache = cache.replace(".npz", "_xq.npy")
+    if all(os.path.exists(p) for p in (cache, gt_cache)):
+        # skip the minutes-long deterministic corpus synthesis: the query
+        # draw is independently seeded (salt=3), so synthesizing with nb=1
+        # reproduces xq bit-identically in a second
+        gt = np.load(gt_cache)
+        if os.path.exists(xq_cache):
+            xq = np.load(xq_cache)
         else:
-            gt, _ = compute_ground_truth(ds.xb, ds.xq, k=args.k)
-            np.save(gt_cache, gt)
+            from chamjax.data.datasets import synthetic_dataset
+            xq = synthetic_dataset(name=args.dbname, nb=1, nt=1, d=dim,
+                                   n_clusters=256).xq
+            np.save(xq_cache, xq)
+    else:
+        ds = load_dataset(args.dbname, data_dir=args.data_dir)
+        os.makedirs(args.index_dir, exist_ok=True)
+        if not os.path.exists(cache):
+            build_ivfpq(ds.xb, cfg, xt=ds.xt).save(cache)
+        gt = ds.gt
+        if gt is None:
+            if os.path.exists(gt_cache):
+                gt = np.load(gt_cache)
+            else:
+                gt, _ = compute_ground_truth(ds.xb, ds.xq, k=args.k)
+                np.save(gt_cache, gt)
+        xq = ds.xq
+        np.save(xq_cache, xq)
 
-    nq = ds.xq.shape[0]
+    nq = xq.shape[0]
     total = args.n_warmup + args.n_batches
-    qb = [np.resize(ds.xq[(i * args.batch) % max(nq - args.batch, 1):]
-                    [: args.batch], (args.batch, ds.d))
-          for i in range(total)]
+    # index-tracked batches so recall can be scored against the MATCHING
+    # ground-truth rows (batches wrap around xq)
+    qidx = [(np.arange(args.batch) + i * args.batch) % nq
+            for i in range(total)]
+    qb = [xq[ix] for ix in qidx]
 
     rows = []
     port = base_port
@@ -130,20 +176,17 @@ def main() -> None:
         engines = []
         for _, (h, p) in enumerate(eng_addrs):
             pr = mp.Process(target=_engine_proc,
-                            args=(cache, h, p, args.batch, ds.d, args.k,
-                                  args.nprobe), daemon=True)
+                            args=(cache, h, p, args.batch, dim, args.k,
+                                  args.nprobe, args.delay_ms), daemon=True)
             pr.start()
             engines.append(pr)
-        for pr, (h, p) in zip(engines, eng_addrs):
-            _wait_port(h, p, pr)
         coord = mp.Process(target=_coord_proc,
-                           args=(args.host, port, args.batch, ds.d, args.k,
+                           args=(args.host, port, args.batch, dim, args.k,
                                  eng_addrs, total), daemon=True)
         coord.start()
-        _wait_port(args.host, port, coord)
 
-        cli = ExternalRetriever(args.host, port, args.batch, ds.d, args.k,
-                                nprobe=args.nprobe, timeout=900.0)
+        cli = _connect_client(args.host, port, args.batch, dim, args.k,
+                              args.nprobe, coord)
         cli.sync_with_coordinator()
         ids_all = []
         t_meas = None
@@ -170,12 +213,34 @@ def main() -> None:
                 pr.terminate()
 
         qps = (total - args.n_warmup) * args.batch / wall
-        ids = np.concatenate(ids_all[args.n_warmup:], axis=0)
-        n_eval = min(ids.shape[0], gt.shape[0])
-        r10 = float(recall_at_k(ids[:n_eval], gt[:n_eval], 10))
+        # With >1 engine the coordinator's FIFO-per-engine routing returns
+        # answer batches out of send order (engine readiness order — same
+        # as the reference's round-robin topology), so score recall
+        # order-insensitively: greedily match each answered batch to the
+        # query batch it answers best.  A correct system matches ~0.9 on
+        # exactly one batch and ~0 elsewhere, so the assignment is
+        # unambiguous; misrouted answers would drag the mean to ~0.
+        meas = ids_all[args.n_warmup:]
+        meas_gt = [gt[ix] for ix in qidx[args.n_warmup:]]
+        R = np.array([[recall_at_k(a, g, 10) for g in meas_gt]
+                      for a in meas])
+        flat = np.dstack(np.unravel_index(
+            np.argsort(-R, axis=None), R.shape))[0]
+        used_a, used_b, matched, in_order = set(), set(), [], 0
+        for a, b in flat:
+            if a in used_a or b in used_b:
+                continue
+            used_a.add(a)
+            used_b.add(b)
+            matched.append(R[a, b])
+            in_order += int(a == b)
+            if len(used_a) == len(meas):
+                break
+        r10 = float(np.mean(matched))
         row = {"engines": n_eng, "QPS": round(qps, 1), "R@10": round(r10, 4),
+               "in_order_frac": round(in_order / len(meas), 3),
                "batch": args.batch, "window": args.window,
-               "nprobe": args.nprobe}
+               "nprobe": args.nprobe, "delay_ms": args.delay_ms}
         rows.append(row)
         print(json.dumps(row), flush=True)
         port += 1 + n_eng + 2

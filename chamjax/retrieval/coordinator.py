@@ -70,11 +70,28 @@ class RetrieveCoordinator:
             payload = recv_exact(c, 4)
             send_all(c, payload)
 
-    def connect_to_engines(self) -> None:
+    def connect_to_engines(self, deadline_s: float = 600.0) -> None:
+        """Connect to every engine, retrying each until ``deadline_s``.
+
+        Engines pay their own first-device-contact/compile latency before
+        they listen (minutes through a cold TPU compile service), so a
+        one-shot connect races their startup — same retry discipline the
+        reference's clients use against slow search servers.
+        """
+        import time
+        t0 = time.time()
         for host, port in self.engine_addrs:
-            s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-            s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            s.connect((host, port))
+            while True:
+                s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+                s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                try:
+                    s.connect((host, port))
+                    break
+                except (ConnectionRefusedError, OSError):
+                    s.close()
+                    if time.time() - t0 > deadline_s:
+                        raise
+                    time.sleep(0.5)
             self.engines.append(s)
 
     # --- main loop ---
