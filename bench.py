@@ -163,6 +163,9 @@ def main() -> None:
                            f"/tmp/chamjax_bench_idx_{key}.npz")
     gt_cache = cache.replace(".npz", "_gt.npy")
     cold = not (os.path.exists(cache) and os.path.exists(gt_cache))
+    # --matrix builds a separate OPQ artifact from xb on its first run
+    if args.matrix and not os.path.exists(cache.replace(".npz", "_opq.npz")):
+        cold = True
     parts = ("xb", "xt", "xq") if cold else ("xq",)
     _note(f"drawing dataset parts={parts} (cold={cold})")
     # to_host=False: splits stay in HBM; with the device-resident

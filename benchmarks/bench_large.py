@@ -70,6 +70,9 @@ def main() -> None:
     ap.add_argument("--pq-iters", type=int, default=10)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--opq", action="store_true")
+    ap.add_argument("--lut-bf16", type=int, default=1,
+                    help="0 = f32 LUT kernel (A/B against the packed-bf16 "
+                         "production default)")
     ap.add_argument("--diagnose", action="store_true",
                     help="decompose recall loss at each operating point")
     ap.add_argument("--recall-target", type=float, default=0.9,
@@ -150,7 +153,7 @@ def main() -> None:
                   group=args.group,
                   by_residual=cfg.by_residual, use_approx=True,
                   recall_target=args.recall_target, backend="seg",
-                  coarse_approx=True, lut_bf16=True)
+                  coarse_approx=True, lut_bf16=bool(args.lut_bf16))
         d_r, i_r = ivfpq_search(dev, xq[: args.nq_gt], **kw)
         r1 = recall_at_k(np.asarray(i_r), gt, 1)
         r10 = recall_at_k(np.asarray(i_r), gt, 10)

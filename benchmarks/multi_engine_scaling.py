@@ -182,12 +182,20 @@ def main() -> None:
             engines.append(pr)
         coord = mp.Process(target=_coord_proc,
                            args=(args.host, port, args.batch, dim, args.k,
-                                 eng_addrs, total), daemon=True)
+                                 eng_addrs, total + n_eng), daemon=True)
         coord.start()
 
         cli = _connect_client(args.host, port, args.batch, dim, args.k,
                               args.nprobe, coord)
         cli.sync_with_coordinator()
+        # phase-1 warmup: hit every engine once (round-robin ⇒ first n_eng
+        # sends fan out 1:1) and wait for ALL answers, so each engine's
+        # first-jit (minutes through the compile service) completes before
+        # the measured window no matter how answers interleave
+        for _ in range(n_eng):
+            cli.retrieve_send(qb[0], args.nprobe, args.k)
+        for _ in range(n_eng):
+            cli.retrieve_recv()
         ids_all = []
         t_meas = None
         sent = 0
@@ -220,9 +228,11 @@ def main() -> None:
         # query batch it answers best.  A correct system matches ~0.9 on
         # exactly one batch and ~0 elsewhere, so the assignment is
         # unambiguous; misrouted answers would drag the mean to ~0.
+        # candidates = ALL sent batches: out-of-order delivery straddles the
+        # warmup boundary, so a measured answer may belong to a warmup batch
         meas = ids_all[args.n_warmup:]
-        meas_gt = [gt[ix] for ix in qidx[args.n_warmup:]]
-        R = np.array([[recall_at_k(a, g, 10) for g in meas_gt]
+        all_gt = [gt[ix] for ix in qidx]
+        R = np.array([[recall_at_k(a, g, 10) for g in all_gt]
                       for a in meas])
         flat = np.dstack(np.unravel_index(
             np.argsort(-R, axis=None), R.shape))[0]
@@ -233,7 +243,7 @@ def main() -> None:
             used_a.add(a)
             used_b.add(b)
             matched.append(R[a, b])
-            in_order += int(a == b)
+            in_order += int(a + args.n_warmup == b)
             if len(used_a) == len(meas):
                 break
         r10 = float(np.mean(matched))
