@@ -251,16 +251,19 @@ def main() -> None:
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), qstack[:steps])
         return acc
 
-    qstack = jnp.asarray(ds.xq[256:256 + 80])
-    for steps in (8, 72):
+    # chain lengths sized so the delta (~640 queries) dwarfs the ~ms-scale
+    # tunnel jitter — short chains can measure a NEGATIVE slope
+    s_lo, s_hi = 16, 656
+    qstack = jnp.asarray(ds.xq[256:256 + s_hi])
+    for steps in (s_lo, s_hi):
         _ = np.asarray(chained_b1(dev, qstack, steps))   # compile
-    t = {8: [], 72: []}
-    for _rep in range(3):
-        for steps in (8, 72):
+    t = {s_lo: [], s_hi: []}
+    for _rep in range(4):
+        for steps in (s_lo, s_hi):
             t0 = time.perf_counter()
             np.asarray(chained_b1(dev, qstack, steps))
             t[steps].append(time.perf_counter() - t0)
-    ms_b1 = (min(t[72]) - min(t[8])) / 64 * 1e3
+    ms_b1 = (min(t[s_hi]) - min(t[s_lo])) / (s_hi - s_lo) * 1e3
 
     baseline_qps = 1932.0   # reference 1FPGA-1GPU tik-tok b=128 (BASELINE.md)
     result = {
