@@ -40,7 +40,7 @@ def _note(msg: str) -> None:
           flush=True)
 
 
-def _slope_ms(run, n_small=4, n_large=36, reps=3):
+def _slope_ms(run, n_small=4, n_large=36, reps=6):
     """Device ms/call via dispatch-slope; min over reps (the tunnel/chip
     shows multi-x contention jitter — min is the uncontended estimate)."""
     ts = {n_small: [], n_large: []}
