@@ -344,4 +344,17 @@ def load_dataset(dbname: str, data_dir: str = "data", **syn_kwargs) -> Dataset:
     nb = min(nb or 100_000, syn_kwargs.pop("max_nb", 1_000_000))
     kw = dict(nb=nb, d=d, n_clusters=256)
     kw.update(syn_kwargs)
-    return synthetic_dataset(name=dbname, **kw)
+    # disk cache: the deterministic synthesis is minutes of host RNG at
+    # 1M+ rows; the draw is keyed by its parameters, not the name
+    ckey = "_".join(f"{k}{kw[k]}" for k in sorted(kw))
+    cpath = os.path.join(data_dir, "syn_cache", f"{ckey}.npz")
+    if os.path.exists(cpath):
+        z = np.load(cpath)        # uncompressed zip: ~seconds at 1M rows
+        return Dataset(name=dbname, xb=z["xb"], xq=z["xq"], xt=z["xt"])
+    ds = synthetic_dataset(name=dbname, **kw)
+    try:
+        os.makedirs(os.path.dirname(cpath), exist_ok=True)
+        np.savez(cpath, xb=ds.xb, xq=ds.xq, xt=ds.xt)
+    except OSError:
+        pass                      # read-only or full disk: stay in-memory
+    return ds
