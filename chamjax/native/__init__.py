@@ -35,7 +35,8 @@ class NativeUnavailable(RuntimeError):
 
 def _build() -> str:
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    srcs = [os.path.join(_SRC_DIR, f) for f in ("chamnet.cpp", "hnsw.cpp")]
+    srcs = [os.path.join(_SRC_DIR, f)
+            for f in ("chamnet.cpp", "hnsw.cpp", "gather.cpp")]
     newest = max(os.path.getmtime(s) for s in srcs)
     if (not os.path.exists(_LIB_PATH)
             or os.path.getmtime(_LIB_PATH) < newest):
@@ -88,6 +89,13 @@ def load() -> ctypes.CDLL:
             lib.cham_hnsw_load.argtypes = [ctypes.c_char_p]
             lib.cham_hnsw_free.restype = None
             lib.cham_hnsw_free.argtypes = [ctypes.c_longlong]
+            lib.cham_gather_windows.restype = ctypes.c_longlong
+            lib.cham_gather_windows.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
             _lib = lib
     return _lib
 
@@ -136,6 +144,39 @@ def read_vecs(path: str, elem: str = "f", max_rows: int = -1):
     if rows < 0:
         raise IOError(f"native vecs read failed: code {rows}")
     return out[:rows]
+
+
+def gather_windows(codes, ids, starts, lens, seg: int):
+    """Native window-slab gather (the host half of the PQ-code streamer;
+    see ``src/gather.cpp``).  ``codes (n_pad, m) u8`` / ``ids (n_pad,)
+    i32`` may be plain arrays or memmaps; returns ``(slab_codes
+    (bw, seg, m) u8, slab_ids (bw, seg) i32)`` with tail rows 0 / -1 —
+    bit-identical to ``HostStreamedSearcher._stage``'s Python loop."""
+    import numpy as np
+
+    lib = load()
+    codes = np.ascontiguousarray(codes, np.uint8)
+    ids = np.ascontiguousarray(ids, np.int32)
+    starts = np.ascontiguousarray(starts, np.int32).reshape(-1)
+    lens = np.ascontiguousarray(lens, np.int32).reshape(-1)
+    n_pad, m = codes.shape
+    assert ids.shape == (n_pad,), (ids.shape, n_pad)
+    assert starts.shape == lens.shape
+    bw = starts.size
+    slab_c = np.empty((bw, seg, m), np.uint8)
+    slab_i = np.empty((bw, seg), np.int32)
+    rc = lib.cham_gather_windows(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        ids.ctypes.data_as(ctypes.c_void_p),
+        n_pad, m, seg,
+        starts.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        bw,
+        slab_c.ctypes.data_as(ctypes.c_void_p),
+        slab_i.ctypes.data_as(ctypes.c_void_p))
+    if rc < 0:
+        raise RuntimeError(f"cham_gather_windows failed: code {rc}")
+    return slab_c, slab_i
 
 
 class HNSWIndex:

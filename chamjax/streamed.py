@@ -158,11 +158,24 @@ class HostStreamedSearcher:
         self.codes = packed.codes
         self.ids = packed.ids
         self.n_pad = packed.codes.shape[0]
+        # native slab gather runs at memcpy speed (the Python loop pays
+        # ~5 us of interpreter overhead per 32 KB window — it, not the
+        # memory system, bounds the measured gather bandwidth)
+        from chamjax import native
+        self._native = native.available()
+        self._ids_i32 = None
 
     def _stage(self, starts: np.ndarray, lens: np.ndarray):
         """Host gather of the probed windows (the PQ-code streamer's host
         half).  Returns ``(slab_codes (bW, seg, m) u8, slab_ids (bW, seg)
         i32)``."""
+        if self._native:
+            from chamjax import native
+            if self._ids_i32 is None:   # one-time dtype normalization
+                self._ids_i32 = (self.ids if self.ids.dtype == np.int32
+                                 else np.asarray(self.ids, np.int32))
+            return native.gather_windows(
+                self.codes, self._ids_i32, starts, lens, self.seg)
         bw = starts.size
         seg = self.seg
         m = self.cfg.m

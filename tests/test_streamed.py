@@ -64,3 +64,39 @@ def test_streamed_over_ondisk_memmap(ds, index, tmp_path):
     # same quantizers but an independent populate: distances must agree
     np.testing.assert_allclose(np.sort(d_s, 1), np.sort(d_r, 1),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_native_gather_matches_python(index):
+    """Native slab gather (src/gather.cpp) must be bit-identical to the
+    Python staging loop — including skipped windows, short windows, and
+    truncation at the packed array's tail."""
+    from chamjax import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    seg = 64
+    n_pad = index.codes.shape[0]
+    ids = np.asarray(index.ids, np.int32)
+    rng = np.random.default_rng(5)
+    starts = rng.integers(0, n_pad, size=37, dtype=np.int32)
+    starts[0] = n_pad - seg // 3          # truncated tail window
+    lens = rng.integers(-5, seg + 20, size=37, dtype=np.int32)
+    lens[1] = 0                           # skipped
+    lens[2] = -3                          # skipped (negative)
+
+    slab_c_n, slab_i_n = native.gather_windows(index.codes, ids, starts,
+                                               lens, seg)
+    # reference: the Python loop, verbatim
+    m = index.codes.shape[1]
+    slab_c_p = np.zeros((37, seg, m), np.uint8)
+    slab_i_p = np.full((37, seg), -1, np.int32)
+    for w in range(37):
+        ln = int(lens[w])
+        if ln <= 0:
+            continue
+        s = int(starts[w])
+        e = min(s + seg, n_pad)
+        slab_c_p[w, : e - s] = index.codes[s:e]
+        slab_i_p[w, : e - s] = ids[s:e]
+    np.testing.assert_array_equal(slab_c_n, slab_c_p)
+    np.testing.assert_array_equal(slab_i_n, slab_i_p)
