@@ -79,22 +79,75 @@ def coarse_flops_per_query(nlist: int, dim: int) -> float:
     return 2.0 * nlist * dim
 
 
+# Measured v5e kernel efficiencies (round 2, benchmarks/kernel_variants.py
+# + /tmp micro-slopes; see RESULTS.md "kernel roofline" and the 100M A/B):
+#   - segmented ADC kernel, packed-bf16 LUTs: 14.4 Grows/s useful at m=16
+#     = 230 GB/s code traffic = 28% of HBM (gather-issue-bound, not BW)
+#   - same kernel, f32 LUTs: 5.1-5.8 Grows/s = ~90 GB/s = 11% of HBM
+#   - approx_min_k selection over the dists array: ~roofline (857 GB/s)
+#     at recall_target <= 0.9; ~65 GB/s (8%) at 0.99 (aggregate_to_topk
+#     dominates at large reductions)
+SCAN_EFF_BF16 = 0.28
+SCAN_EFF_F32 = 0.11
+SELECT_EFF_LOW_RT = 1.0     # recall_target <= 0.9
+SELECT_EFF_HIGH_RT = 0.08   # recall_target ~ 0.99
+
+
+def padded_rows_per_query(dbsize: int, nlist: int, nprobe: int,
+                          seg: int = 2048, windows: int = 0,
+                          headroom: float = 1.2) -> float:
+    """Rows the segmented kernel actually touches per query (window
+    padding included — masked lanes cost the same gathers).
+
+    With a measured window budget pass ``windows`` (then = windows x seg,
+    exact).  Otherwise a uniform-list estimate: each probe covers
+    ceil(avg_len/seg) ~ (avg_len/seg + 0.5) segments, x auto_windows'
+    headroom.  Real skewed builds run higher (measured 2.9x useful rows
+    at 100M/nlist=65536/nprobe=32) — pass the real (windows, seg) when
+    calibrating against hardware.
+    """
+    if windows:
+        return float(windows * seg)
+    avg_len = dbsize / nlist
+    segs_per_probe = avg_len / seg + 0.5
+    return nprobe * max(1.0, segs_per_probe * headroom) * seg
+
+
 def search_latency_model(dbsize: int, nlist: int, nprobe: int, m: int,
                          dim: int, batch: int, spec: TpuSpec = V5E,
-                         scan_efficiency: float = 0.6,
-                         mxu_efficiency: float = 0.5) -> dict:
-    """Per-batch latency decomposition (seconds) for the fused search."""
+                         scan_efficiency: float = 0.0,
+                         mxu_efficiency: float = 0.5,
+                         lut_bf16: bool = True,
+                         recall_target: float = 0.9,
+                         seg: int = 2048, windows: int = 0) -> dict:
+    """Per-batch latency decomposition (seconds) for the fused search.
+
+    Calibrated to the round-2 measured kernel efficiencies (constants
+    above); ``scan_efficiency=0`` picks the measured value for the LUT
+    mode.  Includes the selection stage (one read of the padded dists
+    array at the measured ``approx_min_k`` efficiency for the given
+    ``recall_target``) — at 100M-scale reductions with recall_target
+    0.99 it rivals the scan itself (measured 1.1 ms vs 1.26 ms at
+    b=128, nprobe=32)."""
     ksub = 256
     dsub = dim // m
+    if not scan_efficiency:
+        scan_efficiency = SCAN_EFF_BF16 if lut_bf16 else SCAN_EFF_F32
+    sel_eff = (SELECT_EFF_LOW_RT if recall_target <= 0.9
+               else SELECT_EFF_HIGH_RT)
+    rows_pad = padded_rows_per_query(dbsize, nlist, nprobe, seg=seg,
+                                     windows=windows)
     t_coarse = batch * coarse_flops_per_query(nlist, dim) / (
         mxu_efficiency * spec.bf16_tflops * 1e12)
     t_lut = batch * lut_flops_per_query(nprobe, m, dsub, ksub) / (
         mxu_efficiency * spec.f32_tflops * 1e12)
-    t_scan = batch * scan_bytes_per_query(dbsize, nlist, nprobe, m) / (
+    t_scan = batch * rows_pad * m / (
         scan_efficiency * spec.hbm_gbps * 1e9)
-    total = t_coarse + t_lut + t_scan
+    t_select = batch * rows_pad * 4 / (sel_eff * spec.hbm_gbps * 1e9)
+    total = t_coarse + t_lut + t_scan + t_select
     return {
         "t_coarse_s": t_coarse, "t_lut_s": t_lut, "t_scan_s": t_scan,
+        "t_select_s": t_select,
         "t_total_s": total, "qps": batch / total,
         "scan_fraction": t_scan / total,
     }

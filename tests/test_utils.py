@@ -120,3 +120,19 @@ def test_ralm_throughput_overlap_gain():
     # overlap can only help, and by at most 2x
     assert 1.0 <= seq["t_step_s"] / tik["t_step_s"] <= 2.0
     assert tik["tokens_per_sec"] >= seq["tokens_per_sec"]
+
+
+def test_search_latency_model_calibration_100m():
+    # Round-2 measured point (RESULTS.md 100M A/B): b=128, nprobe=32,
+    # nlist=65536, m=16, seg=2048, W=69, packed-bf16 LUTs, rt=0.99 —
+    # scan 1.26 ms/batch, select 1.10 ms/batch on the v5e.
+    out = pm.search_latency_model(
+        96 * (1 << 20), 65536, 32, 16, 128, batch=128,
+        lut_bf16=True, recall_target=0.99, seg=2048, windows=69)
+    assert out["t_scan_s"] * 1e3 == pytest.approx(1.26, rel=0.15)
+    assert out["t_select_s"] * 1e3 == pytest.approx(1.10, rel=0.15)
+    # the same point at recall_target 0.9 makes selection near-free
+    cheap = pm.search_latency_model(
+        96 * (1 << 20), 65536, 32, 16, 128, batch=128,
+        lut_bf16=True, recall_target=0.9, seg=2048, windows=69)
+    assert cheap["t_select_s"] < 0.15 * out["t_select_s"]
