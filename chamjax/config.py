@@ -120,6 +120,14 @@ class SearchConfig:
     # but at nprobe 1-4 a swapped nearest centroid directly costs recall and
     # the reference's coarse selection is exact.
     coarse_approx: bool = False
+    # Hierarchical selection: >k runs an oversized raw-PartialReduce L1
+    # pass of this length + one exact top-k L2 merge instead of the
+    # aggregated approx_min_k (``ops/topk.py::select_topk``) — the
+    # oversized-L1-queue design of the FPGA's hierarchical selector.
+    # Effective per-element top-k recall ~ 1 - (k-1)/L(l1); l1=1024 ~
+    # rt=0.99 at a fraction of the aggregation cost at 100M-scale
+    # reductions. 0 = off (use approx_recall_target aggregation).
+    select_l1: int = 0
 
 
 @dataclass(frozen=True)

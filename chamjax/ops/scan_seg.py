@@ -223,7 +223,7 @@ def expand_windows(
 @functools.partial(
     jax.jit,
     static_argnames=("windows", "seg", "k", "use_approx", "recall_target",
-                     "interpret", "lut_bf16"),
+                     "interpret", "lut_bf16", "select_l1"),
 )
 def scan_lists_seg(
     codes_t: jax.Array,      # (m, n_pad_seg) uint8
@@ -240,6 +240,7 @@ def scan_lists_seg(
     recall_target: float = 0.99,
     interpret: bool = False,
     lut_bf16: bool = False,
+    select_l1: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Segmented scan + selection. Returns ``(dists (b,k), ids (b,k))``."""
     b, nprobe, ksub, m = luts.shape
@@ -256,7 +257,8 @@ def scan_lists_seg(
     )                                                   # (bW, seg)
     flat = dists.reshape(b, windows * seg)
     best_d, pos = select_topk(
-        flat, k, use_approx=use_approx, recall_target=recall_target)
+        flat, k, use_approx=use_approx, recall_target=recall_target,
+        l1=select_l1)
     win = pos // seg
     off = pos % seg
     row = jnp.take_along_axis(starts, win, axis=1) + off

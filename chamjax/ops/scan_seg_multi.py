@@ -158,7 +158,8 @@ def adc_scan_segments_multi(
 @functools.partial(
     jax.jit,
     static_argnames=("windows", "seg", "group", "k", "use_approx",
-                     "recall_target", "interpret", "lut_bf16"),
+                     "recall_target", "interpret", "lut_bf16",
+                     "select_l1"),
 )
 def scan_lists_seg_multi(
     codes_t: jax.Array,
@@ -176,6 +177,7 @@ def scan_lists_seg_multi(
     recall_target: float = 0.99,
     interpret: bool = False,
     lut_bf16: bool = False,
+    select_l1: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Segmented multi-window scan + selection."""
     b, nprobe, ksub, m = luts.shape
@@ -193,7 +195,8 @@ def scan_lists_seg_multi(
     )
     flat = dists.reshape(b, windows * seg)
     best_d, pos = select_topk(
-        flat, k, use_approx=use_approx, recall_target=recall_target)
+        flat, k, use_approx=use_approx, recall_target=recall_target,
+        l1=select_l1)
     win = pos // seg
     off = pos % seg
     row = jnp.take_along_axis(starts, win, axis=1) + off

@@ -20,18 +20,40 @@ import jax.numpy as jnp
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "use_approx", "recall_target")
+    jax.jit, static_argnames=("k", "use_approx", "recall_target", "l1")
 )
 def select_topk(
     dists: jax.Array,        # (b, n) float32 — smaller is better
     k: int,
     use_approx: bool = True,
     recall_target: float = 0.99,
+    l1: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Smallest-k per row → ``(dists (b, k), positions (b, k) int32)``."""
+    """Smallest-k per row → ``(dists (b, k), positions (b, k) int32)``.
+
+    ``l1 > k`` switches to the explicit hierarchical mode — the literal
+    TPU analogue of the FPGA's *oversized* L1 queues (an L1 queue of
+    length l1 per PE loses top-k elements only to within-queue
+    collisions, ``hierarchical_priority_queue.hpp``): one raw
+    PartialReduce pass sized for ``(l1, recall_target=0.9)`` — which
+    runs at VPU streaming speed — followed by a single exact
+    ``top_k(k)`` L2 merge over the small intermediate.  Effective
+    per-element recall for the top-k is ~``1 - (k-1)/L`` with ``L`` the
+    partition count XLA picks for (l1, 0.9) — e.g. l1=512 ⇒ ~0.98,
+    l1=1024 ⇒ ~0.99 at a fraction of the aggregated rt=0.99 cost (the
+    aggregation's own exact top-k over the large intermediate is what
+    dominates at 100M-scale reductions; see RESULTS.md).
+    """
     n = dists.shape[-1]
     kk = min(k, n)
-    if use_approx and n >= 4 * kk:
+    if use_approx and l1 > kk and n >= 2 * l1:
+        v1, i1 = jax.lax.approx_min_k(
+            dists, l1, recall_target=0.9, aggregate_to_topk=False
+        )
+        neg, pos = jax.lax.top_k(-v1, kk)
+        vals = -neg
+        idx = jnp.take_along_axis(i1, pos, axis=-1)
+    elif use_approx and n >= 4 * kk:
         vals, idx = jax.lax.approx_min_k(
             dists, kk, recall_target=recall_target, aggregate_to_topk=True
         )

@@ -155,3 +155,27 @@ def test_backend_downgrade_warns(ds, index):
         s = IVFSearcher(idx6, SearchConfig(nprobe=4, k=5, backend="seg"))
     assert s.backend == "xla"
     assert any("nbits" in str(r.message) for r in rec), rec
+
+
+def test_hierarchical_select_matches_exact(ds, index):
+    """select_l1 (oversized-L1 + exact L2 merge) must return the exact
+    top-k wherever the L1 pass is lossless — on CPU approx_min_k falls
+    back to an exact partial reduce, so positions/distances must agree
+    with the plain exact path end-to-end."""
+    from chamjax.ops.topk import select_topk
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(4, 8192)).astype(np.float32))
+    v_h, i_h = select_topk(x, 10, use_approx=True, l1=256)
+    v_e, i_e = select_topk(x, 10, use_approx=False)
+    np.testing.assert_allclose(np.asarray(v_h), np.asarray(v_e), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_h), np.asarray(i_e))
+
+    # through the full searcher (seg backend, interpret on CPU)
+    gt, _ = compute_ground_truth(ds.xb, ds.xq, k=10)
+    s_h = IVFSearcher(index, SearchConfig(nprobe=16, k=10, select_l1=256))
+    s_p = IVFSearcher(index, SearchConfig(nprobe=16, k=10))
+    d_h, i_h2 = s_h.search(ds.xq)
+    d_p, i_p = s_p.search(ds.xq)
+    np.testing.assert_allclose(d_h, d_p, rtol=1e-5, atol=1e-5)
+    assert recall_at_k(i_h2, gt, 10) == recall_at_k(i_p, gt, 10)
