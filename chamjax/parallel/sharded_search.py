@@ -110,7 +110,7 @@ def place_sharded(sh: ShardedIVF, mesh: Mesh, axis: str = "lists"
     jax.jit,
     static_argnames=("mesh", "axis", "nprobe", "k", "scan_len", "windows",
                      "seg", "group", "by_residual", "use_approx", "backend",
-                     "interpret", "lut_bf16"),
+                     "interpret", "lut_bf16", "select_l1"),
 )
 def sharded_search(
     sh: ShardedIVF,
@@ -129,6 +129,7 @@ def sharded_search(
     backend: str = "pallas",
     interpret: bool = False,
     lut_bf16: bool = False,
+    select_l1: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full sharded search. Returns replicated ``(dists (b,k), ids (b,k))``.
 
@@ -156,7 +157,7 @@ def sharded_search(
                 codes_t, ids, list_start, list_len, luts, list_ids,
                 windows=w_sh, seg=seg, group=group, k=k,
                 use_approx=use_approx, interpret=interpret,
-                lut_bf16=lut_bf16)
+                lut_bf16=lut_bf16, select_l1=select_l1)
         elif backend == "pallas":
             local_d, local_i = scan_lists_pallas(
                 codes_t, ids, list_start, list_len, luts, list_ids,
@@ -192,7 +193,7 @@ def sharded_search(
     jax.jit,
     static_argnames=("mesh", "axis", "batch_axis", "nprobe", "k", "scan_len",
                      "windows", "seg", "group", "by_residual", "use_approx",
-                     "backend", "interpret", "lut_bf16"),
+                     "backend", "interpret", "lut_bf16", "select_l1"),
 )
 def sharded_search_2d(
     sh: ShardedIVF,
@@ -212,6 +213,7 @@ def sharded_search_2d(
     backend: str = "seg",
     interpret: bool = False,
     lut_bf16: bool = False,
+    select_l1: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """2-D mesh search: queries split over ``batch_axis`` (data parallel),
     inverted lists split over ``axis`` — the multi-chip serving layout.
@@ -234,7 +236,7 @@ def sharded_search_2d(
             codes_t, ids, list_start, list_len, luts, list_ids,
             windows=w_sh, seg=seg, group=group, k=k,
             use_approx=use_approx, interpret=interpret,
-            lut_bf16=lut_bf16)
+            lut_bf16=lut_bf16, select_l1=select_l1)
         all_d = jax.lax.all_gather(local_d, axis)     # (S, b_local, k)
         all_i = jax.lax.all_gather(local_i, axis)
         S, b = all_d.shape[0], all_d.shape[1]

@@ -71,7 +71,7 @@ def plan_windows(
     jax.jit,
     static_argnames=("nprobe", "k", "seg", "group", "use_approx",
                      "recall_target", "interpret", "by_residual",
-                     "lut_bf16"),
+                     "lut_bf16", "select_l1"),
 )
 def scan_staged(
     slab_codes: jax.Array,       # (bW, seg, m) uint8 — staged windows
@@ -92,6 +92,7 @@ def scan_staged(
     interpret: bool = False,
     by_residual: bool = True,
     lut_bf16: bool = False,
+    select_l1: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Device phase 2: ADC over the staged slab + selection.
 
@@ -120,7 +121,7 @@ def scan_staged(
         seg=seg, group=group, interpret=interpret, lut_bf16=lut_bf16)
     flat = dists.reshape(b, W * seg)
     best_d, pos = select_topk(flat, k, use_approx=use_approx,
-                              recall_target=recall_target)
+                              recall_target=recall_target, l1=select_l1)
     best_i = jnp.take_along_axis(
         slab_ids.reshape(b, W * seg), pos, axis=1)
     best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)
@@ -208,5 +209,5 @@ class HostStreamedSearcher:
             use_approx=self.scfg.use_approx_topk,
             recall_target=self.scfg.approx_recall_target,
             interpret=self.interpret, by_residual=self.cfg.by_residual,
-            lut_bf16=self.scfg.lut_bf16)
+            lut_bf16=self.scfg.lut_bf16, select_l1=self.scfg.select_l1)
         return np.asarray(d), np.asarray(i, np.int64)
