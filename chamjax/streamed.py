@@ -166,6 +166,21 @@ class HostStreamedSearcher:
         self._native = native.available()
         self._ids_i32 = None
 
+    def warm(self, chunk_rows: int = 1 << 20) -> None:
+        """Touch the code/id arrays sequentially to populate the page
+        cache (memmap) / fault-in RAM.  Cold random window reads measure
+        ~0.3 GiB/s on virtualized hosts vs multi-GiB/s warm (RESULTS.md);
+        one sequential pass costs seconds and removes that cliff for
+        serving."""
+        m = self.codes.shape[1]
+        code_stride = max(1, 4096 // m)     # ≥1 touch per 4 KiB page
+        acc = 0
+        for s in range(0, self.n_pad, chunk_rows):
+            e = min(s + chunk_rows, self.n_pad)
+            acc += int(self.codes[s:e:code_stride, 0].sum())
+            acc += int(self.ids[s:e:1024].sum())
+        self._warmed = acc  # keep the dependency alive
+
     def _stage(self, starts: np.ndarray, lens: np.ndarray):
         """Host gather of the probed windows (the PQ-code streamer's host
         half).  Returns ``(slab_codes (bW, seg, m) u8, slab_ids (bW, seg)

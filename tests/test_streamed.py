@@ -100,3 +100,11 @@ def test_native_gather_matches_python(index):
         slab_i_p[w, : e - s] = ids[s:e]
     np.testing.assert_array_equal(slab_c_n, slab_c_p)
     np.testing.assert_array_equal(slab_i_n, slab_i_p)
+
+
+def test_streamed_warm(ds, index):
+    st = HostStreamedSearcher(index, SearchConfig(nprobe=8, k=10,
+                                                  use_approx_topk=False))
+    st.warm()
+    d, i = st.search(ds.xq[:4])
+    assert np.isfinite(d).all()
