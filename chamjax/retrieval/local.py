@@ -113,3 +113,34 @@ class DeviceRetriever(BaseRetriever):
                         ) -> RetrievalResult:
         d, i = self._search(queries, nprobe, k)
         return RetrievalResult(ids=i, dists=d)
+
+
+class NativeCPURetriever(BaseRetriever):
+    """Serving-grade host (C++) engine behind the retriever contract —
+    the reference's ``FaissServer`` cpu mode (``LocalFaissRetriever``
+    with a CPU index).  Same packed index, same distances as
+    ``LocalRetriever`` to float tolerance; no accelerator required."""
+
+    def __init__(self, index: PackedIVF, search_cfg: Optional[SearchConfig] = None):
+        from chamjax import native
+        self.engine = native.NativeIVFPQ(index)
+        self.scfg = search_cfg or SearchConfig()
+
+    def set_nprobe(self, nprobe: int) -> None:
+        import dataclasses
+        self.scfg = dataclasses.replace(self.scfg, nprobe=nprobe)
+
+    def retrieve(self, queries: np.ndarray, nprobe: int, k: int
+                 ) -> RetrievalResult:
+        dists, ids = self.engine.search(queries, nprobe or self.scfg.nprobe,
+                                        k or self.scfg.k)
+        return RetrievalResult(ids=ids, dists=dists)
+
+    def retrieve_with_lists(self, queries: np.ndarray, list_ids: np.ndarray,
+                            k: int) -> RetrievalResult:
+        dists, ids = self.engine.search_preassigned(queries, list_ids,
+                                                    k or self.scfg.k)
+        return RetrievalResult(ids=ids, dists=dists)
+
+    def close(self) -> None:
+        self.engine.close()

@@ -154,3 +154,65 @@ def test_hnsw_recall_and_saveload(tmp_path):
     idx2 = HNSWIndex.load_file(p, 24)
     lab2, _ = idx2.search(xq, k=10, ef=120)
     np.testing.assert_array_equal(lab, lab2)
+
+
+def test_native_ivfpq_matches_device_path():
+    """The C++ CPU engine must reproduce IVFSearcher's exact-selection
+    results (same packed index, same residual-ADC math) to float
+    tolerance, on both the full and preassigned paths."""
+    import numpy as np
+    from chamjax import native
+    from chamjax.config import IndexConfig, SearchConfig
+    from chamjax.data import synthetic_dataset
+    from chamjax.index import build_ivfpq
+    from chamjax.ops.coarse import coarse_scan
+    from chamjax.searcher import IVFSearcher
+
+    ds = synthetic_dataset(nb=20000, nq=16, nt=8000, d=32, seed=7,
+                           n_clusters=64)
+    idx = build_ivfpq(ds.xb, IndexConfig(dim=32, nlist=64, m=8, list_pad=64),
+                      xt=ds.xt, kmeans_iters=5, pq_iters=5)
+    # lut_bf16=False: the engine is f32-exact; the packed-bf16 default
+    # quantizes LUT entries ~0.4% and would dominate the tolerance
+    ref = IVFSearcher(idx, SearchConfig(nprobe=8, k=10,
+                                        use_approx_topk=False,
+                                        lut_bf16=False))
+    d_r, i_r = ref.search(ds.xq)
+
+    eng = native.NativeIVFPQ(idx)
+    d_n, i_n = eng.search(ds.xq, nprobe=8, k=10)
+    np.testing.assert_allclose(d_n, d_r, rtol=1e-4, atol=1e-4)
+    agree = i_n == i_r
+    close = np.abs(d_n - d_r) < 1e-3   # id ties may swap at equal distance
+    assert np.all(agree | close)
+
+    # preassigned path against the device preassigned path
+    import jax.numpy as jnp
+    lids, _ = coarse_scan(jnp.asarray(ds.xq, jnp.float32),
+                          jnp.asarray(idx.centroids), 8)
+    d_p, i_p = eng.search_preassigned(ds.xq, np.asarray(lids), k=10)
+    np.testing.assert_allclose(d_p, d_r, rtol=1e-4, atol=1e-4)
+    eng.close()
+
+
+def test_native_cpu_retriever_contract():
+    import numpy as np
+    from chamjax.config import IndexConfig, SearchConfig
+    from chamjax.data import synthetic_dataset
+    from chamjax.index import build_ivfpq
+    from chamjax.retrieval.local import NativeCPURetriever
+
+    ds = synthetic_dataset(nb=8000, nq=4, nt=4000, d=16, seed=1,
+                           n_clusters=32)
+    idx = build_ivfpq(ds.xb, IndexConfig(dim=16, nlist=32, m=4, list_pad=64),
+                      xt=ds.xt, kmeans_iters=3, pq_iters=3)
+    r = NativeCPURetriever(idx, SearchConfig(nprobe=4, k=5))
+    res = r.retrieve(ds.xq, nprobe=4, k=5)
+    assert res.ids.shape == (4, 5) and res.dists.shape == (4, 5)
+    assert (np.diff(res.dists, axis=1) >= -1e-5).all()
+    # async split inherited from BaseRetriever
+    r.retrieve_send(ds.xq, 4, 5)
+    assert r.poll()
+    res2 = r.retrieve_recv(4, 5)
+    np.testing.assert_array_equal(res2.ids, res.ids)
+    r.close()
