@@ -43,7 +43,7 @@ def _build() -> str:
         # -march=native is safe: the library is built on demand on the
         # host it runs on (never shipped).  -O3 autovectorizes the
         # engine's dot-product/LUT loops (~4x on the CPU query engine).
-        cmd = ["g++", "-O3", "-march=native", "-funroll-loops",
+        cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-pthread",
                "-std=c++17", "-shared", "-fPIC", "-o", _LIB_PATH] + srcs
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
@@ -110,12 +110,13 @@ def load() -> ctypes.CDLL:
             lib.cham_ivfpq_search.argtypes = [
                 ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p,
                 ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int,
             ]
             lib.cham_ivfpq_search_preassigned.restype = ctypes.c_longlong
             lib.cham_ivfpq_search_preassigned.argtypes = [
                 ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ]
             lib.cham_ivfpq_free.restype = None
             lib.cham_ivfpq_free.argtypes = [ctypes.c_longlong]
@@ -253,8 +254,10 @@ class NativeIVFPQ:
             q = np.ascontiguousarray(q @ self._opq_R)
         return q
 
-    def search(self, queries, nprobe: int, k: int):
-        """Returns ``(dists (nq, k) f32, ids (nq, k) i64)`` ascending."""
+    def search(self, queries, nprobe: int, k: int, n_threads: int = 0):
+        """Returns ``(dists (nq, k) f32, ids (nq, k) i64)`` ascending.
+        ``n_threads``: 0 = all cores (queries fan out over a pool with
+        per-thread scratch)."""
         import numpy as np
 
         q = self._prep(queries)
@@ -264,12 +267,13 @@ class NativeIVFPQ:
         rc = self._lib.cham_ivfpq_search(
             self._h, nq, q.ctypes.data_as(ctypes.c_void_p), nprobe, k,
             out_i.ctypes.data_as(ctypes.c_void_p),
-            out_d.ctypes.data_as(ctypes.c_void_p))
+            out_d.ctypes.data_as(ctypes.c_void_p), n_threads)
         if rc < 0:
             raise RuntimeError(f"cham_ivfpq_search failed: {rc}")
         return out_d, out_i
 
-    def search_preassigned(self, queries, list_ids, k: int):
+    def search_preassigned(self, queries, list_ids, k: int,
+                           n_threads: int = 0):
         import numpy as np
 
         q = self._prep(queries)
@@ -282,7 +286,7 @@ class NativeIVFPQ:
             self._h, nq, q.ctypes.data_as(ctypes.c_void_p),
             li.ctypes.data_as(ctypes.c_void_p), li.shape[1], k,
             out_i.ctypes.data_as(ctypes.c_void_p),
-            out_d.ctypes.data_as(ctypes.c_void_p))
+            out_d.ctypes.data_as(ctypes.c_void_p), n_threads)
         if rc < 0:
             raise RuntimeError(f"cham_ivfpq_search_preassigned failed: {rc}")
         return out_d, out_i

@@ -12,9 +12,10 @@
 //
 // The engine BORROWS all array memory (zero-copy for multi-GB code
 // arrays); the Python wrapper keeps the backing numpy arrays alive for
-// the handle's lifetime.  Handles are single-threaded (no shared scratch
-// across concurrent calls on ONE handle; distinct handles are
-// independent).
+// the handle's lifetime.  Queries within one search call fan out over a
+// thread pool (per-thread scratch — the index arrays are read-only), so
+// a handle is safe to drive from one caller thread; concurrent calls on
+// ONE handle are not supported (distinct handles are independent).
 //
 // Exposed as a C ABI for ctypes (no pybind11 in the image).
 
@@ -23,6 +24,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -38,11 +40,17 @@ struct IvfPq {
   const int32_t* list_start = nullptr;
   const int32_t* list_len = nullptr;
   std::vector<float> cent_norms;      // (nlist,) ||c||^2
-  // per-handle scratch (single-threaded use)
+};
+
+// Per-thread query scratch — everything mutable during a search.
+struct Scratch {
   std::vector<float> lut;             // (m, ksub)
   std::vector<float> resid;           // (d,)
   std::vector<std::pair<float, int32_t>> probes;
   std::vector<std::pair<float, int64_t>> heap;  // max-heap of k best
+
+  explicit Scratch(const IvfPq& ix)
+      : lut(static_cast<size_t>(ix.m) * ix.ksub), resid(ix.d) {}
 };
 
 std::vector<IvfPq*> g_handles;
@@ -59,13 +67,13 @@ inline void heap_push(std::vector<std::pair<float, int64_t>>& h, size_t k,
   }
 }
 
-void scan_one_list(const IvfPq& ix, std::vector<std::pair<float, int64_t>>& h,
-                   size_t k, int32_t list_id) {
+void scan_one_list(const IvfPq& ix, Scratch& sc, size_t k, int32_t list_id) {
   const long long s = ix.list_start[list_id];
   const long long ln = ix.list_len[list_id];
   const int m = ix.m;
-  const float* lut = ix.lut.data();
+  const float* lut = sc.lut.data();
   const uint8_t* row = ix.codes + s * m;
+  auto& h = sc.heap;
   for (long long r = 0; r < ln; ++r, row += m) {
     float dist = 0.f;
     int j = 0;
@@ -81,19 +89,20 @@ void scan_one_list(const IvfPq& ix, std::vector<std::pair<float, int64_t>>& h,
   }
 }
 
-void build_lut(IvfPq& ix, const float* q, int32_t list_id) {
+void build_lut(const IvfPq& ix, Scratch& sc, const float* q,
+               int32_t list_id) {
   const int dsub = ix.dsub;
   const float* cent = ix.centroids + static_cast<long long>(list_id) * ix.d;
   if (ix.by_residual) {
-    for (int t = 0; t < ix.d; ++t) ix.resid[t] = q[t] - cent[t];
+    for (int t = 0; t < ix.d; ++t) sc.resid[t] = q[t] - cent[t];
   } else {
-    std::memcpy(ix.resid.data(), q, sizeof(float) * ix.d);
+    std::memcpy(sc.resid.data(), q, sizeof(float) * ix.d);
   }
   for (int j = 0; j < ix.m; ++j) {
-    const float* rj = ix.resid.data() + j * dsub;
+    const float* rj = sc.resid.data() + j * dsub;
     const float* cb = ix.codebooks
         + (static_cast<long long>(j) * ix.ksub) * dsub;
-    float* out = ix.lut.data() + static_cast<long long>(j) * ix.ksub;
+    float* out = sc.lut.data() + static_cast<long long>(j) * ix.ksub;
     for (int c = 0; c < ix.ksub; ++c, cb += dsub) {
       float a0 = 0.f, a1 = 0.f;
       int t = 0;
@@ -113,10 +122,10 @@ void build_lut(IvfPq& ix, const float* q, int32_t list_id) {
   }
 }
 
-void coarse_topn(IvfPq& ix, const float* q, int nprobe) {
+void coarse_topn(const IvfPq& ix, Scratch& sc, const float* q, int nprobe) {
   // exact ||q - c||^2 ranking via ||c||^2 - 2 q.c (the ||q||^2 term is
   // rank-invariant), bounded max-heap of nprobe
-  auto& pr = ix.probes;
+  auto& pr = sc.probes;
   pr.clear();
   for (long long l = 0; l < ix.nlist; ++l) {
     const float* c = ix.centroids + l * ix.d;
@@ -145,8 +154,9 @@ void coarse_topn(IvfPq& ix, const float* q, int nprobe) {
   }
 }
 
-void finish_query(IvfPq& ix, size_t k, int64_t* out_ids, float* out_dists) {
-  auto& h = ix.heap;
+void finish_query(Scratch& sc, size_t k, int64_t* out_ids,
+                  float* out_dists) {
+  auto& h = sc.heap;
   std::sort_heap(h.begin(), h.end());  // ascending distance
   size_t i = 0;
   for (; i < h.size() && i < k; ++i) {
@@ -157,6 +167,29 @@ void finish_query(IvfPq& ix, size_t k, int64_t* out_ids, float* out_dists) {
     out_dists[i] = std::numeric_limits<float>::infinity();
     out_ids[i] = -1;
   }
+}
+
+// Fan a [0, nq) query range over a thread pool; fn(qi, scratch) runs the
+// whole per-query pipeline.  n_threads<=0 → hardware concurrency.
+template <typename Fn>
+void parallel_queries(const IvfPq& ix, long long nq, int n_threads, Fn fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = n_threads > 0 ? n_threads : static_cast<int>(hw ? hw : 1);
+  if (nt > nq) nt = static_cast<int>(nq > 0 ? nq : 1);
+  if (nt <= 1) {
+    Scratch sc(ix);
+    for (long long qi = 0; qi < nq; ++qi) fn(qi, sc);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int w = 0; w < nt; ++w) {
+    pool.emplace_back([&, w]() {
+      Scratch sc(ix);
+      for (long long qi = w; qi < nq; qi += nt) fn(qi, sc);
+    });
+  }
+  for (auto& th : pool) th.join();
 }
 
 }  // namespace
@@ -191,35 +224,35 @@ long long cham_ivfpq_create(int d, int m, int ksub, long long nlist,
     for (int t = 0; t < d; ++t) n2 += c[t] * c[t];
     ix->cent_norms[l] = n2;
   }
-  ix->lut.resize(static_cast<size_t>(m) * ksub);
-  ix->resid.resize(d);
   g_handles.push_back(ix);
   return static_cast<long long>(g_handles.size()) - 1;
 }
 
 // Full search: exact coarse top-nprobe + residual-ADC scan + exact top-k.
 // queries (nq, d) f32 -> out_ids (nq, k) i64, out_dists (nq, k) f32.
-// Distances are squared L2 up to the rank-invariant ||q||^2 offset in the
-// coarse stage only (reported ADC distances are complete).  Returns 0.
+// Reported ADC distances are complete squared L2; the coarse ranking
+// drops the rank-invariant ||q||^2 term.  n_threads<=0 = all cores.
+// Returns 0, or -1 on bad arguments.
 long long cham_ivfpq_search(long long h, long long nq, const float* queries,
                             int nprobe, int k, int64_t* out_ids,
-                            float* out_dists) {
+                            float* out_dists, int n_threads) {
   if (h < 0 || h >= static_cast<long long>(g_handles.size()) ||
       !g_handles[h] || nq < 0 || nprobe <= 0 || k <= 0) {
     return -1;
   }
-  IvfPq& ix = *g_handles[h];
-  if (nprobe > ix.nlist) nprobe = static_cast<int>(ix.nlist);
-  for (long long qi = 0; qi < nq; ++qi) {
+  const IvfPq& ix = *g_handles[h];
+  const int np = nprobe > ix.nlist ? static_cast<int>(ix.nlist) : nprobe;
+  parallel_queries(ix, nq, n_threads, [&](long long qi, Scratch& sc) {
     const float* q = queries + qi * ix.d;
-    coarse_topn(ix, q, nprobe);
-    ix.heap.clear();
-    for (const auto& pr : ix.probes) {
-      build_lut(ix, q, pr.second);
-      scan_one_list(ix, ix.heap, k, pr.second);
+    coarse_topn(ix, sc, q, np);
+    sc.heap.clear();
+    for (const auto& pr : sc.probes) {
+      build_lut(ix, sc, q, pr.second);
+      scan_one_list(ix, sc, static_cast<size_t>(k), pr.second);
     }
-    finish_query(ix, k, out_ids + qi * k, out_dists + qi * k);
-  }
+    finish_query(sc, static_cast<size_t>(k), out_ids + qi * k,
+                 out_dists + qi * k);
+  });
   return 0;
 }
 
@@ -229,23 +262,24 @@ long long cham_ivfpq_search_preassigned(long long h, long long nq,
                                         const float* queries,
                                         const int32_t* lists, int nprobe,
                                         int k, int64_t* out_ids,
-                                        float* out_dists) {
+                                        float* out_dists, int n_threads) {
   if (h < 0 || h >= static_cast<long long>(g_handles.size()) ||
       !g_handles[h] || nq < 0 || nprobe <= 0 || k <= 0 || !lists) {
     return -1;
   }
-  IvfPq& ix = *g_handles[h];
-  for (long long qi = 0; qi < nq; ++qi) {
+  const IvfPq& ix = *g_handles[h];
+  parallel_queries(ix, nq, n_threads, [&](long long qi, Scratch& sc) {
     const float* q = queries + qi * ix.d;
-    ix.heap.clear();
+    sc.heap.clear();
     for (int p = 0; p < nprobe; ++p) {
       const int32_t lid = lists[qi * nprobe + p];
       if (lid < 0 || lid >= ix.nlist) continue;
-      build_lut(ix, q, lid);
-      scan_one_list(ix, ix.heap, k, lid);
+      build_lut(ix, sc, q, lid);
+      scan_one_list(ix, sc, static_cast<size_t>(k), lid);
     }
-    finish_query(ix, k, out_ids + qi * k, out_dists + qi * k);
-  }
+    finish_query(sc, static_cast<size_t>(k), out_ids + qi * k,
+                 out_dists + qi * k);
+  });
   return 0;
 }
 
