@@ -23,6 +23,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# --backend cpu is a host-only run (the reference's Faiss-CPU arch row):
+# keep jax off the accelerator BEFORE any chamjax import — importing the
+# Pallas modules initializes a backend, and the axon plugin both ignores
+# JAX_PLATFORMS and hangs import when the tunnel is unavailable.
+if "cpu" in sys.argv[1:]:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from chamjax.config import IndexConfig, SearchConfig          # noqa: E402
 from chamjax.data import load_dataset                          # noqa: E402
 from chamjax.data.ground_truth import compute_ground_truth     # noqa: E402
@@ -99,14 +108,22 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--nprobe", type=int, nargs="+", default=[1, 8, 32])
     ap.add_argument("--batch", type=int, nargs="+", default=[1, 32, 128])
-    ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--backend", default="seg",
+                    choices=["seg", "pallas", "xla", "cpu"],
+                    help="cpu = native C++ host engine (no accelerator; "
+                         "the reference's Faiss-CPU arch row)")
     ap.add_argument("--out", default="results/vector_search_local.pkl")
     ap.add_argument("--load_dict", type=int, default=1)
     ap.add_argument("--overwrite", type=int, default=0)
     args = ap.parse_args()
 
-    import jax
-    arch = f"1x{jax.devices()[0].device_kind.replace(' ', '')}-{args.backend}"
+    if args.backend == "cpu":
+        import multiprocessing
+        arch = f"{multiprocessing.cpu_count()}coreCPU-native"
+    else:
+        import jax
+        arch = (f"1x{jax.devices()[0].device_kind.replace(' ', '')}"
+                f"-{args.backend}")
 
     ds = load_dataset(args.dbname, data_dir=args.data_dir)
     idx = get_or_build_index(args, ds)
@@ -114,10 +131,21 @@ def main() -> None:
     if gt is None:
         gt, _ = compute_ground_truth(ds.xb, ds.xq, k=args.k)
 
+    class _CpuSearcher:
+        """IVFSearcher-shaped facade over the native host engine."""
+
+        def __init__(self, packed):
+            from chamjax.native import NativeIVFPQ
+            self.engine = NativeIVFPQ(packed)
+
+        def search(self, q, nprobe, k):
+            return self.engine.search(q, nprobe, k)
+
     store = ResultStore(args.out, load=bool(args.load_dict),
                         overwrite=bool(args.overwrite))
+    cpu_searcher = _CpuSearcher(idx) if args.backend == "cpu" else None
     for nprobe in args.nprobe:
-        searcher = IVFSearcher(
+        searcher = cpu_searcher or IVFSearcher(
             idx, SearchConfig(nprobe=nprobe, k=args.k, backend=args.backend))
         for batch in args.batch:
             key = (args.dbname, idx.cfg.key, arch, args.k, nprobe, batch)
