@@ -96,6 +96,10 @@ def _recall_matrix(ds, idx, dev, gt, base_kw, nprobe, k, ivfpq_search,
          oracle, 0.002)
     # production path (approx top-k + coarse approx): bounded, not equal
     gate("seg_f32_approx", r10_of(), oracle, 0.02)
+    # hierarchical oversized-L1 selection (ops/topk.py): effective
+    # per-element recall ~0.99 at l1=1024 — bounded like the approx row
+    gate("seg_l1_1024", r10_of(use_approx=True, coarse_approx=False,
+                               select_l1=1024), oracle, 0.02)
 
     # preassigned (external coarse scan) must equal the full path
     lids, _ = coarse_scan(q, dev.centroids, nprobe, use_approx=False)
