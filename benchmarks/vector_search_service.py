@@ -24,6 +24,17 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# --backend cpu = host-only topology (native C++ engine + CPU coarse
+# scanner): force the CPU platform BEFORE chamjax imports — importing the
+# Pallas modules initializes a backend, and the axon plugin both ignores
+# JAX_PLATFORMS and hangs import when the tunnel is unavailable.  The
+# env var covers mp-spawn children, whose argv is the bootstrap's.
+if "cpu" in sys.argv[1:] or os.environ.get("CHAMJAX_FORCE_CPU"):
+    os.environ["CHAMJAX_FORCE_CPU"] = "1"   # inherited by engine procs
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 from chamjax.config import IndexConfig, SearchConfig          # noqa: E402
 from chamjax.data import load_dataset                          # noqa: E402
 from chamjax.data.ground_truth import compute_ground_truth     # noqa: E402
@@ -40,11 +51,17 @@ def _engine_proc(index_path: str, host: str, port: int, batch: int,
                  dim: int, k: int, backend: str) -> None:
     """PQ-engine process: packed index served over the wire format.
     Serves one connection until the client closes (EOF)."""
-    from chamjax.retrieval.local import LocalRetriever
     from chamjax.retrieval.server import RetrievalServer
 
-    retr = LocalRetriever.from_file(
-        index_path, SearchConfig(k=k, backend=backend))
+    if backend == "cpu":
+        from chamjax.index.ivf import PackedIVF
+        from chamjax.retrieval.local import NativeCPURetriever
+        retr = NativeCPURetriever(PackedIVF.load(index_path),
+                                  SearchConfig(k=k))
+    else:
+        from chamjax.retrieval.local import LocalRetriever
+        retr = LocalRetriever.from_file(
+            index_path, SearchConfig(k=k, backend=backend))
     srv = RetrievalServer(retr, host, port, batch, dim, nprobe=32)
     srv.start(n_connections=1, with_lists=True)
 
