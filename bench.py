@@ -135,7 +135,32 @@ def _recall_matrix(ds, idx, dev, gt, base_kw, nprobe, k, ivfpq_search,
     return rows
 
 
+def _require_device(timeout_s: float = 600.0) -> None:
+    """Fail fast (exit 2) if accelerator/backend init hangs — a dead axon
+    tunnel blocks ``jax.devices()`` forever, and a silent multi-hour hang
+    is worse for the driver than a clear error."""
+    import threading
+
+    done = threading.Event()
+    info = {}
+
+    def probe():
+        import jax
+        info["devices"] = jax.devices()
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(f"[bench] FATAL: backend init did not complete in "
+              f"{timeout_s:.0f}s (accelerator tunnel down?)",
+              file=sys.stderr, flush=True)
+        os._exit(2)
+    _note(f"backend up: {info['devices']}")
+
+
 def main() -> None:
+    _require_device()
     import jax
     import jax.numpy as jnp
 
