@@ -216,3 +216,38 @@ def test_native_cpu_retriever_contract():
     res2 = r.retrieve_recv(4, 5)
     np.testing.assert_array_equal(res2.ids, res.ids)
     r.close()
+
+
+def test_native_engine_behind_tcp_server():
+    """NativeCPURetriever served over the binary wire tier: the engine,
+    the server loop, and the client codec compose (the host-only
+    disaggregated topology of benchmarks/vector_search_service.py)."""
+    import numpy as np
+    from chamjax.config import IndexConfig, SearchConfig
+    from chamjax.data import synthetic_dataset
+    from chamjax.index import build_ivfpq
+    from chamjax.retrieval.external import ExternalRetriever
+    from chamjax.retrieval.local import NativeCPURetriever
+    from chamjax.retrieval.server import RetrievalServer
+
+    ds = synthetic_dataset(nb=8000, nq=8, nt=4000, d=16, seed=2,
+                           n_clusters=32)
+    idx = build_ivfpq(ds.xb, IndexConfig(dim=16, nlist=32, m=4, list_pad=64),
+                      xt=ds.xt, kmeans_iters=3, pq_iters=3)
+    retr = NativeCPURetriever(idx, SearchConfig(nprobe=4, k=5))
+    port = next_port()
+    srv = RetrievalServer(retr, "127.0.0.1", port, batch_size=8, dim=16,
+                          nprobe=4)
+    th = threading.Thread(target=srv.start,
+                          kwargs=dict(n_connections=1, with_lists=False),
+                          daemon=True)
+    th.start()
+    cli = connect_retry(
+        lambda: ExternalRetriever("127.0.0.1", port, 8, 16, 5, nprobe=4))
+    res = cli.retrieve(ds.xq.astype(np.float32), nprobe=4, k=5)
+    # must equal the engine's direct answer
+    direct = retr.retrieve(ds.xq, nprobe=4, k=5)
+    np.testing.assert_array_equal(res.ids, direct.ids)
+    np.testing.assert_allclose(res.dists, direct.dists, rtol=1e-6)
+    cli.close()
+    th.join(timeout=10)
