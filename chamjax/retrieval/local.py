@@ -100,7 +100,7 @@ class DeviceRetriever(BaseRetriever):
             recall_target=self.scfg.approx_recall_target,
             backend="seg", interpret=self.interpret,
             coarse_approx=self.scfg.coarse_approx and not self.interpret,
-            lut_bf16=self.scfg.lut_bf16)
+            lut_bf16=self.scfg.lut_bf16, select_l1=self.scfg.select_l1)
 
     def retrieve(self, queries: np.ndarray, nprobe: int, k: int
                  ) -> RetrievalResult:
