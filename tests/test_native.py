@@ -251,3 +251,29 @@ def test_native_engine_behind_tcp_server():
     np.testing.assert_allclose(res.dists, direct.dists, rtol=1e-6)
     cli.close()
     th.join(timeout=10)
+
+
+def test_native_ivfpq_opq_rotation():
+    """OPQ indexes: the engine must apply the stored rotation to queries
+    exactly like the device path does."""
+    import numpy as np
+    from chamjax import native
+    from chamjax.config import IndexConfig, SearchConfig
+    from chamjax.data import synthetic_dataset
+    from chamjax.index import build_ivfpq
+    from chamjax.searcher import IVFSearcher
+
+    ds = synthetic_dataset(nb=10000, nq=8, nt=6000, d=32, seed=13,
+                           n_clusters=32)
+    idx = build_ivfpq(ds.xb, IndexConfig(dim=32, nlist=32, m=8, list_pad=64,
+                                         opq=True),
+                      xt=ds.xt, kmeans_iters=4, pq_iters=4)
+    assert idx.opq_R is not None
+    ref = IVFSearcher(idx, SearchConfig(nprobe=8, k=10,
+                                        use_approx_topk=False,
+                                        lut_bf16=False))
+    d_r, i_r = ref.search(ds.xq)
+    eng = native.NativeIVFPQ(idx)
+    d_n, i_n = eng.search(ds.xq, nprobe=8, k=10)
+    np.testing.assert_allclose(d_n, d_r, rtol=1e-4, atol=1e-4)
+    eng.close()
