@@ -145,15 +145,23 @@ def _require_device(timeout_s: float = 600.0) -> None:
     info = {}
 
     def probe():
-        import jax
-        info["devices"] = jax.devices()
-        done.set()
+        try:
+            import jax
+            info["devices"] = jax.devices()
+        except BaseException as e:           # report, don't sit out the wait
+            info["error"] = repr(e)
+        finally:
+            done.set()
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     if not done.wait(timeout_s):
         print(f"[bench] FATAL: backend init did not complete in "
               f"{timeout_s:.0f}s (accelerator tunnel down?)",
+              file=sys.stderr, flush=True)
+        os._exit(2)
+    if "error" in info:
+        print(f"[bench] FATAL: backend init failed: {info['error']}",
               file=sys.stderr, flush=True)
         os._exit(2)
     _note(f"backend up: {info['devices']}")

@@ -206,8 +206,9 @@ def main() -> None:
             windows=W, seg=args.seg, group=args.group, k=k,
             lut_bf16=args.lut_bf16)[0]))
 
-        model = pm.search_latency_model(args.nb, args.nlist, nprobe,
-                                        args.m, args.d, batch)
+        model = pm.search_latency_model(
+            args.nb, args.nlist, nprobe, args.m, args.d, batch,
+            lut_bf16=bool(args.lut_bf16), seg=args.seg, windows=W)
         res = {
             "coarse_ms": round(t_coarse, 4), "lut_ms": round(t_lut, 4),
             "scan_ms": round(t_scan, 4),

@@ -27,7 +27,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # keep jax off the accelerator BEFORE any chamjax import — importing the
 # Pallas modules initializes a backend, and the axon plugin both ignores
 # JAX_PLATFORMS and hangs import when the tunnel is unavailable.
-if "cpu" in sys.argv[1:]:
+
+
+def _cpu_backend_requested(argv) -> bool:
+    for i, a in enumerate(argv):
+        if a == "--backend" and i + 1 < len(argv) and argv[i + 1] == "cpu":
+            return True
+        if a == "--backend=cpu":
+            return True
+    return False
+
+
+if _cpu_backend_requested(sys.argv[1:]):
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -29,7 +29,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Pallas modules initializes a backend, and the axon plugin both ignores
 # JAX_PLATFORMS and hangs import when the tunnel is unavailable.  The
 # env var covers mp-spawn children, whose argv is the bootstrap's.
-if "cpu" in sys.argv[1:] or os.environ.get("CHAMJAX_FORCE_CPU"):
+
+
+def _cpu_backend_requested(argv) -> bool:
+    for i, a in enumerate(argv):
+        if a == "--backend" and i + 1 < len(argv) and argv[i + 1] == "cpu":
+            return True
+        if a == "--backend=cpu":
+            return True
+    return False
+
+
+if _cpu_backend_requested(sys.argv[1:]) or os.environ.get("CHAMJAX_FORCE_CPU"):
     os.environ["CHAMJAX_FORCE_CPU"] = "1"   # inherited by engine procs
     import jax
 

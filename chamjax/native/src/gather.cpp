@@ -21,9 +21,11 @@ extern "C" {
 // Gather bw windows of up to `seg` rows each.
 //   codes:      (n_pad, m) uint8, row-major
 //   ids:        (n_pad,) int32
-//   starts/lens:(bw,) int32 — global row offsets / row counts (lens may
-//               exceed seg; only min(seg, lens, n_pad - start) rows copy,
-//               matching the Python staging loop)
+//   starts/lens:(bw,) int32 — global row offsets / row counts.  lens only
+//               gates skipping (lens <= 0 -> whole window filled); when
+//               lens > 0 the copy is min(seg, n_pad - start) rows — full
+//               window slabs including rows past lens, which the device
+//               kernel masks by length (identical to the Python loop)
 //   slab_codes: (bw, seg, m) uint8 out — tail rows zero-filled
 //   slab_ids:   (bw, seg) int32 out — tail rows set to -1
 // Returns total rows copied, or -1 on bad arguments.

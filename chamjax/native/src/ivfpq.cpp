@@ -24,6 +24,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -53,7 +54,17 @@ struct Scratch {
       : lut(static_cast<size_t>(ix.m) * ix.ksub), resid(ix.d) {}
 };
 
+// create/free/lookup guard: ctypes releases the GIL, so one thread may be
+// mid-search while another creates a handle (vector reallocation would
+// invalidate the reader); searches hold only the brief lookup lock.
+std::mutex g_handles_mu;
 std::vector<IvfPq*> g_handles;
+
+IvfPq* lookup_handle(long long h) {
+  std::lock_guard<std::mutex> lk(g_handles_mu);
+  if (h < 0 || h >= static_cast<long long>(g_handles.size())) return nullptr;
+  return g_handles[h];
+}
 
 inline void heap_push(std::vector<std::pair<float, int64_t>>& h, size_t k,
                       float dist, int64_t id) {
@@ -224,6 +235,7 @@ long long cham_ivfpq_create(int d, int m, int ksub, long long nlist,
     for (int t = 0; t < d; ++t) n2 += c[t] * c[t];
     ix->cent_norms[l] = n2;
   }
+  std::lock_guard<std::mutex> lk(g_handles_mu);
   g_handles.push_back(ix);
   return static_cast<long long>(g_handles.size()) - 1;
 }
@@ -236,11 +248,11 @@ long long cham_ivfpq_create(int d, int m, int ksub, long long nlist,
 long long cham_ivfpq_search(long long h, long long nq, const float* queries,
                             int nprobe, int k, int64_t* out_ids,
                             float* out_dists, int n_threads) {
-  if (h < 0 || h >= static_cast<long long>(g_handles.size()) ||
-      !g_handles[h] || nq < 0 || nprobe <= 0 || k <= 0) {
+  const IvfPq* ixp = lookup_handle(h);
+  if (!ixp || nq < 0 || nprobe <= 0 || k <= 0) {
     return -1;
   }
-  const IvfPq& ix = *g_handles[h];
+  const IvfPq& ix = *ixp;
   const int np = nprobe > ix.nlist ? static_cast<int>(ix.nlist) : nprobe;
   parallel_queries(ix, nq, n_threads, [&](long long qi, Scratch& sc) {
     const float* q = queries + qi * ix.d;
@@ -263,11 +275,11 @@ long long cham_ivfpq_search_preassigned(long long h, long long nq,
                                         const int32_t* lists, int nprobe,
                                         int k, int64_t* out_ids,
                                         float* out_dists, int n_threads) {
-  if (h < 0 || h >= static_cast<long long>(g_handles.size()) ||
-      !g_handles[h] || nq < 0 || nprobe <= 0 || k <= 0 || !lists) {
+  const IvfPq* ixp = lookup_handle(h);
+  if (!ixp || nq < 0 || nprobe <= 0 || k <= 0 || !lists) {
     return -1;
   }
-  const IvfPq& ix = *g_handles[h];
+  const IvfPq& ix = *ixp;
   parallel_queries(ix, nq, n_threads, [&](long long qi, Scratch& sc) {
     const float* q = queries + qi * ix.d;
     sc.heap.clear();
@@ -284,6 +296,7 @@ long long cham_ivfpq_search_preassigned(long long h, long long nq,
 }
 
 void cham_ivfpq_free(long long h) {
+  std::lock_guard<std::mutex> lk(g_handles_mu);
   if (h >= 0 && h < static_cast<long long>(g_handles.size()) &&
       g_handles[h]) {
     delete g_handles[h];

@@ -46,6 +46,11 @@ def select_topk(
     """
     n = dists.shape[-1]
     kk = min(k, n)
+    if use_approx and l1 > kk and n < 2 * l1:
+        import warnings
+        warnings.warn(
+            f"select_topk: l1={l1} needs n >= {2 * l1} (n={n}) — falling "
+            "back to the aggregated approx_min_k path", stacklevel=2)
     if use_approx and l1 > kk and n >= 2 * l1:
         v1, i1 = jax.lax.approx_min_k(
             dists, l1, recall_target=0.9, aggregate_to_topk=False

@@ -58,6 +58,8 @@ class LocalRetriever(BaseRetriever):
             use_approx=s.scfg.use_approx_topk,
             recall_target=s.scfg.approx_recall_target,
             backend=s.backend, tile=s.tile, interpret=s.interpret,
+            coarse_approx=s.scfg.coarse_approx and not s.interpret,
+            lut_bf16=s.scfg.lut_bf16, select_l1=s.scfg.select_l1,
         )
         return RetrievalResult(ids=i, dists=d)
 

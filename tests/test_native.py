@@ -192,6 +192,9 @@ def test_native_ivfpq_matches_device_path():
                           jnp.asarray(idx.centroids), 8)
     d_p, i_p = eng.search_preassigned(ds.xq, np.asarray(lids), k=10)
     np.testing.assert_allclose(d_p, d_r, rtol=1e-4, atol=1e-4)
+    agree = i_p == i_r
+    close = np.abs(d_p - d_r) < 1e-3
+    assert np.all(agree | close)
     eng.close()
 
 
@@ -276,4 +279,7 @@ def test_native_ivfpq_opq_rotation():
     eng = native.NativeIVFPQ(idx)
     d_n, i_n = eng.search(ds.xq, nprobe=8, k=10)
     np.testing.assert_allclose(d_n, d_r, rtol=1e-4, atol=1e-4)
+    agree = i_n == i_r
+    close = np.abs(d_n - d_r) < 1e-3   # id ties may swap at equal distance
+    assert np.all(agree | close)
     eng.close()
