@@ -136,3 +136,53 @@ def test_search_latency_model_calibration_100m():
         96 * (1 << 20), 65536, 32, 16, 128, batch=128,
         lut_bf16=True, recall_target=0.9, seg=2048, windows=69)
     assert cheap["t_select_s"] < 0.15 * out["t_select_s"]
+
+
+def test_report_tables_from_result_store(tmp_path):
+    """The report layer (benchmarks/report.py) renders markdown/LaTeX
+    tables from real ResultStore pickles — previously untested by CI."""
+    import sys
+    sys.path.insert(0, ".")
+    from benchmarks.report import collect, to_markdown, to_latex
+    from chamjax.utils import ResultStore
+
+    p = str(tmp_path / "r.pkl")
+    store = ResultStore(p, load=False)
+    store.put(("SYN1M", "IVF4096,PQ16", "1xv5e-seg", 100, 32, 128),
+              {"QPS": 70962.0, "R@10": 0.883})
+    store.put(("SYN1M", "IVF4096,PQ16", "cpu-native", 100, 32, 128),
+              {"QPS": 713.0, "R@10": 0.883})
+    store.save()
+
+    rows = collect([p])
+    assert len(rows) == 2
+    md = to_markdown(rows, ["QPS", "R@10"])
+    assert "| key | QPS | R@10 |" in md and "1xv5e-seg" in md
+    assert "70,962" in md or "7.096e+04" in md
+    tex = to_latex(rows, ["QPS", "R@10"])
+    assert "\\begin{tabular}" in tex and "cpu-native" in tex
+
+
+def test_plot_results_renders_pngs(tmp_path):
+    """plot_results.py renders figures from a ResultStore (smoke; CI-gates
+    the previously-untested plotting layer)."""
+    import subprocess
+    import sys as _sys
+    from chamjax.utils import ResultStore
+
+    p = str(tmp_path / "r.pkl")
+    store = ResultStore(p, load=False)
+    for batch, qps, r10, lat in ((1, 900.0, 0.88, 1.1),
+                                 (128, 70000.0, 0.883, 1.8)):
+        store.put(("SYN1M", "IVF4096,PQ16", "1xv5e-seg", 100, 32, batch),
+                  {"QPS": qps, "R@10": r10, "latency_ms_p50": lat})
+    store.save()
+    out_dir = str(tmp_path / "figs")
+    rc = subprocess.run(
+        [_sys.executable, "benchmarks/plot_results.py", p,
+         "--out_dir", out_dir],
+        capture_output=True, text=True, timeout=240)
+    assert rc.returncode == 0, rc.stderr[-2000:]
+    import os as _os
+    made = _os.listdir(out_dir)
+    assert "recall_qps.png" in made and "latency_batch.png" in made
