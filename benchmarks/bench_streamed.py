@@ -71,6 +71,7 @@ def main() -> None:
 
     scfg = SearchConfig(nprobe=args.nprobe, k=args.k)
     st = HostStreamedSearcher(packed, scfg)
+    st.warm()      # prefault codes/ids (cold random reads ~0.3 GiB/s here)
     b = args.batch
     m = cfg.m
     seg, W = st.seg, st.windows
