@@ -8,6 +8,11 @@ prompt build → generate, with per-stage wall-clock timers and
 ``torch.cuda.nvtx`` ranges.
 """
 
-from chamjax.rag.splitter import RecursiveTextSplitter      # noqa: F401
+from chamjax.rag.splitter import (                          # noqa: F401
+    CharacterTextSplitter, RecursiveTextSplitter,
+)
 from chamjax.rag.vector_store import VectorStore            # noqa: F401
 from chamjax.rag.pipeline import AdvancedRAG, StageTimer    # noqa: F401
+from chamjax.rag.loaders import (                           # noqa: F401
+    DirectoryLoader, PDFLoader, TextLoader, URLLoader,
+)

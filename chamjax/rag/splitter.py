@@ -69,3 +69,16 @@ class RecursiveTextSplitter:
                 out.append({**{k: v for k, v in doc.items() if k != "text"},
                             "text": chunk})
         return out
+
+
+class CharacterTextSplitter(RecursiveTextSplitter):
+    """Single-separator splitter — the flavor the reference's URL/PDF demo
+    uses (``yt_embeddings_langchain.py``: LangChain ``CharacterTextSplitter``
+    with ``chunk_size=1000, chunk_overlap=0``).  Splits on one separator
+    only, then merges pieces up to ``chunk_size``; a lone piece longer than
+    ``chunk_size`` is kept whole (same semantics as the original)."""
+
+    def __init__(self, chunk_size: int = 1000, chunk_overlap: int = 0,
+                 separator: str = "\n\n", length_fn=len):
+        super().__init__(chunk_size=chunk_size, chunk_overlap=chunk_overlap,
+                         separators=[separator], length_fn=length_fn)

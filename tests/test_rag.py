@@ -96,3 +96,109 @@ def test_jax_decoder_reader_generates():
     assert len(out.split()) == 4
     # deterministic for the same prompt
     assert out == r.generate("what is a rocket?")
+
+
+# ---------------------------------------------------------------------------
+# Document loaders (reference: reranker_hf/yt_embeddings_langchain.py)
+# ---------------------------------------------------------------------------
+
+def _write_minimal_pdf(path, streams):
+    """Build a minimal but well-formed-enough PDF: one object per content
+    stream; streams is a list of (bytes, compress?) pairs."""
+    import zlib
+    out = bytearray(b"%PDF-1.4\n")
+    for i, (content, compress) in enumerate(streams):
+        body = zlib.compress(content) if compress else content
+        filt = b" /Filter /FlateDecode" if compress else b""
+        out += (b"%d 0 obj\n<< /Length %d%s >>\nstream\n"
+                % (i + 1, len(body), filt))
+        out += body + b"\nendstream\nendobj\n"
+    out += b"%%EOF\n"
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def test_text_and_url_loaders(tmp_path):
+    from chamjax.rag import TextLoader, URLLoader
+    p = tmp_path / "doc.txt"
+    p.write_text("the president spoke about the supreme court\n")
+    docs = TextLoader(str(p)).load()
+    assert docs[0]["text"].startswith("the president")
+    assert docs[0]["source"] == str(p)
+    # file:// URL — the hermetic flavor of the demo's HTTP download
+    docs2 = URLLoader(p.as_uri()).load()
+    assert docs2[0]["text"] == docs[0]["text"]
+    assert docs2[0]["source"].startswith("file://")
+
+
+def test_pdf_loader_extracts_text(tmp_path):
+    from chamjax.rag import PDFLoader
+    content = (b"BT /F1 12 Tf (Hello \\(PDF\\) world) Tj "
+               b"[(cham) -250 (jax loaders)] TJ (line\\n2) ' ET")
+    octal = b"BT (\\101\\102\\103) Tj ET"
+    pdf = tmp_path / "doc.pdf"
+    _write_minimal_pdf(str(pdf), [(content, True), (octal, False)])
+    docs = PDFLoader(str(pdf)).load()
+    text = docs[0]["text"]
+    assert "Hello (PDF) world" in text
+    assert "chamjax loaders" in text        # TJ array literals joined
+    assert "line\n2" in text                # ' operator + \n escape
+    assert "ABC" in text                    # octal escapes, raw stream
+
+
+def test_pdf_loader_rejects_non_pdf(tmp_path):
+    from chamjax.rag import PDFLoader
+    p = tmp_path / "fake.pdf"
+    p.write_bytes(b"not a pdf at all")
+    try:
+        PDFLoader(str(p)).load()
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_directory_loader_mixed(tmp_path):
+    from chamjax.rag import DirectoryLoader
+    (tmp_path / "a.txt").write_text("alpha text")
+    _write_minimal_pdf(str(tmp_path / "b.pdf"),
+                       [(b"BT (beta pdf) Tj ET", True)])
+    docs = DirectoryLoader(str(tmp_path)).load()
+    assert len(docs) == 2
+    texts = " | ".join(d["text"] for d in docs)
+    assert "alpha text" in texts and "beta pdf" in texts
+    # empty match is an explicit error, not silence
+    try:
+        DirectoryLoader(str(tmp_path), "*.docx").load()
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
+
+
+def test_character_splitter_semantics():
+    from chamjax.rag import CharacterTextSplitter
+    text = "para one.\n\npara two is a bit longer.\n\n" + "x" * 150
+    sp = CharacterTextSplitter(chunk_size=60, chunk_overlap=0)
+    chunks = sp.split_text(text)
+    # short paragraphs merge up to chunk_size; the oversized run stays whole
+    assert any("para one" in c and "para two" in c for c in chunks)
+    assert any(len(c) >= 150 for c in chunks)
+    assert "".join(chunks).count("x" * 150) == 1
+
+
+def test_doc_qa_end_to_end(tmp_path):
+    """The demo's full flow: load URL → split → embed → retrieve → answer."""
+    from chamjax.rag import (AdvancedRAG, CharacterTextSplitter, URLLoader,
+                             VectorStore)
+    from chamjax.rag.pipeline import EchoReader
+    p = tmp_path / "sotu.txt"
+    p.write_text("The economy grew strongly this year.\n\n"
+                 "The supreme court gained a new justice of great renown.\n\n"
+                 "Rural broadband expanded to five million homes.\n")
+    docs = URLLoader(p.as_uri()).load()
+    chunks = CharacterTextSplitter(chunk_size=80).split_documents(docs)
+    assert len(chunks) >= 2
+    store = VectorStore.from_documents(chunks, HashingEncoder(dim=128))
+    rag = AdvancedRAG(store, EchoReader(), n_retrieved=2, n_final=1)
+    answer, ctx = rag.answer("what about the supreme court justice")
+    assert "supreme court" in ctx[0]["text"].lower()
+    assert answer
