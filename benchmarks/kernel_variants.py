@@ -54,15 +54,18 @@ def _tile_bf16(lut_packed, cc):
     return jnp.sum(g, axis=0)
 
 
-def _tile_bf16_trim(lut_packed, cc):
+def _decode_bf16_trim(lut_packed, cc):
     # 3-op decode: even code wants low half << 16, odd wants high half
     # kept in place — select then a single mask, no final shift
     vf = jnp.take_along_axis(lut_packed, cc >> 1, axis=1)
     v = jax.lax.bitcast_convert_type(vf, jnp.int32)
     hi = v & jnp.int32(-65536)                       # 0xFFFF0000
-    g = jax.lax.bitcast_convert_type(
+    return jax.lax.bitcast_convert_type(
         jnp.where((cc & 1) == 1, hi, v << 16), jnp.float32)
-    return jnp.sum(g, axis=0)
+
+
+def _tile_bf16_trim(lut_packed, cc):
+    return jnp.sum(_decode_bf16_trim(lut_packed, cc), axis=0)
 
 
 def _tile_nosum(lut, cc):
@@ -91,6 +94,7 @@ def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
     codes_hbm = rest[group]
     out_ref = rest[group + 1]
     scratch, sems = rest[group + 2], rest[group + 3]
+    gbuf = rest[group + 4] if variant == "bf16_mxu" else None
     i = pl.program_id(0)
     nw = pl.num_programs(0)
 
@@ -123,10 +127,27 @@ def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
         def _(sl=sl):
             for j in range(group):
                 lut = lut_refs[j][0]
-                if variant in ("bf16", "bf16_trim", "bytes_bf16t"):
+                if variant in ("bf16", "bf16_trim", "bf16_mxu",
+                               "bytes_bf16t"):
                     lut = jax.lax.bitcast_convert_type(lut, jnp.float32)
                 dma(sl * group + j, i * group + j).wait()
                 codes = scratch[sl * group + j]
+                if variant == "bf16_mxu":
+                    # decode tiles into a VMEM buffer; reduce over m with
+                    # ONE MXU dot per window — frees the VPU of the
+                    # cross-sublane sum (the idle MXU does the reduction)
+                    codes = codes.astype(jnp.int32)
+                    for t in range(seg // LANES):
+                        cc = codes[:, t * LANES:(t + 1) * LANES]
+                        gbuf[:, t * LANES:(t + 1) * LANES] = \
+                            _decode_bf16_trim(lut, cc)
+                    res = jax.lax.dot_general(
+                        jnp.ones((1, codes.shape[0]), jnp.float32),
+                        gbuf[...],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    out_ref[j] = res.reshape(seg // LANES, LANES)
+                    continue
                 if variant.startswith(("bytes_", "i32view_")):
                     if variant.startswith("bytes_"):
                         v32 = _codes_i32_view(codes, codes.shape[0], seg)
@@ -192,7 +213,8 @@ def run_variant(codes, starts, lens, lut_idx, luts, *, seg, group, variant,
         scratch_shapes=[
             pltpu.VMEM((2 * group, m, scr_lanes), cdt),
             pltpu.SemaphoreType.DMA((2 * group,)),
-        ])
+        ] + ([pltpu.VMEM((m, seg), jnp.float32)]
+             if variant == "bf16_mxu" else []))
     out = pl.pallas_call(
         functools.partial(_kernel, seg=seg, group=group, variant=variant),
         out_shape=jax.ShapeDtypeStruct((bw, seg // LANES, LANES),

@@ -105,6 +105,9 @@ class SearchConfig:
     # Segmented backend: static per-query window budget (0 = auto-sized from
     # the index's list-length distribution, IVFSearcher._auto_windows).
     scan_windows: int = 0
+    # Segmented backend: rows per window (0 = cost-model auto,
+    # ``searcher.auto_seg``; must be a 128-multiple ≤ ops.scan_seg.MAX_SEG).
+    seg: int = 0
     # Windows processed per kernel grid step (amortizes per-step machinery;
     # 8 measured best on v5e).
     seg_group: int = 8

@@ -221,23 +221,34 @@ long long cham_ivfpq_create(int d, int m, int ksub, long long nlist,
       !list_len || n_pad < 0) {
     return -1;
   }
-  IvfPq* ix = new IvfPq();
-  ix->d = d; ix->m = m; ix->ksub = ksub; ix->dsub = d / m;
-  ix->nlist = nlist; ix->n_pad = n_pad;
-  ix->by_residual = by_residual != 0;
-  ix->centroids = centroids; ix->codebooks = codebooks;
-  ix->codes = codes; ix->ids = ids;
-  ix->list_start = list_start; ix->list_len = list_len;
-  ix->cent_norms.resize(nlist);
+  // Validate the CSR tables against n_pad before trusting them: a corrupt
+  // artifact must fail here with -1, not OOB-read inside a search (the
+  // same discipline as cham_hnsw_load's header validation).
   for (long long l = 0; l < nlist; ++l) {
-    const float* c = centroids + l * d;
-    float n2 = 0.f;
-    for (int t = 0; t < d; ++t) n2 += c[t] * c[t];
-    ix->cent_norms[l] = n2;
+    const long long s = list_start[l], ln = list_len[l];
+    if (s < 0 || ln < 0 || s + ln > n_pad) return -1;
   }
-  std::lock_guard<std::mutex> lk(g_handles_mu);
-  g_handles.push_back(ix);
-  return static_cast<long long>(g_handles.size()) - 1;
+  try {
+    IvfPq* ix = new IvfPq();
+    ix->d = d; ix->m = m; ix->ksub = ksub; ix->dsub = d / m;
+    ix->nlist = nlist; ix->n_pad = n_pad;
+    ix->by_residual = by_residual != 0;
+    ix->centroids = centroids; ix->codebooks = codebooks;
+    ix->codes = codes; ix->ids = ids;
+    ix->list_start = list_start; ix->list_len = list_len;
+    ix->cent_norms.resize(nlist);
+    for (long long l = 0; l < nlist; ++l) {
+      const float* c = centroids + l * d;
+      float n2 = 0.f;
+      for (int t = 0; t < d; ++t) n2 += c[t] * c[t];
+      ix->cent_norms[l] = n2;
+    }
+    std::lock_guard<std::mutex> lk(g_handles_mu);
+    g_handles.push_back(ix);
+    return static_cast<long long>(g_handles.size()) - 1;
+  } catch (const std::exception&) {
+    return -1;   // bad_alloc must not cross the ctypes boundary
+  }
 }
 
 // Full search: exact coarse top-nprobe + residual-ADC scan + exact top-k.
@@ -249,7 +260,8 @@ long long cham_ivfpq_search(long long h, long long nq, const float* queries,
                             int nprobe, int k, int64_t* out_ids,
                             float* out_dists, int n_threads) {
   const IvfPq* ixp = lookup_handle(h);
-  if (!ixp || nq < 0 || nprobe <= 0 || k <= 0) {
+  if (!ixp || nq < 0 || nprobe <= 0 || k <= 0 || !queries || !out_ids ||
+      !out_dists) {
     return -1;
   }
   const IvfPq& ix = *ixp;
@@ -276,7 +288,8 @@ long long cham_ivfpq_search_preassigned(long long h, long long nq,
                                         int k, int64_t* out_ids,
                                         float* out_dists, int n_threads) {
   const IvfPq* ixp = lookup_handle(h);
-  if (!ixp || nq < 0 || nprobe <= 0 || k <= 0 || !lists) {
+  if (!ixp || nq < 0 || nprobe <= 0 || k <= 0 || !lists || !queries ||
+      !out_ids || !out_dists) {
     return -1;
   }
   const IvfPq& ix = *ixp;

@@ -39,7 +39,14 @@ from chamjax.ops.topk import select_topk
 
 LANES = 128
 SEG = 1024            # default rows per segment (one (8, 128) f32 block)
-MAX_SEG = 2048        # DeviceIVF overread padding covers any seg <= this
+MAX_SEG = 4096        # DeviceIVF overread padding covers any seg <= this
+
+# Measured v5e window cost model (benchmarks/kernel_variants.py, packed-bf16
+# kernel, min-of-3 chained slopes): a window costs F + seg/R with marginal
+# rate R ≈ 15-28 Grows/s and F·R ≈ 2k rows — i.e. every window carries a
+# fixed cost worth ~2048 row-slots regardless of fill.  auto_seg uses this
+# to trade windows-per-list against padding slots.
+WINDOW_FIXED_ROWS = 2048
 
 
 def pack_luts_bf16(luts: jax.Array) -> jax.Array:

@@ -211,15 +211,30 @@ def ivfpq_search_preassigned(
 
 
 def auto_seg(list_len: np.ndarray) -> int:
-    """Segment size: smallest 128-multiple power-of-two covering the p90
-    list, clamped [256, MAX_SEG] — keeps per-window padding waste low
-    without inflating the window count."""
-    from chamjax.ops.scan_seg import MAX_SEG
-    p90 = float(np.quantile(list_len, 0.90)) or 1.0
+    """Segment size minimizing the modeled scan time.
+
+    A window costs ``F + seg/R`` on device regardless of fill — every slot
+    is scanned; ``kernel_variants.py`` measures the fixed cost at
+    ``F·R = WINDOW_FIXED_ROWS ≈ 2k`` row-equivalents per window.  Probed
+    lists are length-biased (the ``auto_windows`` argument), so pick the
+    power-of-two seg minimizing the length-weighted expected cost
+    ``Σ wᵢ·ceil(lenᵢ/seg)·(F_ROWS + seg)``: long lists amortize the fixed
+    cost into fewer, bigger windows; short lists avoid padding slots."""
+    from chamjax.ops.scan_seg import MAX_SEG, WINDOW_FIXED_ROWS
+    lens = np.asarray(list_len, np.float64)
+    total = lens.sum()
+    if total <= 0:
+        return 256
+    w = lens / total
+    best, best_cost = 256, np.inf
     seg = 256
-    while seg < min(p90, MAX_SEG):
+    while seg <= MAX_SEG:
+        cost = float((w * np.ceil(lens / seg)).sum()
+                     * (WINDOW_FIXED_ROWS + seg))
+        if cost < best_cost:
+            best, best_cost = seg, cost
         seg *= 2
-    return min(seg, MAX_SEG)
+    return best
 
 
 def auto_windows(list_len: np.ndarray, seg: int, nprobe: int,
@@ -260,7 +275,7 @@ class IVFSearcher:
             self.backend = "xla"
         # interpret mode lets the kernel run on CPU (tests / debugging)
         self.interpret = jax.default_backend() != "tpu"
-        self.seg = self._auto_seg()
+        self.seg = search_cfg.seg or self._auto_seg()
         # multi-window steps amortize per-step machinery; 8 is the sweet
         # spot measured on v5e (scan_seg_multi.py)
         self.group = search_cfg.seg_group

@@ -141,7 +141,7 @@ class HostStreamedSearcher:
         self.packed = packed
         self.scfg = scfg
         self.cfg = packed.cfg
-        self.seg = seg or min(2048, auto_seg(packed.list_len))
+        self.seg = seg or scfg.seg or auto_seg(packed.list_len)
         self.windows = scfg.scan_windows or auto_windows(
             packed.list_len, self.seg, scfg.nprobe)
         self.group = scfg.seg_group

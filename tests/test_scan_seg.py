@@ -163,3 +163,34 @@ def test_scan_lut_bf16_matches_f32_within_rounding(seg_setup, group):
     agree = np.mean([np.isin(ibf[q], i32[q]).mean()
                      for q in range(i32.shape[0])])
     assert agree >= 0.9, agree
+
+
+def test_auto_seg_cost_model():
+    """auto_seg trades the measured fixed window cost against padding:
+    tiny lists pick the smallest seg, window-filling lists pick their own
+    size, long lists amortize into MAX_SEG windows."""
+    import numpy as np
+    from chamjax.ops.scan_seg import MAX_SEG
+    from chamjax.searcher import auto_seg
+    assert auto_seg(np.full(1024, 100)) == 256          # 1M/4096-like
+    assert auto_seg(np.full(64, 1536)) == 2048          # 100M/65536-like
+    assert auto_seg(np.full(64, 16384)) == MAX_SEG      # 1B host-streamed
+    # a 2500-row list: two 2048-windows (4096 slots + 2 fixed costs) lose
+    # to one 4096-window (4096 slots + 1 fixed cost)
+    assert auto_seg(np.full(64, 2500)) == 4096
+    assert auto_seg(np.zeros(8)) == 256                 # degenerate
+
+def test_search_cfg_seg_override(small_index):
+    import numpy as np
+    from chamjax.config import SearchConfig
+    from chamjax.searcher import IVFSearcher
+    ds, idx = small_index
+    # exact selection: approx_min_k survivors are window-layout-sensitive
+    a = IVFSearcher(idx, SearchConfig(nprobe=8, k=5, use_approx_topk=False))
+    b = IVFSearcher(idx, SearchConfig(nprobe=8, k=5, seg=512,
+                                      use_approx_topk=False))
+    assert b.seg == 512
+    da, ia = a.search(ds.xq[:4])
+    db, ib = b.search(ds.xq[:4])
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(da, db, atol=1e-4)
