@@ -131,6 +131,14 @@ class SearchConfig:
     # rt=0.99 at a fraction of the aggregation cost at 100M-scale
     # reductions. 0 = off (use approx_recall_target aggregation).
     select_l1: int = 0
+    # In-kernel L1 (seg backend, seg_group>1): each (window, lane) bucket
+    # of seg/128 rows is reduced to its min INSIDE the ADC kernel — the
+    # per-PE L1 queue of the FPGA's hierarchical selector kept next to the
+    # scan PEs.  Host-side selection then sees W·128 candidates instead of
+    # W·seg and the kernel writes 2 rows/window instead of seg/128.
+    # Bucket-collision loss ≈ C(k,2)/(W·128) of the top-k
+    # (``index/sizing.py::lane_l1_loss``); opt-in like lut_bf16.
+    lane_l1: bool = False
 
 
 @dataclass(frozen=True)

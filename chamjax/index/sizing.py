@@ -94,3 +94,22 @@ def truncated_mass(list_sizes: Sequence[int], scan_len: int) -> float:
     if total == 0:
         return 0.0
     return float(np.maximum(sizes - scan_len, 0).sum() / total)
+
+
+def lane_l1_loss(k: int, windows: int, lanes: int = 128) -> float:
+    """Expected fraction of the true top-k lost to in-kernel lane-L1
+    bucketing (``SearchConfig.lane_l1``).
+
+    The kernel keeps one winner per (window, lane) bucket; a true top-k
+    row is lost iff a *better* top-k row lands in its bucket.  With top-k
+    rows spread uniformly over ``B = windows·lanes`` buckets (they come
+    from different database rows, so bucket assignment is effectively
+    random), the expected number of losing rows is
+    ``Σ_{j<k} j/B = C(k,2)/B`` — the same binomial-collision argument the
+    FPGA's shortened L1 queues are sized by
+    (``python_probablistic_priority_queue/probablistic_priority_queue.py``).
+    Returned as a fraction of k."""
+    buckets = windows * lanes
+    if buckets <= 0:
+        return 1.0
+    return min(1.0, (k * (k - 1) / 2.0) / buckets / k)

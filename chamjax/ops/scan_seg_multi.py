@@ -28,7 +28,8 @@ LANES = 128
 
 
 def _adc_multi_kernel(starts_ref, lens_ref, lutidx_ref, *rest,
-                      seg: int, group: int, lut_bf16: bool = False):
+                      seg: int, group: int, lut_bf16: bool = False,
+                      lane_l1: bool = False):
     lut_refs = rest[:group]
     codes_hbm = rest[group]
     out_ref = rest[group + 1]
@@ -85,23 +86,51 @@ def _adc_multi_kernel(starts_ref, lens_ref, lutidx_ref, *rest,
                       lut_p=lut_p):
                     dma(sl * group + j, w).wait()
                     codes = scratch[sl * group + j].astype(jnp.int32)
-                    for t in range(seg // LANES):
-                        cc = codes[:, t * LANES:(t + 1) * LANES]
-                        dist = _adc_tile(lut_lo, lut_hi, lut_p, cc,
-                                         lut_bf16)
-                        pos = t * LANES + jax.lax.broadcasted_iota(
-                            jnp.int32, (LANES,), 0)
-                        out_ref[j, t, :] = jnp.where(pos < ln, dist, jnp.inf)
+                    if lane_l1:
+                        # in-kernel L1: each lane keeps its min across the
+                        # window's tiles (+ winning tile index) — the
+                        # FPGA's per-PE L1 queue next to the ADC PEs
+                        # (hierarchical_priority_queue.hpp), realized as a
+                        # running elementwise min over the 128 VPU lanes
+                        best = jnp.full((LANES,), jnp.inf, jnp.float32)
+                        best_t = jnp.zeros((LANES,), jnp.int32)
+                        for t in range(seg // LANES):
+                            cc = codes[:, t * LANES:(t + 1) * LANES]
+                            dist = _adc_tile(lut_lo, lut_hi, lut_p, cc,
+                                             lut_bf16)
+                            pos = t * LANES + jax.lax.broadcasted_iota(
+                                jnp.int32, (LANES,), 0)
+                            dist = jnp.where(pos < ln, dist, jnp.inf)
+                            take = dist < best
+                            best = jnp.where(take, dist, best)
+                            best_t = jnp.where(take, t, best_t)
+                        out_ref[j, 0, :] = best
+                        out_ref[j, 1, :] = jax.lax.bitcast_convert_type(
+                            best_t, jnp.float32)
+                    else:
+                        for t in range(seg // LANES):
+                            cc = codes[:, t * LANES:(t + 1) * LANES]
+                            dist = _adc_tile(lut_lo, lut_hi, lut_p, cc,
+                                             lut_bf16)
+                            pos = t * LANES + jax.lax.broadcasted_iota(
+                                jnp.int32, (LANES,), 0)
+                            out_ref[j, t, :] = jnp.where(pos < ln, dist,
+                                                         jnp.inf)
 
                 @pl.when(ln <= 0)
                 def _(j=j):
-                    out_ref[j] = jnp.full((seg // LANES, LANES), jnp.inf,
-                                          jnp.float32)
+                    if lane_l1:
+                        out_ref[j, 0, :] = jnp.full((LANES,), jnp.inf,
+                                                    jnp.float32)
+                        out_ref[j, 1, :] = jnp.zeros((LANES,), jnp.float32)
+                    else:
+                        out_ref[j] = jnp.full((seg // LANES, LANES),
+                                              jnp.inf, jnp.float32)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("seg", "group", "interpret",
-                                    "lut_bf16"))
+                                    "lut_bf16", "lane_l1"))
 def adc_scan_segments_multi(
     codes_t: jax.Array,      # (m, n_pad_seg) uint8 — MAX_SEG-overread-padded
     starts: jax.Array,       # (bW,) int32 — bW % group == 0
@@ -113,13 +142,18 @@ def adc_scan_segments_multi(
     group: int = 4,
     interpret: bool = False,
     lut_bf16: bool = False,
+    lane_l1: bool = False,
 ) -> jax.Array:
-    """Returns ``dists (bW, seg) float32`` (+inf on padding/skips)."""
+    """Returns ``dists (bW, seg) float32`` (+inf on padding/skips), or —
+    with ``lane_l1`` — ``(bW, 2, 128) float32``: row 0 the per-lane min
+    over the window's tiles, row 1 the winning tile index (bitcast
+    int32)."""
     bw = starts.shape[0]
     _n_lut, m, ksub = luts.shape
     assert ksub == (128 if lut_bf16 else 256)
     assert seg % LANES == 0 and seg <= MAX_SEG
     assert bw % group == 0, (bw, group)
+    out_rows = 2 if lane_l1 else seg // LANES
 
     def lut_spec(j):
         return pl.BlockSpec(
@@ -135,7 +169,7 @@ def adc_scan_segments_multi(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (group, seg // LANES, LANES),
+            (group, out_rows, LANES),
             lambda i, starts, lens, lutidx: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -146,12 +180,14 @@ def adc_scan_segments_multi(
     )
     out = pl.pallas_call(
         functools.partial(_adc_multi_kernel, seg=seg, group=group,
-                          lut_bf16=lut_bf16),
-        out_shape=jax.ShapeDtypeStruct((bw, seg // LANES, LANES),
+                          lut_bf16=lut_bf16, lane_l1=lane_l1),
+        out_shape=jax.ShapeDtypeStruct((bw, out_rows, LANES),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts, lens, lut_idx, *([luts] * group), codes_t)
+    if lane_l1:
+        return out
     return out.reshape(bw, seg)
 
 
@@ -159,7 +195,7 @@ def adc_scan_segments_multi(
     jax.jit,
     static_argnames=("windows", "seg", "group", "k", "use_approx",
                      "recall_target", "interpret", "lut_bf16",
-                     "select_l1"),
+                     "select_l1", "lane_l1"),
 )
 def scan_lists_seg_multi(
     codes_t: jax.Array,
@@ -178,8 +214,17 @@ def scan_lists_seg_multi(
     interpret: bool = False,
     lut_bf16: bool = False,
     select_l1: int = 0,
+    lane_l1: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Segmented multi-window scan + selection."""
+    """Segmented multi-window scan + selection.
+
+    ``lane_l1``: the kernel itself reduces each (window, lane) bucket of
+    ``seg/128`` rows to its min (the FPGA's per-PE L1 queues of the
+    hierarchical selector, kept next to the ADC PEs) — the host-side
+    selection then runs over ``W·128`` candidates instead of ``W·seg``,
+    and the kernel writes 2 rows/window instead of ``seg/128``.  Loss is
+    bucket-collision-bounded: two true top-k rows in one (window, lane)
+    bucket keep only the better (``index/sizing.py::lane_l1_loss``)."""
     b, nprobe, ksub, m = luts.shape
     windows = -(-windows // group) * group      # round W up to group multiple
     starts, lens, probe, _valid = expand_windows(
@@ -192,7 +237,22 @@ def scan_lists_seg_multi(
     dists = adc_scan_segments_multi(
         codes_t, starts.reshape(-1), lens.reshape(-1), lut_idx, luts_k,
         seg=seg, group=group, interpret=interpret, lut_bf16=lut_bf16,
+        lane_l1=lane_l1,
     )
+    if lane_l1:
+        flat = dists[:, 0, :].reshape(b, windows * LANES)
+        tile_idx = jax.lax.bitcast_convert_type(
+            dists[:, 1, :], jnp.int32).reshape(b, windows * LANES)
+        best_d, pos = select_topk(
+            flat, k, use_approx=use_approx, recall_target=recall_target)
+        win = pos // LANES
+        lane = pos % LANES
+        t_sel = jnp.take_along_axis(tile_idx, pos, axis=1)
+        row = (jnp.take_along_axis(starts, win, axis=1)
+               + t_sel * LANES + lane)
+        best_i = ids[row]
+        best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)
+        return best_d, best_i
     flat = dists.reshape(b, windows * seg)
     best_d, pos = select_topk(
         flat, k, use_approx=use_approx, recall_target=recall_target,

@@ -63,7 +63,7 @@ class DeviceIVF(NamedTuple):
 def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
                    windows, seg, group, probe_chunk, use_approx,
                    recall_target, backend, tile, interpret,
-                   lut_bf16=False, select_l1=0):
+                   lut_bf16=False, select_l1=0, lane_l1=False):
     # Pallas kernels only compile for TPU; anywhere else run interpreted
     # (tests / debugging) — backend choice stays explicit.
     interpret = interpret or jax.default_backend() != "tpu"
@@ -75,7 +75,7 @@ def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
                 windows=windows, seg=seg, group=group, k=k,
                 use_approx=use_approx, recall_target=recall_target,
                 interpret=interpret, lut_bf16=lut_bf16,
-                select_l1=select_l1,
+                select_l1=select_l1, lane_l1=lane_l1,
             )
         return scan_lists_seg(
             index.codes_t, index.ids, index.list_start, index.list_len,
@@ -105,7 +105,7 @@ def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
     static_argnames=(
         "nprobe", "k", "scan_len", "windows", "seg", "group", "probe_chunk",
         "by_residual", "use_approx", "recall_target", "backend", "tile",
-        "interpret", "coarse_approx", "lut_bf16", "select_l1",
+        "interpret", "coarse_approx", "lut_bf16", "select_l1", "lane_l1",
     ),
 )
 def ivfpq_search(
@@ -128,13 +128,16 @@ def ivfpq_search(
     coarse_approx: bool = False,
     lut_bf16: bool = False,
     select_l1: int = 0,
+    lane_l1: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full IVF-PQ search. Returns ``(dists (b, k) f32, ids (b, k) int32)``.
 
     ``lut_bf16``: pack ADC LUTs as bf16 pairs (seg backends) — halves the
     inner loop's lane-gathers; entry rounding ≪ PQ error.
     ``select_l1``: >k enables the hierarchical (oversized-L1) selection
-    (``ops/topk.py::select_topk``) on the seg backends."""
+    (``ops/topk.py::select_topk``) on the seg backends.
+    ``lane_l1``: in-kernel per-(window, lane) min reduction (seg backend,
+    ``group>1`` only) — see ``scan_lists_seg_multi``."""
     from chamjax.ops.scan_pallas import GROUP
     if backend == "seg" and windows <= 0:
         windows = 2 * nprobe       # conservative default; searcher sizes it
@@ -156,14 +159,15 @@ def ivfpq_search(
         seg=seg, group=group, probe_chunk=probe_chunk, use_approx=use_approx,
         recall_target=recall_target, backend=backend, tile=tile,
         interpret=interpret, lut_bf16=lut_bf16 and backend == "seg",
-        select_l1=select_l1)
+        select_l1=select_l1, lane_l1=lane_l1 and group > 1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "scan_len", "windows", "seg", "group",
                      "by_residual", "use_approx", "recall_target", "backend",
-                     "tile", "interpret", "lut_bf16", "select_l1"),
+                     "tile", "interpret", "lut_bf16", "select_l1",
+                     "lane_l1"),
 )
 def ivfpq_search_preassigned(
     index: DeviceIVF,
@@ -184,6 +188,7 @@ def ivfpq_search_preassigned(
     interpret: bool = False,
     lut_bf16: bool = False,
     select_l1: int = 0,
+    lane_l1: bool = False,
 ):
     """Search with externally supplied IVF cells — the disaggregated-path
     contract (reference ``retrieve_with_lists`` /
@@ -207,7 +212,8 @@ def ivfpq_search_preassigned(
         seg=seg, group=group, probe_chunk=min(8, nprobe),
         use_approx=use_approx, recall_target=recall_target, backend=backend,
         tile=tile, interpret=interpret,
-        lut_bf16=lut_bf16 and backend == "seg", select_l1=select_l1)
+        lut_bf16=lut_bf16 and backend == "seg", select_l1=select_l1,
+        lane_l1=lane_l1 and group > 1)
 
 
 def auto_seg(list_len: np.ndarray) -> int:
@@ -329,6 +335,7 @@ class IVFSearcher:
             coarse_approx=self.scfg.coarse_approx and not self.interpret,
             lut_bf16=self.scfg.lut_bf16,
             select_l1=self.scfg.select_l1,
+            lane_l1=self.scfg.lane_l1,
         )
         return np.asarray(d), np.asarray(i, np.int64)
 
@@ -350,5 +357,6 @@ class IVFSearcher:
             backend=self.backend, tile=self.tile, interpret=self.interpret,
             lut_bf16=self.scfg.lut_bf16,
             select_l1=self.scfg.select_l1,
+            lane_l1=self.scfg.lane_l1,
         )
         return np.asarray(d), np.asarray(i, np.int64)

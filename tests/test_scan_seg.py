@@ -194,3 +194,76 @@ def test_search_cfg_seg_override(small_index):
     db, ib = b.search(ds.xq[:4])
     np.testing.assert_array_equal(ia, ib)
     np.testing.assert_allclose(da, db, atol=1e-4)
+
+
+def test_lane_l1_kernel_matches_full_reduction(small_index):
+    """lane_l1=True output == per-(window, lane) min of the full kernel's
+    distances, with tile indices pointing at the achieving rows."""
+    import jax
+    from chamjax.ops.lut import build_luts
+    from chamjax.ops.coarse import coarse_scan
+    from chamjax.ops.scan_seg import expand_windows
+    from chamjax.ops.scan_seg_multi import adc_scan_segments_multi
+    ds, idx = small_index
+    from chamjax.searcher import DeviceIVF
+    dev = DeviceIVF.from_packed(idx)
+    b, nprobe, seg, W, group = 8, 8, 256, 16, 4
+    q = jnp.asarray(ds.xq[:b])
+    li, _ = coarse_scan(q, dev.centroids, nprobe)
+    luts = build_luts(q, dev.centroids, dev.codebooks, li, by_residual=True)
+    starts, lens, probe, _ = expand_windows(
+        li, dev.list_start, dev.list_len, windows=W, seg=seg)
+    lut_idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * nprobe
+               + probe).reshape(-1)
+    luts_k = luts.transpose(0, 1, 3, 2).reshape(b * nprobe, idx.cfg.m, 256)
+    full = adc_scan_segments_multi(
+        dev.codes_t, starts.reshape(-1), lens.reshape(-1), lut_idx, luts_k,
+        seg=seg, group=group, interpret=True)           # (bW, seg)
+    red = adc_scan_segments_multi(
+        dev.codes_t, starts.reshape(-1), lens.reshape(-1), lut_idx, luts_k,
+        seg=seg, group=group, interpret=True, lane_l1=True)  # (bW, 2, 128)
+    tiles = np.asarray(full).reshape(-1, seg // 128, 128)
+    want = tiles.min(axis=1)
+    got = np.asarray(red[:, 0, :])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # winning tile index achieves the min wherever it is finite
+    t_idx = np.asarray(
+        jax.lax.bitcast_convert_type(red[:, 1, :], jnp.int32))
+    lanes = np.arange(128)
+    achieved = tiles[np.arange(tiles.shape[0])[:, None], t_idx, lanes]
+    finite = np.isfinite(want)
+    np.testing.assert_allclose(achieved[finite], want[finite], atol=1e-5)
+
+
+def test_lane_l1_search_end_to_end(small_index):
+    """IVFSearcher(lane_l1=True) returns the exact top-k of the
+    lane-reduced candidate set, with correctly mapped ids."""
+    from chamjax.eval import recall_at_k
+    from chamjax.data.ground_truth import compute_ground_truth
+    ds, idx = small_index
+    k = 5
+    base = IVFSearcher(idx, SearchConfig(nprobe=16, k=k,
+                                         use_approx_topk=False))
+    l1 = IVFSearcher(idx, SearchConfig(nprobe=16, k=k, lane_l1=True,
+                                       use_approx_topk=False))
+    gt, _ = compute_ground_truth(ds.xb, ds.xq, k=k)
+    db, ib = base.search(ds.xq)
+    dl, il = l1.search(ds.xq)
+    # ids must be real rows and distances self-consistent (sorted)
+    assert (il >= -1).all() and (il < ds.xb.shape[0]).all()
+    assert (np.diff(dl, axis=1) >= -1e-6).all()
+    # collision loss at k=5 over W·128 buckets is ~C(5,2)/buckets < 1e-3:
+    # recall must match the exact path to within one hit per query set
+    r_base = recall_at_k(ib, gt, k)
+    r_l1 = recall_at_k(il, gt, k)
+    assert r_l1 >= r_base - 1.0 / (k * len(ds.xq))
+
+
+def test_lane_l1_loss_model():
+    from chamjax.index.sizing import lane_l1_loss
+    # k=100, W=69 buckets=8832: ~0.56% of top-100 lost
+    loss = lane_l1_loss(100, 69)
+    assert 0.004 < loss < 0.007
+    assert lane_l1_loss(10, 69) < loss          # fewer pairs, less loss
+    assert lane_l1_loss(100, 138) < loss        # more buckets, less loss
+    assert lane_l1_loss(100, 0) == 1.0
