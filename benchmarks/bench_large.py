@@ -77,6 +77,8 @@ def main() -> None:
                     help="decompose recall loss at each operating point")
     ap.add_argument("--recall-target", type=float, default=0.9,
                     help="approx top-k per-element recall target")
+    ap.add_argument("--lane-l1", type=int, default=0,
+                    help="in-kernel per-(window,lane) L1 min reduction")
     ap.add_argument("--select-l1", type=int, default=0,
                     help=">k: hierarchical oversized-L1 selection "
                          "(ops/topk.py) instead of aggregated approx_min_k")
@@ -157,7 +159,7 @@ def main() -> None:
                   by_residual=cfg.by_residual, use_approx=True,
                   recall_target=args.recall_target, backend="seg",
                   coarse_approx=True, lut_bf16=bool(args.lut_bf16),
-                  select_l1=args.select_l1)
+                  select_l1=args.select_l1, lane_l1=bool(args.lane_l1))
         d_r, i_r = ivfpq_search(dev, xq[: args.nq_gt], **kw)
         r1 = recall_at_k(np.asarray(i_r), gt, 1)
         r10 = recall_at_k(np.asarray(i_r), gt, 10)

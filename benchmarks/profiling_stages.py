@@ -25,29 +25,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from chamjax.utils import ResultStore                          # noqa: E402
 
 
-def chained_ms(make_step, steps_small=8, steps_large=40):
-    """Per-call device ms via a carry-dependent lax.scan chain: the stage
-    runs `steps` times inside ONE dispatch (a scalar carry perturbs the
-    input, serializing iterations), so tunnel jitter amortizes away."""
-    import functools
+def chained_ms(make_step, steps_small=8, steps_large=40, reps=3):
+    """Per-call device ms via a carry-dependent chain: the stage runs
+    `steps` times inside ONE dispatch (a scalar carry perturbs the input,
+    serializing iterations), so tunnel jitter amortizes away.
+
+    The trip count is a *traced* fori_loop bound — ONE compile serves both
+    chain lengths (a static-length lax.scan recompiles the whole Mosaic
+    kernel per length, minutes each through the remote compile service at
+    100M-config shapes).  min over reps: chip/tunnel contention only adds
+    time."""
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("steps",))
+    @jax.jit
     def run(steps):
-        def body(acc, _):
-            return make_step(acc), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=steps)
-        return acc
+        return jax.lax.fori_loop(
+            0, steps, lambda _i, acc: make_step(acc), jnp.float32(0.0))
 
     for s in (steps_small, steps_large):
-        np.asarray(run(s))                       # compile
-    ts = {}
-    for s in (steps_small, steps_large):
-        t0 = time.perf_counter()
-        np.asarray(run(s))
-        ts[s] = time.perf_counter() - t0
-    return (ts[steps_large] - ts[steps_small]) / (
+        np.asarray(run(s))                       # compile + warm
+    ts = {steps_small: [], steps_large: []}
+    for _ in range(reps):
+        for s in (steps_small, steps_large):
+            t0 = time.perf_counter()
+            np.asarray(run(s))
+            ts[s].append(time.perf_counter() - t0)
+    return (min(ts[steps_large]) - min(ts[steps_small])) / (
         steps_large - steps_small) * 1e3
 
 
@@ -84,6 +88,9 @@ def main() -> None:
     ap.add_argument("--synthetic", action="store_true",
                     help="balanced random index at full shape (no build): "
                          "profile 100M/1B configs in seconds")
+    ap.add_argument("--lane-l1", action="store_true",
+                    help="also time the full pipeline with the in-kernel "
+                         "lane-L1 reduction (SearchConfig.lane_l1)")
     ap.add_argument("--lut-bf16", action="store_true",
                     help="also time the packed-bf16 ADC scan (the "
                          "production default path)")
@@ -205,6 +212,16 @@ def main() -> None:
             coarse_scan(q0 + acc, dev.centroids, nprobe)[0],
             windows=W, seg=args.seg, group=args.group, k=k,
             lut_bf16=args.lut_bf16)[0]))
+        t_full_lane = None
+        if args.lane_l1:
+            t_full_lane = chained_ms(lambda acc: dep(scan_lists_seg_multi(
+                dev.codes_t, dev.ids, dev.list_start, dev.list_len,
+                build_luts(q0 + acc, dev.centroids, dev.codebooks,
+                           coarse_scan(q0 + acc, dev.centroids, nprobe)[0],
+                           by_residual=True),
+                coarse_scan(q0 + acc, dev.centroids, nprobe)[0],
+                windows=W, seg=args.seg, group=args.group, k=k,
+                lut_bf16=args.lut_bf16, lane_l1=True)[0]))
 
         model = pm.search_latency_model(
             args.nb, args.nlist, nprobe, args.m, args.d, batch,
@@ -217,6 +234,8 @@ def main() -> None:
             "topk_ms": round(t_topk, 4),
             "expand_ms": round(t_expand, 4),
             "full_ms": round(t_full, 4),
+            **({"full_lane_l1_ms": round(t_full_lane, 4)}
+               if t_full_lane is not None else {}),
             "model_total_ms": round(model["t_total_s"] * 1e3, 4),
             "qps": round(batch / t_full * 1e3, 1),
         }
