@@ -14,6 +14,7 @@ and compares against the analytic roofline (``chamjax.perf_model``).
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -25,31 +26,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from chamjax.utils import ResultStore                          # noqa: E402
 
 
-def chained_ms(make_step, steps_small=8, steps_large=40, reps=3):
+def chained_ms(make_step, arrays=(), steps_small=8, steps_large=40, reps=3):
     """Per-call device ms via a carry-dependent chain: the stage runs
-    `steps` times inside ONE dispatch (a scalar carry perturbs the input,
-    serializing iterations), so tunnel jitter amortizes away.
+    `steps` times inside ONE dispatch (``make_step(acc, *arrays) -> acc``;
+    the scalar carry perturbs an input, serializing iterations), so tunnel
+    jitter amortizes away.
 
-    The trip count is a *traced* fori_loop bound — ONE compile serves both
-    chain lengths (a static-length lax.scan recompiles the whole Mosaic
-    kernel per length, minutes each through the remote compile service at
-    100M-config shapes).  min over reps: chip/tunnel contention only adds
-    time."""
+    Two remote-compile-service constraints shape this helper (see
+    kernel_variants.py / the verify skill): the trip count is a *traced*
+    fori_loop bound — a static-length lax.scan recompiles the whole Mosaic
+    kernel per chain length — and ``arrays`` must be explicit jit ARGUMENTS,
+    never closed over: closed-over device arrays ship as constants inside
+    the compile request, which the service rejects past ~100 MB (at the
+    100M config codes_t alone is 1.6 GB).  min over reps: contention only
+    adds time."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(steps):
+    def run(steps, *arrays):
         return jax.lax.fori_loop(
-            0, steps, lambda _i, acc: make_step(acc), jnp.float32(0.0))
+            0, steps, lambda _i, acc: make_step(acc, *arrays),
+            jnp.float32(0.0))
 
     for s in (steps_small, steps_large):
-        np.asarray(run(s))                       # compile + warm
+        np.asarray(run(s, *arrays))              # compile + warm
     ts = {steps_small: [], steps_large: []}
     for _ in range(reps):
         for s in (steps_small, steps_large):
             t0 = time.perf_counter()
-            np.asarray(run(s))
+            np.asarray(run(s, *arrays))
             ts[s].append(time.perf_counter() - t0)
     return (min(ts[steps_large]) - min(ts[steps_small])) / (
         steps_large - steps_small) * 1e3
@@ -180,48 +186,50 @@ def main() -> None:
         def dep(out):
             return out.reshape(-1)[0].astype(jnp.float32) * 0.0
 
-        t_coarse = chained_ms(lambda acc: dep(coarse_scan(
-            q0 + acc, dev.centroids, nprobe)[1]))
-        t_lut = chained_ms(lambda acc: dep(build_luts(
-            q0 + acc, dev.centroids, dev.codebooks, li, by_residual=True)))
-        t_scan = chained_ms(lambda acc: dep(adc_scan_segments_multi(
-            dev.codes_t, starts.reshape(-1), lens_w.reshape(-1), lut_idx,
-            luts_k0 + acc, seg=args.seg, group=args.group)))
+        starts_f = starts.reshape(-1)
+        lens_f = lens_w.reshape(-1)
+        t_coarse = chained_ms(
+            lambda acc, q, c: dep(coarse_scan(q + acc, c, nprobe)[1]),
+            (q0, dev.centroids))
+        t_lut = chained_ms(
+            lambda acc, q, c, cb, li_: dep(build_luts(
+                q + acc, c, cb, li_, by_residual=True)),
+            (q0, dev.centroids, dev.codebooks, li))
+        t_scan = chained_ms(
+            lambda acc, ct, st, ln, lx, lk: dep(adc_scan_segments_multi(
+                ct, st, ln, lx, lk + acc, seg=args.seg, group=args.group)),
+            (dev.codes_t, starts_f, lens_f, lut_idx, luts_k0))
         t_scan_bf16 = None
         if args.lut_bf16:
             from chamjax.ops.scan_seg import pack_luts_bf16
-            luts_p0 = pack_luts_bf16(luts_k0)
-            t_scan_bf16 = chained_ms(lambda acc: dep(
-                adc_scan_segments_multi(
-                    dev.codes_t, starts.reshape(-1), lens_w.reshape(-1),
-                    lut_idx,
-                    pack_luts_bf16(luts_k0 + acc),
-                    seg=args.seg, group=args.group, lut_bf16=True)))
-            del luts_p0
-        t_topk = chained_ms(lambda acc: dep(select_topk(
-            dists0 + acc, k)[0]))
-        t_expand = chained_ms(lambda acc: dep(expand_windows(
-            (li + acc.astype(jnp.int32)) % dev.centroids.shape[0],
-            dev.list_start, dev.list_len, windows=W,
-            seg=args.seg)[0].astype(jnp.float32)))
-        t_full = chained_ms(lambda acc: dep(scan_lists_seg_multi(
-            dev.codes_t, dev.ids, dev.list_start, dev.list_len,
-            build_luts(q0 + acc, dev.centroids, dev.codebooks,
-                       coarse_scan(q0 + acc, dev.centroids, nprobe)[0],
-                       by_residual=True),
-            coarse_scan(q0 + acc, dev.centroids, nprobe)[0],
-            windows=W, seg=args.seg, group=args.group, k=k,
-            lut_bf16=args.lut_bf16)[0]))
+            t_scan_bf16 = chained_ms(
+                lambda acc, ct, st, ln, lx, lk: dep(adc_scan_segments_multi(
+                    ct, st, ln, lx, pack_luts_bf16(lk + acc),
+                    seg=args.seg, group=args.group, lut_bf16=True)),
+                (dev.codes_t, starts_f, lens_f, lut_idx, luts_k0))
+        t_topk = chained_ms(
+            lambda acc, d0: dep(select_topk(d0 + acc, k)[0]), (dists0,))
+        t_expand = chained_ms(
+            lambda acc, li_, ls, ll: dep(expand_windows(
+                (li_ + acc.astype(jnp.int32)) % dev.centroids.shape[0],
+                ls, ll, windows=W, seg=args.seg)[0].astype(jnp.float32)),
+            (li, dev.list_start, dev.list_len))
+
+        def full_step(acc, ct, ids_, ls, ll, q, c, cb, lane_l1=False):
+            li2 = coarse_scan(q + acc, c, nprobe)[0]
+            return dep(scan_lists_seg_multi(
+                ct, ids_, ls, ll,
+                build_luts(q + acc, c, cb, li2, by_residual=True), li2,
+                windows=W, seg=args.seg, group=args.group, k=k,
+                lut_bf16=args.lut_bf16, lane_l1=lane_l1)[0])
+
+        full_arrays = (dev.codes_t, dev.ids, dev.list_start, dev.list_len,
+                       q0, dev.centroids, dev.codebooks)
+        t_full = chained_ms(full_step, full_arrays)
         t_full_lane = None
         if args.lane_l1:
-            t_full_lane = chained_ms(lambda acc: dep(scan_lists_seg_multi(
-                dev.codes_t, dev.ids, dev.list_start, dev.list_len,
-                build_luts(q0 + acc, dev.centroids, dev.codebooks,
-                           coarse_scan(q0 + acc, dev.centroids, nprobe)[0],
-                           by_residual=True),
-                coarse_scan(q0 + acc, dev.centroids, nprobe)[0],
-                windows=W, seg=args.seg, group=args.group, k=k,
-                lut_bf16=args.lut_bf16, lane_l1=True)[0]))
+            t_full_lane = chained_ms(
+                functools.partial(full_step, lane_l1=True), full_arrays)
 
         model = pm.search_latency_model(
             args.nb, args.nlist, nprobe, args.m, args.d, batch,
