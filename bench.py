@@ -94,6 +94,11 @@ def _recall_matrix(ds, idx, dev, gt, base_kw, nprobe, k, ivfpq_search,
     gate("pallas_padded", r10_of(backend="pallas", scan_len=scan_len,
                                  use_approx=False, coarse_approx=False),
          oracle, 0.002)
+    # two-stage coarse scan (approx shortlist over exact scores + exact
+    # re-sort): only deep-boundary probe drops possible — bounded tighter
+    # than the approx rows
+    gate("seg_coarse_2stage", r10_of(use_approx=False, coarse_approx=False,
+                                     coarse_cand=4 * nprobe), oracle, 0.005)
     # production path (approx top-k + coarse approx): bounded, not equal
     gate("seg_f32_approx", r10_of(), oracle, 0.02)
     # hierarchical oversized-L1 selection (ops/topk.py): effective

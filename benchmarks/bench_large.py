@@ -46,7 +46,8 @@ def main() -> None:
     from chamjax.config import IndexConfig
     from chamjax.eval import recall_at_k
     from chamjax.index import build_ivfpq_device, compute_ground_truth_streamed
-    from chamjax.searcher import auto_seg, auto_windows, ivfpq_search
+    from chamjax.searcher import (auto_seg, auto_windows, ivfpq_search,
+                                  resolve_coarse_cand)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--nb", type=int, default=96 * (1 << 20))  # ≈100.7M
@@ -154,11 +155,16 @@ def main() -> None:
     results = []
     for nprobe in [int(x) for x in args.nprobes.split(",")]:
         W = auto_windows(lens, seg, nprobe)
+        # two-stage coarse (exact scores, approx shortlist + exact re-sort)
+        # replaced coarse_approx here: strictly more accurate at equal cost
+        # (see ops/coarse.py::coarse_scan_2stage)
+        ccand = resolve_coarse_cand(-1, args.nlist, nprobe)
         kw = dict(nprobe=nprobe, k=args.k, windows=W, seg=seg,
                   group=args.group,
                   by_residual=cfg.by_residual, use_approx=True,
                   recall_target=args.recall_target, backend="seg",
-                  coarse_approx=True, lut_bf16=bool(args.lut_bf16),
+                  coarse_approx=ccand == 0, coarse_cand=ccand,
+                  lut_bf16=bool(args.lut_bf16),
                   select_l1=args.select_l1, lane_l1=bool(args.lane_l1))
         d_r, i_r = ivfpq_search(dev, xq[: args.nq_gt], **kw)
         r1 = recall_at_k(np.asarray(i_r), gt, 1)
@@ -168,7 +174,8 @@ def main() -> None:
             diag = recall_diagnosis(
                 dev, np.asarray(xq[: args.nq_gt]), gt, np.asarray(i_r),
                 np.asarray(d_r), nprobe=nprobe, windows=W, seg=seg, at=10,
-                coarse_approx=kw["coarse_approx"])
+                coarse_approx=kw["coarse_approx"],
+                coarse_cand=kw["coarse_cand"])
             note(f"nprobe={nprobe} loss decomposition: "
                  + json.dumps({k_: round(v, 4) for k_, v in diag.items()}))
 

@@ -69,7 +69,7 @@ def main() -> None:
     from chamjax.config import IndexConfig
     from chamjax.data import synthetic_dataset_device as synthetic_dataset
     from chamjax.index import build_ivfpq, PackedIVF
-    from chamjax.ops.coarse import coarse_scan
+    from chamjax.ops.coarse import coarse_scan, coarse_scan_2stage
     from chamjax.ops.lut import build_luts
     from chamjax.ops.scan_seg import expand_windows
     from chamjax.ops.scan_seg_multi import (
@@ -100,6 +100,10 @@ def main() -> None:
     ap.add_argument("--lut-bf16", action="store_true",
                     help="also time the packed-bf16 ADC scan (the "
                          "production default path)")
+    ap.add_argument("--coarse-cand", type=int, default=0,
+                    help="also time the two-stage coarse scan at this "
+                         "shortlist width, and use it in the full path "
+                         "(SearchConfig.coarse_cand)")
     ap.add_argument("--out", default="results/profiling_stages.pkl")
     args = ap.parse_args()
 
@@ -191,6 +195,12 @@ def main() -> None:
         t_coarse = chained_ms(
             lambda acc, q, c: dep(coarse_scan(q + acc, c, nprobe)[1]),
             (q0, dev.centroids))
+        t_coarse2 = None
+        if args.coarse_cand > 0:
+            t_coarse2 = chained_ms(
+                lambda acc, q, c: dep(coarse_scan_2stage(
+                    q + acc, c, nprobe, cand=args.coarse_cand)[1]),
+                (q0, dev.centroids))
         t_lut = chained_ms(
             lambda acc, q, c, cb, li_: dep(build_luts(
                 q + acc, c, cb, li_, by_residual=True)),
@@ -216,7 +226,11 @@ def main() -> None:
             (li, dev.list_start, dev.list_len))
 
         def full_step(acc, ct, ids_, ls, ll, q, c, cb, lane_l1=False):
-            li2 = coarse_scan(q + acc, c, nprobe)[0]
+            if args.coarse_cand > 0:
+                li2 = coarse_scan_2stage(q + acc, c, nprobe,
+                                         cand=args.coarse_cand)[0]
+            else:
+                li2 = coarse_scan(q + acc, c, nprobe)[0]
             return dep(scan_lists_seg_multi(
                 ct, ids_, ls, ll,
                 build_luts(q + acc, c, cb, li2, by_residual=True), li2,
@@ -235,7 +249,10 @@ def main() -> None:
             args.nb, args.nlist, nprobe, args.m, args.d, batch,
             lut_bf16=bool(args.lut_bf16), seg=args.seg, windows=W)
         res = {
-            "coarse_ms": round(t_coarse, 4), "lut_ms": round(t_lut, 4),
+            "coarse_ms": round(t_coarse, 4),
+            **({"coarse2_ms": round(t_coarse2, 4)}
+               if t_coarse2 is not None else {}),
+            "lut_ms": round(t_lut, 4),
             "scan_ms": round(t_scan, 4),
             **({"scan_bf16_ms": round(t_scan_bf16, 4)}
                if t_scan_bf16 is not None else {}),

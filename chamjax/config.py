@@ -123,6 +123,16 @@ class SearchConfig:
     # but at nprobe 1-4 a swapped nearest centroid directly costs recall and
     # the reference's coarse selection is exact.
     coarse_approx: bool = False
+    # Two-stage coarse scan (``ops/coarse.py::coarse_scan_2stage``): probe
+    # selection keeps a shortlist of this width with approx_max_k over the
+    # exact HIGHEST-precision scores, then re-sorts the shortlist exactly.
+    # The exact path's full-sort top_k over (b, nlist) dominates the coarse
+    # stage at nlist ≥ 65536 (measured 11× on v5e; scores stay exact).
+    # -1 = auto: 4·nprobe (min 64) when nlist ≥ 32768 and nprobe ≥ 8 —
+    # regimes where a dropped deep-boundary probe is absorbed by
+    # multi-probe — else off.  0 = off (exact full sort); >0 = explicit
+    # shortlist width.  Takes precedence over coarse_approx.
+    coarse_cand: int = -1
     # Hierarchical selection: >k runs an oversized raw-PartialReduce L1
     # pass of this length + one exact top-k L2 merge instead of the
     # aggregated approx_min_k (``ops/topk.py::select_topk``) — the

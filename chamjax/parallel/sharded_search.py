@@ -29,10 +29,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from chamjax.index.ivf import PackedIVF
 from chamjax.ops.lut import build_luts
-from chamjax.ops.coarse import coarse_scan
+from chamjax.ops.coarse import coarse_scan, coarse_scan_2stage
 from chamjax.ops.scan_xla import scan_lists_xla
 from chamjax.ops.scan_pallas import scan_lists_pallas
 from chamjax.ops.scan_seg_multi import scan_lists_seg_multi
+
+
+def _coarse(q, centroids, nprobe: int, coarse_cand: int):
+    """Probe selection for the shard-local search: exact HIGHEST scan, or
+    the two-stage shortlist scan when ``coarse_cand`` > 0 (large-nlist fast
+    path — centroids are replicated, so every shard selects identically)."""
+    if coarse_cand > 0:
+        list_ids, _ = coarse_scan_2stage(
+            q, centroids, nprobe, cand=min(coarse_cand, centroids.shape[0]))
+    else:
+        list_ids, _ = coarse_scan(q, centroids, nprobe)
+    return list_ids
 
 
 class ShardedIVF(NamedTuple):
@@ -110,7 +122,7 @@ def place_sharded(sh: ShardedIVF, mesh: Mesh, axis: str = "lists"
     jax.jit,
     static_argnames=("mesh", "axis", "nprobe", "k", "scan_len", "windows",
                      "seg", "group", "by_residual", "use_approx", "backend",
-                     "interpret", "lut_bf16", "select_l1"),
+                     "interpret", "lut_bf16", "select_l1", "coarse_cand"),
 )
 def sharded_search(
     sh: ShardedIVF,
@@ -130,6 +142,7 @@ def sharded_search(
     interpret: bool = False,
     lut_bf16: bool = False,
     select_l1: int = 0,
+    coarse_cand: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full sharded search. Returns replicated ``(dists (b,k), ids (b,k))``.
 
@@ -144,7 +157,7 @@ def sharded_search(
         ids = ids[0]
         list_start = list_start[0]
         list_len = list_len[0]
-        list_ids, _ = coarse_scan(q, centroids, nprobe)
+        list_ids = _coarse(q, centroids, nprobe, coarse_cand)
         luts = build_luts(q, centroids, codebooks, list_ids,
                           by_residual=by_residual)
         if backend == "seg":
@@ -193,7 +206,8 @@ def sharded_search(
     jax.jit,
     static_argnames=("mesh", "axis", "batch_axis", "nprobe", "k", "scan_len",
                      "windows", "seg", "group", "by_residual", "use_approx",
-                     "backend", "interpret", "lut_bf16", "select_l1"),
+                     "backend", "interpret", "lut_bf16", "select_l1",
+                     "coarse_cand"),
 )
 def sharded_search_2d(
     sh: ShardedIVF,
@@ -214,6 +228,7 @@ def sharded_search_2d(
     interpret: bool = False,
     lut_bf16: bool = False,
     select_l1: int = 0,
+    coarse_cand: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """2-D mesh search: queries split over ``batch_axis`` (data parallel),
     inverted lists split over ``axis`` — the multi-chip serving layout.
@@ -227,7 +242,7 @@ def sharded_search_2d(
     def shard_fn(centroids, codebooks, codes_t, ids, list_start, list_len, q):
         codes_t, ids = codes_t[0], ids[0]
         list_start, list_len = list_start[0], list_len[0]
-        list_ids, _ = coarse_scan(q, centroids, nprobe)
+        list_ids = _coarse(q, centroids, nprobe, coarse_cand)
         luts = build_luts(q, centroids, codebooks, list_ids,
                           by_residual=by_residual)
         n_sh = mesh.shape[axis]

@@ -59,6 +59,7 @@ class LocalRetriever(BaseRetriever):
             recall_target=s.scfg.approx_recall_target,
             backend=s.backend, tile=s.tile, interpret=s.interpret,
             coarse_approx=s.scfg.coarse_approx and not s.interpret,
+            coarse_cand=s._coarse_cand(nprobe or s.scfg.nprobe),
             lut_bf16=s.scfg.lut_bf16, select_l1=s.scfg.select_l1,
         )
         return RetrievalResult(ids=i, dists=d)
@@ -91,7 +92,8 @@ class DeviceRetriever(BaseRetriever):
         self.interpret = jax.default_backend() != "tpu"
 
     def _search(self, q, nprobe, k):
-        from chamjax.searcher import auto_windows, ivfpq_search
+        from chamjax.searcher import (auto_windows, ivfpq_search,
+                                      resolve_coarse_cand)
         np_ = nprobe or self.scfg.nprobe
         W = (self.windows if np_ == self.scfg.nprobe
              else auto_windows(self.list_len, self.seg, np_))
@@ -102,6 +104,8 @@ class DeviceRetriever(BaseRetriever):
             recall_target=self.scfg.approx_recall_target,
             backend="seg", interpret=self.interpret,
             coarse_approx=self.scfg.coarse_approx and not self.interpret,
+            coarse_cand=resolve_coarse_cand(
+                self.scfg.coarse_cand, self.dev.centroids.shape[0], np_),
             lut_bf16=self.scfg.lut_bf16, select_l1=self.scfg.select_l1)
 
     def retrieve(self, queries: np.ndarray, nprobe: int, k: int

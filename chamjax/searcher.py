@@ -18,7 +18,7 @@ import numpy as np
 
 from chamjax.config import SearchConfig
 from chamjax.index.ivf import PackedIVF
-from chamjax.ops.coarse import coarse_scan
+from chamjax.ops.coarse import coarse_scan, coarse_scan_2stage
 from chamjax.ops.lut import build_luts
 from chamjax.ops.scan_pallas import scan_lists_pallas
 from chamjax.ops.scan_seg import scan_lists_seg
@@ -105,7 +105,8 @@ def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
     static_argnames=(
         "nprobe", "k", "scan_len", "windows", "seg", "group", "probe_chunk",
         "by_residual", "use_approx", "recall_target", "backend", "tile",
-        "interpret", "coarse_approx", "lut_bf16", "select_l1", "lane_l1",
+        "interpret", "coarse_approx", "coarse_cand", "lut_bf16", "select_l1",
+        "lane_l1",
     ),
 )
 def ivfpq_search(
@@ -126,6 +127,7 @@ def ivfpq_search(
     tile: int = 0,
     interpret: bool = False,
     coarse_approx: bool = False,
+    coarse_cand: int = 0,
     lut_bf16: bool = False,
     select_l1: int = 0,
     lane_l1: bool = False,
@@ -137,7 +139,11 @@ def ivfpq_search(
     ``select_l1``: >k enables the hierarchical (oversized-L1) selection
     (``ops/topk.py::select_topk``) on the seg backends.
     ``lane_l1``: in-kernel per-(window, lane) min reduction (seg backend,
-    ``group>1`` only) — see ``scan_lists_seg_multi``."""
+    ``group>1`` only) — see ``scan_lists_seg_multi``.
+    ``coarse_cand``: >0 selects probes with the two-stage coarse scan
+    (approx shortlist of this width over exact scores + exact re-sort,
+    ``ops/coarse.py::coarse_scan_2stage``) — the large-nlist fast path;
+    takes precedence over ``coarse_approx``."""
     from chamjax.ops.scan_pallas import GROUP
     if backend == "seg" and windows <= 0:
         windows = 2 * nprobe       # conservative default; searcher sizes it
@@ -150,8 +156,15 @@ def ivfpq_search(
     q = queries
     if index.opq_R is not None:
         q = jnp.dot(q, index.opq_R, precision=jax.lax.Precision.HIGHEST)
-    list_ids, _ = coarse_scan(q, index.centroids, nprobe,
-                              use_approx=coarse_approx)
+    if coarse_cand > 0:
+        # Two-stage probe selection (approx shortlist + exact re-sort);
+        # takes precedence over coarse_approx — see ops/coarse.py.
+        list_ids, _ = coarse_scan_2stage(
+            q, index.centroids, nprobe,
+            cand=min(coarse_cand, index.centroids.shape[0]))
+    else:
+        list_ids, _ = coarse_scan(q, index.centroids, nprobe,
+                                  use_approx=coarse_approx)
     luts = build_luts(q, index.centroids, index.codebooks, list_ids,
                       by_residual=by_residual)
     return _dispatch_scan(
@@ -214,6 +227,18 @@ def ivfpq_search_preassigned(
         tile=tile, interpret=interpret,
         lut_bf16=lut_bf16 and backend == "seg", select_l1=select_l1,
         lane_l1=lane_l1 and group > 1)
+
+
+def resolve_coarse_cand(cfg_cand: int, nlist: int, nprobe: int) -> int:
+    """Resolve ``SearchConfig.coarse_cand`` to a concrete shortlist width.
+
+    -1 (auto) enables the two-stage coarse scan only at large nlist and
+    nprobe ≥ 8 — the regimes where the HIGHEST matmul dominates the coarse
+    stage and a deep-near-tie shortlist miss is absorbed by multi-probe."""
+    if cfg_cand < 0:
+        cfg_cand = (max(4 * nprobe, 64)
+                    if nlist >= 32768 and nprobe >= 8 else 0)
+    return min(cfg_cand, nlist)
 
 
 def auto_seg(list_len: np.ndarray) -> int:
@@ -312,6 +337,10 @@ class IVFSearcher:
     def _auto_windows(self, nprobe: int) -> int:
         return auto_windows(self.packed.list_len, self.seg, nprobe)
 
+    def _coarse_cand(self, nprobe: int) -> int:
+        return resolve_coarse_cand(self.scfg.coarse_cand, self.cfg.nlist,
+                                   nprobe)
+
     def search(self, queries: np.ndarray,
                nprobe: Optional[int] = None,
                k: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
@@ -333,6 +362,7 @@ class IVFSearcher:
             recall_target=self.scfg.approx_recall_target,
             backend=self.backend, tile=self.tile, interpret=self.interpret,
             coarse_approx=self.scfg.coarse_approx and not self.interpret,
+            coarse_cand=self._coarse_cand(np_),
             lut_bf16=self.scfg.lut_bf16,
             select_l1=self.scfg.select_l1,
             lane_l1=self.scfg.lane_l1,

@@ -34,16 +34,16 @@ import numpy as np
 
 from chamjax.config import SearchConfig
 from chamjax.index.ivf import PackedIVF
-from chamjax.ops.coarse import coarse_scan
+from chamjax.ops.coarse import coarse_scan, coarse_scan_2stage
 from chamjax.ops.lut import build_luts
 from chamjax.ops.scan_seg import expand_windows
 from chamjax.ops.scan_seg_multi import adc_scan_segments_multi
 from chamjax.ops.topk import select_topk
-from chamjax.searcher import auto_seg, auto_windows
+from chamjax.searcher import auto_seg, auto_windows, resolve_coarse_cand
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "windows", "seg"))
+    jax.jit, static_argnames=("nprobe", "windows", "seg", "coarse_cand"))
 def plan_windows(
     queries: jax.Array,          # (b, d) f32
     centroids: jax.Array,        # (nlist, d) f32
@@ -54,14 +54,24 @@ def plan_windows(
     nprobe: int,
     windows: int,
     seg: int,
+    coarse_cand: int = 0,
 ):
     """Device phase 1: coarse scan + window table.  Returns
     ``(starts, lens, probe, list_ids, q_rot)`` — starts/lens are *global*
-    row offsets into the host-resident packed arrays."""
+    row offsets into the host-resident packed arrays.
+
+    ``coarse_cand`` > 0 selects probes with the two-stage coarse scan
+    (``ops/coarse.py::coarse_scan_2stage``) — the 1B configs run at
+    nlist ≥ 65536 where the HIGHEST matmul dominates this phase."""
     q = queries
     if opq_R is not None:
         q = jnp.dot(q, opq_R, precision=jax.lax.Precision.HIGHEST)
-    list_ids, _ = coarse_scan(q, centroids, nprobe)
+    if coarse_cand > 0:
+        list_ids, _ = coarse_scan_2stage(
+            q, centroids, nprobe, cand=min(coarse_cand,
+                                           centroids.shape[0]))
+    else:
+        list_ids, _ = coarse_scan(q, centroids, nprobe)
     starts, lens, probe, _valid = expand_windows(
         list_ids, list_start, list_len, windows=windows, seg=seg)
     return starts, lens, probe, list_ids, q
@@ -215,7 +225,10 @@ class HostStreamedSearcher:
         q = jnp.asarray(queries, jnp.float32)
         starts, lens, probe, list_ids, q_rot = plan_windows(
             q, self.centroids, self.list_start, self.list_len, self.opq_R,
-            nprobe=self.scfg.nprobe, windows=self.windows, seg=self.seg)
+            nprobe=self.scfg.nprobe, windows=self.windows, seg=self.seg,
+            coarse_cand=resolve_coarse_cand(
+                self.scfg.coarse_cand, self.centroids.shape[0],
+                self.scfg.nprobe))
         slab_c, slab_i = self._stage(np.asarray(starts), np.asarray(lens))
         d, i = scan_staged(
             jnp.asarray(slab_c), jnp.asarray(slab_i), lens, probe,

@@ -76,6 +76,32 @@ def test_coarse_scan_matches_numpy(ds, index):
     )
 
 
+def test_coarse_scan_2stage_matches_exact(ds, index):
+    """On CPU (fp32 DEFAULT matmul + exact approx_max_k) the two-stage scan
+    must reproduce the exact scan bit-for-bit: ids equal, distances equal."""
+    from chamjax.ops.coarse import coarse_scan_2stage
+    q = jnp.asarray(ds.xq[:8])
+    cent = jnp.asarray(index.centroids)
+    lids, dists = coarse_scan(q, cent, 4)
+    lids2, dists2 = coarse_scan_2stage(q, cent, 4, cand=16)
+    np.testing.assert_array_equal(np.asarray(lids2), np.asarray(lids))
+    np.testing.assert_allclose(np.asarray(dists2), np.asarray(dists),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_searcher_coarse_cand_auto_resolution():
+    """-1 (auto) engages only at large nlist and nprobe ≥ 8; explicit and
+    off values pass through; width clamps to nlist."""
+    from chamjax.searcher import resolve_coarse_cand
+    assert resolve_coarse_cand(-1, 4096, 32) == 0       # nlist too small
+    assert resolve_coarse_cand(-1, 65536, 4) == 0       # nprobe too small
+    assert resolve_coarse_cand(-1, 65536, 32) == 128    # 4·nprobe
+    assert resolve_coarse_cand(-1, 65536, 8) == 64      # floor 64
+    assert resolve_coarse_cand(0, 65536, 32) == 0       # explicit off
+    assert resolve_coarse_cand(300, 65536, 32) == 300   # explicit width
+    assert resolve_coarse_cand(300, 256, 32) == 256     # clamp to nlist
+
+
 def test_lut_matches_numpy(ds, index):
     q = ds.xq[:4]
     dev = DeviceIVF.from_packed(index)
