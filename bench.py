@@ -105,6 +105,10 @@ def _recall_matrix(ds, idx, dev, gt, base_kw, nprobe, k, ivfpq_search,
     # per-element recall ~0.99 at l1=1024 — bounded like the approx row
     gate("seg_l1_1024", r10_of(use_approx=True, coarse_approx=False,
                                select_l1=1024), oracle, 0.02)
+    # in-kernel lane-L1 reduction (group>1): bucket-collision loss
+    # ~C(k,2)/(W·128) of the top-k (index/sizing.py::lane_l1_loss)
+    gate("seg_lane_l1", r10_of(use_approx=True, coarse_approx=False,
+                               lane_l1=True), oracle, 0.02)
 
     # preassigned (external coarse scan) must equal the full path
     lids, _ = coarse_scan(q, dev.centroids, nprobe, use_approx=False)

@@ -95,6 +95,23 @@ def test_sharded_seg_backend_matches_single_device(setup, n_shards):
     assert np.all(agree | close)
 
 
+def test_sharded_coarse_cand_matches_exact(setup):
+    """coarse_cand > 0 inside shard_map (two-stage probe selection) must
+    equal the exact-coarse sharded search on CPU, where the shortlist
+    reduction is exact."""
+    ds, idx = setup
+    mesh = make_mesh((("lists", 2),), devices=jax.devices()[:2])
+    sh = place_sharded(shard_index(idx, 2), mesh)
+    kw = dict(mesh=mesh, nprobe=8, k=10, windows=32, seg=256, group=4,
+              use_approx=False, backend="seg", interpret=True)
+    d_e, i_e = sharded_search(sh, jnp.asarray(ds.xq[:8]), **kw)
+    d_2, i_2 = sharded_search(sh, jnp.asarray(ds.xq[:8]), coarse_cand=32,
+                              **kw)
+    np.testing.assert_allclose(np.asarray(d_2), np.asarray(d_e),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i_2), np.asarray(i_e))
+
+
 def test_sharded_2d_data_and_lists(setup):
     """2-D mesh (data x lists): batch-sharded queries, list-sharded codes;
     results must match the single-device seg search."""

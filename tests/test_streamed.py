@@ -39,6 +39,19 @@ def test_streamed_matches_resident(ds, index):
     assert np.all(agree | close)
 
 
+def test_streamed_coarse_cand_matches_exact(ds, index):
+    """Two-stage probe selection in plan_windows (coarse_cand) must match
+    the exact-coarse streamed search on CPU."""
+    base = SearchConfig(nprobe=8, k=10, use_approx_topk=False,
+                        coarse_cand=0)
+    two = SearchConfig(nprobe=8, k=10, use_approx_topk=False,
+                       coarse_cand=32)
+    d_e, i_e = HostStreamedSearcher(index, base).search(ds.xq)
+    d_2, i_2 = HostStreamedSearcher(index, two).search(ds.xq)
+    np.testing.assert_allclose(d_2, d_e, rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(i_2, i_e)
+
+
 def test_streamed_recall(ds, index):
     gt, _ = compute_ground_truth(ds.xb, ds.xq, k=10)
     st = HostStreamedSearcher(
