@@ -20,20 +20,34 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from chamjax.ops.coarse import coarse_scan
+from chamjax.ops.coarse import coarse_scan, coarse_scan_2stage
 from chamjax.retrieval.interface import BaseRetriever, RetrievalResult
 
 
 class IndexScanner:
-    def __init__(self, centroids: np.ndarray, nprobe: int = 32):
+    def __init__(self, centroids: np.ndarray, nprobe: int = 32,
+                 coarse_cand: int = -1):
+        """``coarse_cand``: two-stage probe selection shortlist width
+        (``SearchConfig.coarse_cand`` semantics: -1 auto — engages at
+        large nlist where the full-sort top_k dominates; 0 exact)."""
+        from chamjax.searcher import resolve_coarse_cand
         self.centroids = jnp.asarray(centroids, jnp.float32)
         self.nprobe = nprobe
+        self._cfg_cand = coarse_cand
+        self._resolve = resolve_coarse_cand
 
     def search(self, queries: np.ndarray, nprobe: Optional[int] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns ``(list_ids (b, nprobe) int64, dists (b, nprobe))``."""
-        lids, dists = coarse_scan(jnp.asarray(queries, jnp.float32),
-                                  self.centroids, nprobe or self.nprobe)
+        np_ = nprobe or self.nprobe
+        cand = self._resolve(self._cfg_cand, self.centroids.shape[0], np_)
+        if cand > 0:
+            lids, dists = coarse_scan_2stage(
+                jnp.asarray(queries, jnp.float32), self.centroids, np_,
+                cand=cand)
+        else:
+            lids, dists = coarse_scan(jnp.asarray(queries, jnp.float32),
+                                      self.centroids, np_)
         return np.asarray(lids, np.int64), np.asarray(dists)
 
 
