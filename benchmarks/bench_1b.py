@@ -61,7 +61,8 @@ def main() -> None:
     from chamjax.index import build_ivfpq_device, compute_ground_truth_streamed
     from chamjax.index.device_build import lloyd_device, _assign_blocked
     from chamjax.index.pq import train_pq
-    from chamjax.searcher import auto_seg, auto_windows, ivfpq_search
+    from chamjax.searcher import (auto_seg, auto_windows, ivfpq_search,
+                                  resolve_coarse_cand)
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--shards", type=int, default=8)
@@ -222,7 +223,11 @@ def main() -> None:
             kw = dict(nprobe=np_, k=args.k, windows=W, seg=seg,
                       group=args.group, use_approx=True,
                       recall_target=args.recall_target, backend="seg",
-                      lut_bf16=True)
+                      lut_bf16=True,
+                      # two-stage coarse (ops/coarse.py): the full-sort
+                      # top_k over (b, 65536) repeated per shard was ~1 ms
+                      # of each shard's batch
+                      coarse_cand=resolve_coarse_cand(-1, cfg.nlist, np_))
             d_r, i_r = ivfpq_search(dev, xq, **kw)
             d_h = np.asarray(d_r)
             i_h = np.asarray(i_r, np.int64)

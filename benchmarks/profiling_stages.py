@@ -104,6 +104,10 @@ def main() -> None:
                     help="also time the two-stage coarse scan at this "
                          "shortlist width, and use it in the full path "
                          "(SearchConfig.coarse_cand)")
+    ap.add_argument("--select-l1", type=int, default=0,
+                    help="also time the full path with hierarchical "
+                         "oversized-L1 selection at this L1 length "
+                         "(SearchConfig.select_l1)")
     ap.add_argument("--out", default="results/profiling_stages.pkl")
     args = ap.parse_args()
 
@@ -225,7 +229,8 @@ def main() -> None:
                 ls, ll, windows=W, seg=args.seg)[0].astype(jnp.float32)),
             (li, dev.list_start, dev.list_len))
 
-        def full_step(acc, ct, ids_, ls, ll, q, c, cb, lane_l1=False):
+        def full_step(acc, ct, ids_, ls, ll, q, c, cb, lane_l1=False,
+                      select_l1=0):
             if args.coarse_cand > 0:
                 li2 = coarse_scan_2stage(q + acc, c, nprobe,
                                          cand=args.coarse_cand)[0]
@@ -235,7 +240,8 @@ def main() -> None:
                 ct, ids_, ls, ll,
                 build_luts(q + acc, c, cb, li2, by_residual=True), li2,
                 windows=W, seg=args.seg, group=args.group, k=k,
-                lut_bf16=args.lut_bf16, lane_l1=lane_l1)[0])
+                lut_bf16=args.lut_bf16, lane_l1=lane_l1,
+                select_l1=select_l1)[0])
 
         full_arrays = (dev.codes_t, dev.ids, dev.list_start, dev.list_len,
                        q0, dev.centroids, dev.codebooks)
@@ -244,6 +250,11 @@ def main() -> None:
         if args.lane_l1:
             t_full_lane = chained_ms(
                 functools.partial(full_step, lane_l1=True), full_arrays)
+        t_full_sl1 = None
+        if args.select_l1 > 0:
+            t_full_sl1 = chained_ms(
+                functools.partial(full_step, select_l1=args.select_l1),
+                full_arrays)
 
         model = pm.search_latency_model(
             args.nb, args.nlist, nprobe, args.m, args.d, batch,
@@ -261,6 +272,8 @@ def main() -> None:
             "full_ms": round(t_full, 4),
             **({"full_lane_l1_ms": round(t_full_lane, 4)}
                if t_full_lane is not None else {}),
+            **({"full_select_l1_ms": round(t_full_sl1, 4)}
+               if t_full_sl1 is not None else {}),
             "model_total_ms": round(model["t_total_s"] * 1e3, 4),
             "qps": round(batch / t_full * 1e3, 1),
         }
