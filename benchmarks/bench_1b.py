@@ -90,6 +90,9 @@ def main() -> None:
                          "'OPQ16,IVF...,PQ16'); queries are rotated inside "
                          "ivfpq_search, ground truth stays in raw space")
     ap.add_argument("--recall-target", type=float, default=0.99)
+    ap.add_argument("--coarse-cand", type=int, default=-1,
+                    help="SearchConfig.coarse_cand semantics "
+                         "(-1 auto, 0 exact full-sort, >0 explicit)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
@@ -219,6 +222,7 @@ def main() -> None:
                 W0 = auto_windows(lens, seg0, np_)
                 W0 += (-W0) % args.group
                 seg_w[np_] = (seg0, W0)
+                note(f"nprobe={np_}: seg={seg0} windows={W0}")
             seg, W = seg_w[np_]
             kw = dict(nprobe=np_, k=args.k, windows=W, seg=seg,
                       group=args.group, use_approx=True,
@@ -227,7 +231,8 @@ def main() -> None:
                       # two-stage coarse (ops/coarse.py): the full-sort
                       # top_k over (b, 65536) repeated per shard was ~1 ms
                       # of each shard's batch
-                      coarse_cand=resolve_coarse_cand(-1, cfg.nlist, np_))
+                      coarse_cand=resolve_coarse_cand(
+                          args.coarse_cand, cfg.nlist, np_))
             d_r, i_r = ivfpq_search(dev, xq, **kw)
             d_h = np.asarray(d_r)
             i_h = np.asarray(i_r, np.int64)

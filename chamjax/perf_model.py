@@ -91,6 +91,14 @@ SCAN_EFF_BF16 = 0.28
 SCAN_EFF_F32 = 0.11
 SELECT_EFF_LOW_RT = 1.0     # recall_target <= 0.9
 SELECT_EFF_HIGH_RT = 0.08   # recall_target ~ 0.99
+# Coarse probe selection over the (batch, nlist) scores: the full-sort
+# top_k reads the array at ~4% of HBM (measured 1.02 ms at b=128,
+# nlist=65536), the two-stage shortlist path (coarse_scan_2stage,
+# SearchConfig.coarse_cand) at ~46% (0.090 ms same point) — the measured
+# round-2 discovery that the sort, not the matmul, bounds large-nlist
+# coarse scans (RESULTS.md "Two-stage coarse scan").
+COARSE_SELECT_EFF_SORT = 0.04
+COARSE_SELECT_EFF_2STAGE = 0.46
 
 
 def padded_rows_per_query(dbsize: int, nlist: int, nprobe: int,
@@ -119,7 +127,8 @@ def search_latency_model(dbsize: int, nlist: int, nprobe: int, m: int,
                          mxu_efficiency: float = 0.5,
                          lut_bf16: bool = True,
                          recall_target: float = 0.9,
-                         seg: int = 2048, windows: int = 0) -> dict:
+                         seg: int = 2048, windows: int = 0,
+                         coarse_2stage: bool = True) -> dict:
     """Per-batch latency decomposition (seconds) for the fused search.
 
     Calibrated to the round-2 measured kernel efficiencies (constants
@@ -128,7 +137,10 @@ def search_latency_model(dbsize: int, nlist: int, nprobe: int, m: int,
     array at the measured ``approx_min_k`` efficiency for the given
     ``recall_target``) — at 100M-scale reductions with recall_target
     0.99 it rivals the scan itself (measured 1.1 ms vs 1.26 ms at
-    b=128, nprobe=32)."""
+    b=128, nprobe=32) — and the coarse *probe selection* over the
+    (batch, nlist) scores, which dominates the coarse matmul at
+    nlist ≥ 65536 (``coarse_2stage`` picks the shortlist-path
+    efficiency; False models the exact full-sort)."""
     ksub = 256
     dsub = dim // m
     if not scan_efficiency:
@@ -139,6 +151,9 @@ def search_latency_model(dbsize: int, nlist: int, nprobe: int, m: int,
                                      windows=windows)
     t_coarse = batch * coarse_flops_per_query(nlist, dim) / (
         mxu_efficiency * spec.bf16_tflops * 1e12)
+    csel_eff = (COARSE_SELECT_EFF_2STAGE if coarse_2stage
+                else COARSE_SELECT_EFF_SORT)
+    t_coarse += batch * nlist * 4 / (csel_eff * spec.hbm_gbps * 1e9)
     t_lut = batch * lut_flops_per_query(nprobe, m, dsub, ksub) / (
         mxu_efficiency * spec.f32_tflops * 1e12)
     t_scan = batch * rows_pad * m / (

@@ -138,6 +138,18 @@ def test_search_latency_model_calibration_100m():
     assert cheap["t_select_s"] < 0.15 * out["t_select_s"]
 
 
+def test_search_latency_model_coarse_selection():
+    # Round-2 measured coarse points (RESULTS.md "Two-stage coarse scan"):
+    # b=128, nlist=65536 — exact full sort 1.02 ms, two-stage 0.090 ms.
+    kw = dict(dbsize=96 * (1 << 20), nlist=65536, nprobe=32, m=16, dim=128,
+              batch=128, lut_bf16=True, seg=2048, windows=69)
+    sort = pm.search_latency_model(coarse_2stage=False, **kw)
+    two = pm.search_latency_model(coarse_2stage=True, **kw)
+    assert sort["t_coarse_s"] * 1e3 == pytest.approx(1.02, rel=0.2)
+    assert two["t_coarse_s"] * 1e3 == pytest.approx(0.09, rel=0.35)
+    assert two["t_total_s"] < sort["t_total_s"]
+
+
 def test_report_tables_from_result_store(tmp_path):
     """The report layer (benchmarks/report.py) renders markdown/LaTeX
     tables from real ResultStore pickles — previously untested by CI."""
