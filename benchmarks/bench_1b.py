@@ -79,7 +79,11 @@ def main() -> None:
     ap.add_argument("--group", type=int, default=8)
     ap.add_argument("--n-clusters", type=int, default=65536)
     ap.add_argument("--spectrum-tau", type=float, default=0.0)
-    ap.add_argument("--nt", type=int, default=2_000_000)
+    ap.add_argument("--nt", type=int, default=0,
+                    help="coarse/PQ training sample; 0 = auto "
+                         "max(2M, 32*nlist) capped at 8M (HBM) — 2M at "
+                         "nlist=262144 is 7.6 pts/centroid and was "
+                         "measured to cost ~6 R@10 points vs 32/centroid")
     ap.add_argument("--chunk", type=int, default=1 << 22)
     ap.add_argument("--block", type=int, default=4096)
     ap.add_argument("--kmeans-iters", type=int, default=8)
@@ -141,7 +145,8 @@ def main() -> None:
     draw_b = draw_global(1)
     assert args.shard_rows % GEN == 0 and args.chunk % GEN == 0
 
-    nt = (args.nt // args.block) * args.block
+    nt_req = args.nt or min(max(2_000_000, 32 * args.nlist), 8_388_608)
+    nt = (nt_req // args.block) * args.block
     xt = jnp.concatenate(
         [_gen(jax.random.fold_in(jax.random.fold_in(key, 2), i), GEN)
          for i in range(0, nt + GEN - 1, GEN)])[:nt]
