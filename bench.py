@@ -245,8 +245,13 @@ def main() -> None:
     seg = int(os.environ.get("CHAMJAX_SEG", "512"))
     group = int(os.environ.get("CHAMJAX_GROUP", "8"))
     lens = idx.list_len.astype(np.float64)
-    w_mean = float((lens * np.ceil(lens / seg)).sum() / lens.sum())
-    W = int(np.ceil(nprobe * w_mean * 1.2)) + 4
+    segs = np.ceil(lens / seg)
+    w_mean = float((lens * segs).sum() / lens.sum())
+    # cap at nprobe·max(segs): exact worst-query coverage — on the
+    # balanced 1M build every list is one segment, so headroom windows
+    # beyond nprobe are pure per-window fixed cost (searcher.auto_windows)
+    W = min(int(np.ceil(nprobe * w_mean * 1.2)) + 4,
+            int(nprobe * segs.max()))
     kw = dict(nprobe=nprobe, k=k, windows=W, seg=seg, group=group,
               by_residual=True, use_approx=True, recall_target=0.9,
               backend="seg",

@@ -300,7 +300,13 @@ def auto_windows(list_len: np.ndarray, seg: int, nprobe: int,
     w = int(np.ceil(max(
         nprobe * w_mean * headroom,
         nprobe * w_mean + z * np.sqrt(w_var * nprobe)))) + slack
-    return min(w, int(segs.sum()))
+    # nprobe·max(segs) covers the WORST query exactly — on balanced builds
+    # (every list one segment) this collapses the budget to nprobe itself:
+    # headroom windows there are pure fixed-cost waste (a window costs
+    # F ≈ 2k row-equivalents regardless of fill, scan_seg.py), measured
+    # 25% of the 1M-flagship scan stage.
+    w_upper = int(nprobe * segs.max()) if segs.size else w
+    return min(w, w_upper, int(segs.sum()))
 
 
 class IVFSearcher:
