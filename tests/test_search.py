@@ -102,6 +102,18 @@ def test_searcher_coarse_cand_auto_resolution():
     assert resolve_coarse_cand(300, 256, 32) == 256     # clamp to nlist
 
 
+def test_auto_windows_caps_at_worst_query():
+    """Hard-balanced build (every list one segment): the budget collapses
+    to nprobe exactly — headroom windows are pure fixed cost.  Skewed
+    builds keep the mean+tail formula."""
+    from chamjax.searcher import auto_windows
+    balanced = np.full(1024, 300)
+    assert auto_windows(balanced, seg=512, nprobe=32) == 32
+    skewed = np.concatenate([np.full(1000, 300), np.full(24, 5000)])
+    w = auto_windows(skewed, seg=512, nprobe=32)
+    assert 32 < w <= 32 * 10      # nprobe·max(segs) = 32·ceil(5000/512)
+
+
 def test_lut_matches_numpy(ds, index):
     q = ds.xq[:4]
     dev = DeviceIVF.from_packed(index)
