@@ -79,7 +79,8 @@ def main() -> None:
     ap.add_argument("--recall-target", type=float, default=0.9,
                     help="approx top-k per-element recall target")
     ap.add_argument("--lane-l1", type=int, default=0,
-                    help="in-kernel per-(window,lane) L1 min reduction")
+                    help="in-kernel per-(window,lane) L1 min reduction; "
+                         "2 = within-process OFF/ON A/B per nprobe point")
     ap.add_argument("--select-l1", type=int, default=0,
                     help=">k: hierarchical oversized-L1 selection "
                          "(ops/topk.py) instead of aggregated approx_min_k")
@@ -153,7 +154,13 @@ def main() -> None:
 
     seg = args.seg or auto_seg(lens)
     results = []
+    # --lane-l1 2: within-process A/B — measure each nprobe point with the
+    # in-kernel lane-L1 reduction OFF then ON against the SAME built index
+    # in the SAME process (cross-process A/Bs are contention-inconclusive;
+    # only within-run relative numbers are trustworthy on this tunnel)
+    lane_modes = [False, True] if args.lane_l1 == 2 else [bool(args.lane_l1)]
     for nprobe in [int(x) for x in args.nprobes.split(",")]:
+      for lane in lane_modes:
         W = auto_windows(lens, seg, nprobe)
         # two-stage coarse (exact scores, approx shortlist + exact re-sort)
         # replaced coarse_approx here: strictly more accurate at equal cost
@@ -165,7 +172,7 @@ def main() -> None:
                   recall_target=args.recall_target, backend="seg",
                   coarse_approx=ccand == 0, coarse_cand=ccand,
                   lut_bf16=bool(args.lut_bf16),
-                  select_l1=args.select_l1, lane_l1=bool(args.lane_l1))
+                  select_l1=args.select_l1, lane_l1=lane)
         d_r, i_r = ivfpq_search(dev, xq[: args.nq_gt], **kw)
         r1 = recall_at_k(np.asarray(i_r), gt, 1)
         r10 = recall_at_k(np.asarray(i_r), gt, 10)
@@ -205,6 +212,7 @@ def main() -> None:
         qps = args.batch / ms * 1e3
         rec = {"nb": nb, "nlist": args.nlist, "m": args.m, "nprobe": nprobe,
                "k": args.k, "batch": args.batch, "seg": seg, "windows": W,
+               "lane_l1": lane,
                "R@1": round(float(r1), 4), "R@10": round(float(r10), 4),
                "ms_per_batch": round(ms, 3), "qps": round(qps, 1),
                "build_s": round(build_s, 1)}

@@ -270,22 +270,20 @@ def auto_seg(list_len: np.ndarray) -> int:
 
 def auto_windows(list_len: np.ndarray, seg: int, nprobe: int,
                  headroom: float = 1.2, slack: int = 4,
-                 z: float = 2.33) -> int:
+                 z: float = 0.0) -> int:
     """Static per-query window budget for the segmented backend.
 
     Probed lists are length-biased (a query lands in heavy cells more
     often), so per-probe segments is the *length-weighted* distribution of
     ceil(len/seg) — the same argument the reference's iteration table
-    realizes per cell (``DRAM_utils.hpp:45-102``).  The budget must cover
-    the TAIL of the per-query sum, not its mean: on heavy-tailed builds
-    (unbalanced 1B shards: p50 ≈ avg but max ≈ 36× avg) a query probing
-    one or two huge lists needs several× the mean budget, and probe-major
-    truncation then silently drops its far probes — measured 5 R@10
-    points at the 1B config when the budget was mean·headroom only.  A
-    normal approximation of S = Σ_probes ceil(L/seg) gives
-    ``W = nprobe·μ_lb + z·σ_lb·√nprobe`` (z=2.33 ≈ 99th percentile);
-    ``headroom``/``slack`` are kept on top for the mean-shaped term so
-    balanced builds keep their round-1 budgets.
+    realizes per cell (``DRAM_utils.hpp:45-102``).  ``headroom``/``slack``
+    pad the mean; ``z`` > 0 additionally covers the per-query tail with a
+    normal approximation of S = Σ_probes ceil(L/seg)
+    (``W = nprobe·μ_lb + z·σ_lb·√nprobe``; 2.33 ≈ 99th percentile).
+    z defaults OFF: `eval/diagnose.py` window-loss was measured ≈ 0 at
+    the mean budget on both the 100M and 1B skewed builds, while z=2.33
+    cost 13% QPS at 100M/nprobe=8 (W 21 → 25) — use it only when a
+    diagnose run actually shows window loss.
     """
     lens = np.asarray(list_len, np.float64)
     segs = np.ceil(lens / seg)
@@ -294,9 +292,8 @@ def auto_windows(list_len: np.ndarray, seg: int, nprobe: int,
         return slack
     w_mean = float((lens * segs).sum() / total)
     w_var = max(0.0, float((lens * segs * segs).sum() / total) - w_mean ** 2)
-    # max(mean-headroom, mean + z·σ·√nprobe): headroom covers model error
-    # on balanced builds (σ≈0, round-1 budgets unchanged); the z-term
-    # covers the per-query tail on skewed builds.
+    # max(mean-headroom, mean + z·σ·√nprobe); the z-term is opt-in tail
+    # coverage (see docstring) and a no-op at the z=0 default.
     w = int(np.ceil(max(
         nprobe * w_mean * headroom,
         nprobe * w_mean + z * np.sqrt(w_var * nprobe)))) + slack
