@@ -72,11 +72,18 @@ def coarse_scan_2stage(
     """
     assert nprobe <= cand <= centroids.shape[0], (nprobe, cand)
     cn = jnp.sum(centroids * centroids, axis=1)
-    # exact scores: ranking precision feeds recall directly (CLAUDE.md
-    # invariant) — HIGHEST costs ≤0.1 ms here, the sort was the bottleneck
+    # Ranking precision feeds recall directly (CLAUDE.md invariant): the
+    # DEFAULT single bf16 pass (2^-8 relative) is what silently collapses
+    # recall and is never used here.  HIGHEST (6-pass fp32 emulation) is
+    # the default; at very large nlist the matmul dominates the stage and
+    # HIGH (bf16_3x, ~2^-21 relative — fp32-class) halves its passes:
+    # measured 0.437 → 0.325 ms at nlist=262144 with 0.9998 probe
+    # agreement, while at 65536 HIGH is *slower* (pass overhead on the
+    # smaller matmul) — hence the size gate.
+    prec = (jax.lax.Precision.HIGH if centroids.shape[0] >= 131072
+            else jax.lax.Precision.HIGHEST)
     scores = (
-        2.0 * jnp.dot(queries, centroids.T,
-                      precision=jax.lax.Precision.HIGHEST)
+        2.0 * jnp.dot(queries, centroids.T, precision=prec)
         - cn[None, :]
     )  # = ||q||² - d²
     vals, short = jax.lax.approx_max_k(scores, cand, recall_target=0.95)
