@@ -102,6 +102,23 @@ def test_searcher_coarse_cand_auto_resolution():
     assert resolve_coarse_cand(300, 256, 32) == 256     # clamp to nlist
 
 
+def test_coarse_scan_2stage_high_gate_matches_exact():
+    """nlist ≥ 131072 switches the score matmul to HIGH precision
+    (ops/coarse.py size gate); on CPU both precisions are fp32, so the
+    result must still equal the exact scan bit-for-bit — this pins the
+    gate's code path, the numerics are pinned on device by
+    ``bench.py --matrix`` and the 1B run."""
+    from chamjax.ops.coarse import coarse_scan_2stage
+    rng = np.random.default_rng(7)
+    cent = jnp.asarray(rng.standard_normal((131072, 8)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+    lids, dists = coarse_scan(q, cent, 8)
+    lids2, dists2 = coarse_scan_2stage(q, cent, 8, cand=32)
+    np.testing.assert_array_equal(np.asarray(lids2), np.asarray(lids))
+    np.testing.assert_allclose(np.asarray(dists2), np.asarray(dists),
+                               rtol=1e-5, atol=1e-3)
+
+
 def test_auto_windows_caps_at_worst_query():
     """Hard-balanced build (every list one segment): the budget collapses
     to nprobe exactly — headroom windows are pure fixed cost.  Skewed
