@@ -137,8 +137,19 @@ def main() -> None:
     cfg = IndexConfig(dim=d, nlist=args.nlist, m=args.m, list_pad=128,
                       balanced=False, opq=args.opq)
     t0 = time.time()
+    # hand the builder a self-consuming lazy sample: a multi-GB (nt, d)
+    # training array pinned by this frame through the pack is what tips
+    # the 256M fine-nlist build over 16 GB HBM
+    xt_box = [xt]
+    del xt
+
+    def xt_lazy():
+        v = xt_box[0]
+        xt_box[0] = None
+        return v
+
     dev, info = build_ivfpq_device(
-        draw_b, nb, cfg, xt, kmeans_iters=args.kmeans_iters,
+        draw_b, nb, cfg, xt_lazy, kmeans_iters=args.kmeans_iters,
         pq_iters=args.pq_iters, seed=args.seed, chunk=args.chunk,
         block=args.block, verbose=True)
     jax.block_until_ready(dev.codes_t)

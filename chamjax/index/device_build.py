@@ -230,17 +230,47 @@ def _pack_layout(assignment: jax.Array, nlist: int, list_pad: int, cap: int):
 
 
 @jax.jit
-def _pack_codes_t(codes: jax.Array, gather_ids: jax.Array) -> jax.Array:
-    """codes (n, m) u8 + gather map (cap,) → transposed packed (m, cap) u8.
-
-    No donation: the (n, m) input aval can never alias the (m, cap) output,
-    so ``donate_argnums`` would be dead weight (and a reuse-after-donate
-    trap for the sharded builder, which packs the same codes per shard).
-    Callers that care about peak HBM must ``del``/``.delete()`` the codes
-    buffer after the last pack instead."""
+def _pack_codes_t_oneshot(codes: jax.Array, gather_ids: jax.Array
+                          ) -> jax.Array:
     g = jnp.maximum(gather_ids, 0)
     packed = jnp.where(gather_ids[:, None] >= 0, codes[g], jnp.uint8(0))
     return packed.T
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _pack_codes_t_chunk(acc: jax.Array, codes: jax.Array,
+                        gidx: jax.Array, start) -> jax.Array:
+    g = jnp.maximum(gidx, 0)
+    part = jnp.where(gidx[:, None] >= 0, codes[g], jnp.uint8(0)).T
+    return jax.lax.dynamic_update_slice(acc, part, (0, start))
+
+
+# Above this many packed bytes, gather in column chunks through a donated
+# accumulator: the one-shot pack's live set is codes (n·m) + the (cap, m)
+# gather + the (m, cap) transpose — ~3× the corpus — which OOMs a 16 GB
+# chip near 256M rows; chunked peak is codes + accumulator + one chunk.
+_PACK_CHUNK_BYTES = 1 << 30
+_PACK_CHUNK_COLS = 1 << 24
+
+
+def _pack_codes_t(codes: jax.Array, gather_ids: jax.Array) -> jax.Array:
+    """codes (n, m) u8 + gather map (cap,) → transposed packed (m, cap) u8.
+
+    No donation of ``codes``: the (n, m) input aval can never alias the
+    (m, cap) output (and the sharded builder re-packs the same codes per
+    shard).  Callers that care about peak HBM must ``del``/``.delete()``
+    the codes buffer after the last pack instead."""
+    n, m = codes.shape
+    cap = gather_ids.shape[0]
+    if cap * m <= _PACK_CHUNK_BYTES:
+        return _pack_codes_t_oneshot(codes, gather_ids)
+    acc = jnp.zeros((m, cap), jnp.uint8)
+    # two compiles total: the full-chunk shape + (maybe) one tail shape;
+    # every update slab fits exactly, so dynamic_update_slice never clamps
+    for s in range(0, cap, _PACK_CHUNK_COLS):
+        e = min(s + _PACK_CHUNK_COLS, cap)
+        acc = _pack_codes_t_chunk(acc, codes, gather_ids[s:e], s)
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -389,12 +419,15 @@ def build_ivfpq_device(
     gather_ids, list_start, list_len = _pack_layout(
         assignment, nlist=cfg.nlist, list_pad=cfg.list_pad, cap=cap)
     del assignment
+    # pad the gather map BEFORE packing so the kernel-overread tail
+    # (MAX_SEG zero rows / -1 ids) is written in place — a post-pack
+    # concatenate doubles the corpus-sized codes_t at peak, which is what
+    # OOMed the 256M fine-nlist build on a 16 GB chip
     ids = jnp.concatenate(
         [gather_ids, jnp.full((MAX_SEG,), -1, jnp.int32)])
-    codes_t = _pack_codes_t(codes, gather_ids)
-    del codes, gather_ids
-    codes_t = jnp.concatenate(
-        [codes_t, jnp.zeros((cfg.m, MAX_SEG), jnp.uint8)], axis=1)
+    del gather_ids
+    codes_t = _pack_codes_t(codes, ids)
+    del codes
     if verbose:
         print(f"[build-dev] packed cap={cap} "
               f"({cap / max(n_use, 1):.3f}x)", flush=True)

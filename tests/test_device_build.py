@@ -81,6 +81,23 @@ def test_pack_layout_matches_host_pack(rng):
     assert np.array_equal(np.sort(g_ids[~pad_mask]), np.arange(n))
 
 
+def test_pack_codes_t_chunked_matches_oneshot(rng, monkeypatch):
+    """The chunked low-peak-HBM pack (engaged past _PACK_CHUNK_BYTES; the
+    one-shot pack's ~3x-corpus live set OOMs a 16 GB chip near 256M rows)
+    must be byte-identical to the one-shot pack, tail chunk included."""
+    from chamjax.index import device_build as db
+    n, m, cap = 5000, 4, 6208
+    codes = jnp.asarray(rng.integers(0, 256, (n, m)).astype(np.uint8))
+    gids = rng.integers(-1, n, cap).astype(np.int32)
+    gids[cap - 7:] = -1                      # ragged tail padding
+    gids = jnp.asarray(gids)
+    one = np.asarray(db._pack_codes_t_oneshot(codes, gids))
+    monkeypatch.setattr(db, "_PACK_CHUNK_BYTES", 0)
+    monkeypatch.setattr(db, "_PACK_CHUNK_COLS", 1 << 10)  # forces a tail
+    chunked = np.asarray(db._pack_codes_t(codes, gids))
+    np.testing.assert_array_equal(chunked, one)
+
+
 def test_gt_streamed_matches_exact(ds):
     gt, gd = compute_ground_truth(ds.xb, ds.xq, k=10)
     gt_s, gd_s = compute_ground_truth_streamed(
