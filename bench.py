@@ -95,8 +95,8 @@ def _recall_matrix(ds, idx, dev, gt, base_kw, nprobe, k, ivfpq_search,
                                  use_approx=False, coarse_approx=False),
          oracle, 0.002)
     # two-stage coarse scan (approx shortlist over exact scores + exact
-    # re-sort): only deep-boundary probe drops possible — bounded tighter
-    # than the approx rows
+    # re-sort): probe drops are empirically rare (0.996 overlap with 4x
+    # oversampling, ops/coarse.py) — bounded tighter than the approx rows
     gate("seg_coarse_2stage", r10_of(use_approx=False, coarse_approx=False,
                                      coarse_cand=4 * nprobe), oracle, 0.005)
     # production path (approx top-k + coarse approx): bounded, not equal
@@ -244,14 +244,8 @@ def main() -> None:
     # (defaults measured best on v5e; env knobs for tuning experiments)
     seg = int(os.environ.get("CHAMJAX_SEG", "512"))
     group = int(os.environ.get("CHAMJAX_GROUP", "8"))
-    lens = idx.list_len.astype(np.float64)
-    segs = np.ceil(lens / seg)
-    w_mean = float((lens * segs).sum() / lens.sum())
-    # cap at nprobe·max(segs): exact worst-query coverage — on the
-    # balanced 1M build every list is one segment, so headroom windows
-    # beyond nprobe are pure per-window fixed cost (searcher.auto_windows)
-    W = min(int(np.ceil(nprobe * w_mean * 1.2)) + 4,
-            int(nprobe * segs.max()))
+    from chamjax.searcher import auto_windows
+    W = auto_windows(idx.list_len, seg, nprobe)
     kw = dict(nprobe=nprobe, k=k, windows=W, seg=seg, group=group,
               by_residual=True, use_approx=True, recall_target=0.9,
               backend="seg",

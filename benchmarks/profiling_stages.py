@@ -258,7 +258,8 @@ def main() -> None:
 
         model = pm.search_latency_model(
             args.nb, args.nlist, nprobe, args.m, args.d, batch,
-            lut_bf16=bool(args.lut_bf16), seg=args.seg, windows=W)
+            lut_bf16=bool(args.lut_bf16), seg=args.seg, windows=W,
+            coarse_2stage=args.coarse_cand > 0)
         res = {
             "coarse_ms": round(t_coarse, 4),
             **({"coarse2_ms": round(t_coarse2, 4)}

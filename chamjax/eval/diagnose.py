@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from chamjax.ops.coarse import coarse_scan, coarse_scan_2stage
+from chamjax.ops.coarse import select_probes
 from chamjax.ops.lut import build_luts
 from chamjax.ops.scan_seg import expand_windows
 from chamjax.searcher import DeviceIVF
@@ -92,13 +92,9 @@ def recall_diagnosis(
     q = jnp.asarray(queries, jnp.float32)
     if index.opq_R is not None:
         q = jnp.dot(q, index.opq_R, precision=jax.lax.Precision.HIGHEST)
-    if coarse_cand > 0:
-        probe_ids, _ = coarse_scan_2stage(
-            q, index.centroids, nprobe,
-            cand=min(coarse_cand, index.centroids.shape[0]))
-    else:
-        probe_ids, _ = coarse_scan(q, index.centroids, nprobe,
-                                   use_approx=coarse_approx)
+    probe_ids, _ = select_probes(q, index.centroids, nprobe,
+                                 coarse_cand=coarse_cand,
+                                 use_approx=coarse_approx)
     probe_ids = np.asarray(probe_ids)                     # (b, nprobe)
 
     probed = (probe_ids[:, None, :] == list_of[:, :, None]).any(-1)

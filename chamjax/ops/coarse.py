@@ -63,10 +63,13 @@ def coarse_scan_2stage(
     replaces it with the TPU-native partial reduction ``approx_max_k`` kept
     ``cand``-wide (2-4× ``nprobe`` oversampling), then exactly re-sorts the
     retained scores — 0.090 ms at 65536, 0.356 ms at 262144 (11× the exact
-    scan).  The only approximation is a shortlist drop *deeper than the
-    cand boundary*: with 4× oversampling the measured true-probe overlap is
-    0.996 even on worst-case random-Gaussian centroids, and a dropped probe
-    is by construction a far one, which multi-probe absorbs.  Compared to
+    scan).  The approximation is the shortlist pass itself:
+    ``approx_max_k`` keeps per-partition maxima, so a bin collision can in
+    principle drop a probe of any rank but the global max — the guarantee
+    is empirical, not structural: measured true-probe overlap 0.996 with
+    4× oversampling even on worst-case random-Gaussian centroids, and
+    R@10 equal to the exact-coarse oracle on the on-device gate
+    (``bench.py --matrix`` row ``seg_coarse_2stage``).  Compared to
     ``use_approx`` (which truncates at ``nprobe`` directly), the retained
     probes here are exactly ordered and drawn from a 4× deeper pool.
     """
@@ -91,3 +94,22 @@ def coarse_scan_2stage(
     idx = jnp.take_along_axis(short, order, axis=1)
     qn = jnp.sum(queries * queries, axis=1, keepdims=True)
     return idx.astype(jnp.int32), qn - top
+
+
+def select_probes(
+    queries: jax.Array,      # (b, d) float32
+    centroids: jax.Array,    # (nlist, d) float32
+    nprobe: int,
+    coarse_cand: int = 0,
+    use_approx: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """THE probe-selection dispatch, shared by every search tier
+    (fused searcher, preassigned/diagnose, streamed planner, sharded
+    shard_fn, IndexScanner): ``coarse_cand`` > 0 → two-stage scan with
+    the width clamped to [nprobe, nlist]; else exact (or ``use_approx``)
+    :func:`coarse_scan`.  Centralized so precedence and clamping cannot
+    drift between call sites."""
+    if coarse_cand > 0:
+        cand = min(max(coarse_cand, nprobe), centroids.shape[0])
+        return coarse_scan_2stage(queries, centroids, nprobe, cand=cand)
+    return coarse_scan(queries, centroids, nprobe, use_approx=use_approx)

@@ -29,21 +29,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from chamjax.index.ivf import PackedIVF
 from chamjax.ops.lut import build_luts
-from chamjax.ops.coarse import coarse_scan, coarse_scan_2stage
+from chamjax.ops.coarse import select_probes
 from chamjax.ops.scan_xla import scan_lists_xla
 from chamjax.ops.scan_pallas import scan_lists_pallas
 from chamjax.ops.scan_seg_multi import scan_lists_seg_multi
 
 
 def _coarse(q, centroids, nprobe: int, coarse_cand: int):
-    """Probe selection for the shard-local search: exact HIGHEST scan, or
-    the two-stage shortlist scan when ``coarse_cand`` > 0 (large-nlist fast
-    path — centroids are replicated, so every shard selects identically)."""
-    if coarse_cand > 0:
-        list_ids, _ = coarse_scan_2stage(
-            q, centroids, nprobe, cand=min(coarse_cand, centroids.shape[0]))
-    else:
-        list_ids, _ = coarse_scan(q, centroids, nprobe)
+    """Probe selection for the shard-local search (centroids are
+    replicated, so every shard selects identically) — the shared
+    ``ops/coarse.py::select_probes`` dispatch."""
+    list_ids, _ = select_probes(q, centroids, nprobe,
+                                coarse_cand=coarse_cand)
     return list_ids
 
 

@@ -20,7 +20,7 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from chamjax.ops.coarse import coarse_scan, coarse_scan_2stage
+from chamjax.ops.coarse import select_probes
 from chamjax.retrieval.interface import BaseRetriever, RetrievalResult
 
 
@@ -41,13 +41,8 @@ class IndexScanner:
         """Returns ``(list_ids (b, nprobe) int64, dists (b, nprobe))``."""
         np_ = nprobe or self.nprobe
         cand = self._resolve(self._cfg_cand, self.centroids.shape[0], np_)
-        if cand > 0:
-            lids, dists = coarse_scan_2stage(
-                jnp.asarray(queries, jnp.float32), self.centroids, np_,
-                cand=cand)
-        else:
-            lids, dists = coarse_scan(jnp.asarray(queries, jnp.float32),
-                                      self.centroids, np_)
+        lids, dists = select_probes(jnp.asarray(queries, jnp.float32),
+                                    self.centroids, np_, coarse_cand=cand)
         return np.asarray(lids, np.int64), np.asarray(dists)
 
 

@@ -18,7 +18,7 @@ import numpy as np
 
 from chamjax.config import SearchConfig
 from chamjax.index.ivf import PackedIVF
-from chamjax.ops.coarse import coarse_scan, coarse_scan_2stage
+from chamjax.ops.coarse import select_probes
 from chamjax.ops.lut import build_luts
 from chamjax.ops.scan_pallas import scan_lists_pallas
 from chamjax.ops.scan_seg import scan_lists_seg
@@ -156,15 +156,11 @@ def ivfpq_search(
     q = queries
     if index.opq_R is not None:
         q = jnp.dot(q, index.opq_R, precision=jax.lax.Precision.HIGHEST)
-    if coarse_cand > 0:
-        # Two-stage probe selection (approx shortlist + exact re-sort);
-        # takes precedence over coarse_approx — see ops/coarse.py.
-        list_ids, _ = coarse_scan_2stage(
-            q, index.centroids, nprobe,
-            cand=min(coarse_cand, index.centroids.shape[0]))
-    else:
-        list_ids, _ = coarse_scan(q, index.centroids, nprobe,
-                                  use_approx=coarse_approx)
+    # coarse_cand > 0 → two-stage probe selection (approx shortlist +
+    # exact re-sort), taking precedence over coarse_approx — ops/coarse.py
+    list_ids, _ = select_probes(q, index.centroids, nprobe,
+                                coarse_cand=coarse_cand,
+                                use_approx=coarse_approx)
     luts = build_luts(q, index.centroids, index.codebooks, list_ids,
                       by_residual=by_residual)
     return _dispatch_scan(
@@ -233,12 +229,18 @@ def resolve_coarse_cand(cfg_cand: int, nlist: int, nprobe: int) -> int:
     """Resolve ``SearchConfig.coarse_cand`` to a concrete shortlist width.
 
     -1 (auto) enables the two-stage coarse scan only at large nlist and
-    nprobe ≥ 8 — the regimes where the HIGHEST matmul dominates the coarse
-    stage and a deep-near-tie shortlist miss is absorbed by multi-probe."""
+    nprobe ≥ 8 — the regimes where the full-sort top_k dominates the
+    coarse stage and a shortlist miss is absorbed by multi-probe.  An
+    explicit width is floored at nprobe (a narrower shortlist cannot
+    yield nprobe probes — without the floor, a runtime nprobe override
+    above a configured width crashed the kernel-side assert) and capped
+    at nlist."""
     if cfg_cand < 0:
         cfg_cand = (max(4 * nprobe, 64)
                     if nlist >= 32768 and nprobe >= 8 else 0)
-    return min(cfg_cand, nlist)
+    if cfg_cand <= 0:
+        return 0
+    return min(max(cfg_cand, nprobe), nlist)
 
 
 def auto_seg(list_len: np.ndarray) -> int:

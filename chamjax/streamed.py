@@ -34,7 +34,7 @@ import numpy as np
 
 from chamjax.config import SearchConfig
 from chamjax.index.ivf import PackedIVF
-from chamjax.ops.coarse import coarse_scan, coarse_scan_2stage
+from chamjax.ops.coarse import select_probes
 from chamjax.ops.lut import build_luts
 from chamjax.ops.scan_seg import expand_windows
 from chamjax.ops.scan_seg_multi import adc_scan_segments_multi
@@ -66,12 +66,8 @@ def plan_windows(
     q = queries
     if opq_R is not None:
         q = jnp.dot(q, opq_R, precision=jax.lax.Precision.HIGHEST)
-    if coarse_cand > 0:
-        list_ids, _ = coarse_scan_2stage(
-            q, centroids, nprobe, cand=min(coarse_cand,
-                                           centroids.shape[0]))
-    else:
-        list_ids, _ = coarse_scan(q, centroids, nprobe)
+    list_ids, _ = select_probes(q, centroids, nprobe,
+                                coarse_cand=coarse_cand)
     starts, lens, probe, _valid = expand_windows(
         list_ids, list_start, list_len, windows=windows, seg=seg)
     return starts, lens, probe, list_ids, q

@@ -89,6 +89,21 @@ def test_coarse_scan_2stage_matches_exact(ds, index):
                                rtol=1e-5, atol=1e-3)
 
 
+def test_coarse_cand_narrower_than_nprobe_does_not_crash(ds, index):
+    """A configured shortlist width below a runtime nprobe override must
+    floor at nprobe, not crash the kernel-side assert (review finding)."""
+    from chamjax.retrieval.index_scanner import IndexScanner
+    from chamjax.searcher import resolve_coarse_cand
+    assert resolve_coarse_cand(16, 65536, 32) == 32   # floored
+    sc = IndexScanner(index.centroids, nprobe=8, coarse_cand=4)
+    lids, _ = sc.search(ds.xq[:4], nprobe=32)
+    assert lids.shape == (4, 32)
+    # floored width == nprobe still returns the exact probe set on CPU
+    exact, _ = coarse_scan(jnp.asarray(ds.xq[:4]),
+                           jnp.asarray(index.centroids), 32)
+    np.testing.assert_array_equal(lids, np.asarray(exact, np.int64))
+
+
 def test_searcher_coarse_cand_auto_resolution():
     """-1 (auto) engages only at large nlist and nprobe ≥ 8; explicit and
     off values pass through; width clamps to nlist."""
