@@ -204,7 +204,10 @@ def main() -> None:
     # v5: dataset draws moved to the on-device generator (deterministic JAX
     # PRNG stream — different stream than the old numpy one, hence the key
     # bump) so cold runs don't pay minutes of host-CPU normal sampling.
-    key = f"v5_{nb}_{d}_{nlist}_{m}_{nq}"
+    # v7: assign_balanced widening retry makes the cap hard (max list was
+    # 8.4× cap before) and cap is sized to seg — auto_windows' worst-query
+    # bound collapses W to nprobe at unchanged recall.
+    key = f"v7_{nb}_{d}_{nlist}_{m}_{nq}"
     cache = os.environ.get("CHAMJAX_BENCH_INDEX",
                            f"/tmp/chamjax_bench_idx_{key}.npz")
     gt_cache = cache.replace(".npz", "_gt.npy")
@@ -224,9 +227,16 @@ def main() -> None:
         idx = PackedIVF.load(cache)
         _note("index loaded from cache")
     else:
+        # Hard cap sized so cap == seg (512): every list is one segment,
+        # so auto_windows' worst-query bound collapses W to nprobe
+        # (measured 79.8k → 98.0k QPS at identical R@10 0.8828), while
+        # the cap is loose enough (2.1× mean; nlist == corpus mode count)
+        # that almost no point is displaced from its nearest cell (a
+        # tight 1.3×cap measured −0.02 R@10 from hot-cell displacement).
         idx = build_ivfpq(
             ds.xb, IndexConfig(dim=d, nlist=nlist, m=m, list_pad=128,
-                               balanced=True, balance_factor=1.3),
+                               balanced=True, balance_hard=True,
+                               balance_factor=512 * nlist / nb),
             xt=ds.xt, kmeans_iters=10, pq_iters=10, verbose=True,
         )
         idx.save(cache)

@@ -145,10 +145,10 @@ def main() -> None:
         # (the tunnel moves ~2 MB/s — host-resident corpora cost minutes
         # per pass).
         nq_bench = 128 * 65 + 256
-        bench_cache = (f"/tmp/chamjax_bench_idx_v5_{args.nb}_{args.d}"
+        bench_cache = (f"/tmp/chamjax_bench_idx_v7_{args.nb}_{args.d}"
                        f"_{args.nlist}_{args.m}_{nq_bench}.npz")
         cache = bench_cache if os.path.exists(bench_cache) else (
-            f"/tmp/chamjax_prof_idx_v5_{args.nb}_{args.d}_{args.nlist}"
+            f"/tmp/chamjax_prof_idx_v7_{args.nb}_{args.d}_{args.nlist}"
             f"_{args.m}.npz")
         cold = not os.path.exists(cache)
         ds = synthetic_dataset(nb=args.nb, nq=8192, nt=100_000, d=args.d,
@@ -159,9 +159,13 @@ def main() -> None:
         if not cold:
             idx = PackedIVF.load(cache)
         else:
+            # hard cap == seg, mirroring bench.py: single-segment lists
+            # let auto_windows collapse W to nprobe at unchanged recall
             idx = build_ivfpq(ds.xb, IndexConfig(
                 dim=args.d, nlist=args.nlist, m=args.m, balanced=True,
-                balance_factor=1.3, list_pad=128),
+                balance_hard=True,
+                balance_factor=args.seg * args.nlist / args.nb,
+                list_pad=128),
                 xt=ds.xt, kmeans_iters=10, pq_iters=10)
             idx.save(cache)
         dev = DeviceIVF.from_packed(idx)

@@ -44,9 +44,14 @@ class IndexConfig:
     # Capacity-balanced assignment: cap each list at
     # ceil(ntotal/nlist * balance_factor); boundary points displace to their
     # next-nearest cell with room.  Bounds the probed-list length bias that
-    # multiplies scan work (see ops/scan_seg.py).
+    # multiplies scan work (see ops/scan_seg.py).  balance_hard makes the
+    # cap exact via a widening candidate retry (lets auto_windows collapse
+    # the worst-query window budget to nprobe·ceil(cap/seg)) — recall-safe
+    # only when the cap clears natural cluster sizes; the default soft cap
+    # falls back to the nearest cell on overflow (see kmeans.assign_balanced).
     balanced: bool = False
     balance_factor: float = 1.3
+    balance_hard: bool = False
     # Inverted multi-index (the reference's ``IMI2xB,...`` training sweeps,
     # ``Faiss_experiments/train_cpu.py``): the coarse quantizer is the
     # cartesian product of two 2^imi-way sub-quantizers over the two halves

@@ -113,7 +113,8 @@ def populate(
     xb_r = xb @ trained.opq_R if trained.opq_R is not None else xb
     if cfg.balanced:
         cap = int(np.ceil(xb.shape[0] / cfg.nlist * cfg.balance_factor))
-        assignment = assign_balanced(xb_r, trained.centroids, cap=cap)
+        assignment = assign_balanced(xb_r, trained.centroids, cap=cap,
+                                     hard=cfg.balance_hard)
     elif cfg.imi:
         # factored assignment: recover the half codebooks from the grid
         # (row i·K+j = [a_i ‖ b_j]) and take two small argmins per vector

@@ -228,7 +228,8 @@ def build_ivfpq(
 
     if cfg.balanced:
         cap = int(np.ceil(xb.shape[0] / cfg.nlist * cfg.balance_factor))
-        assignment = assign_balanced(xb_r, centroids, cap=cap)
+        assignment = assign_balanced(xb_r, centroids, cap=cap,
+                                     hard=cfg.balance_hard)
     else:
         assignment = kmeans_assign(xb_r, centroids)
     if on_device:

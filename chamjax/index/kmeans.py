@@ -12,6 +12,7 @@ any corpus size; empty clusters are re-seeded by splitting heavy ones
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -71,17 +72,37 @@ def assign_balanced(
     cap: Optional[int] = None,
     n_cand: int = 8,
     chunk: int = 1 << 18,
+    hard: bool = False,
 ) -> np.ndarray:
     """Capacity-constrained assignment: each point goes to its nearest
     centroid *with room*, among its ``n_cand`` nearest.
 
     Probed inverted lists are length-biased (queries land in heavy cells),
     so imbalance directly multiplies scan work; capping list size bounds
-    that factor.  A point displaced to its j-th nearest cell (j < n_cand
-    ≪ nprobe) is still found because that cell is almost surely probed.
-    Points are processed confident-first (smallest best-distance), so
-    boundary points — the ones cheapest to displace — move.  Overflow (all
-    candidates full) falls back to the nearest centroid.
+    that factor.  A point displaced to its j-th nearest cell
+    (j < n_cand ≪ nprobe) is still found because that cell is almost
+    surely probed.  Points are processed confident-first (smallest
+    best-distance), so boundary points — the ones cheapest to displace —
+    move.
+
+    Overflow (all ``n_cand`` candidates full) is where recall and scan
+    cost trade off, so it is explicit:
+
+    - ``hard=False`` (default): overflow rows go to their nearest cell —
+      the cap is a soft target and hot cells may exceed it (a 4096-cell
+      1M bench build measured max list 8.4× cap), but no point is ever
+      displaced far, so recall matches the unbalanced build.
+    - ``hard=True``: overflow retries with a widening candidate list;
+      since k·cap ≥ n there is always a cell with room, so the cap is
+      exact.  A hard cap lets the searcher's worst-query window budget
+      collapse to nprobe·ceil(cap/seg) (``searcher.auto_windows``) —
+      worth ~25% QPS on the flagship bench — but when the cap binds
+      against large natural clusters the displaced points land in cells
+      the query may not probe: a 256-list build over 512 natural
+      clusters at cap=1.31×mean measured R@10 0.67 vs 0.98 unbalanced.
+      Use it only with cap comfortably above the natural cluster size
+      (e.g. nlist ≈ corpus mode count); a warning fires when >0.5% of
+      points overflow the first-pass candidates.
     """
     n = x.shape[0]
     k = centroids.shape[0]
@@ -89,6 +110,7 @@ def assign_balanced(
         cap = int(np.ceil(n / k * 1.3))
     cent = jnp.asarray(centroids, jnp.float32)
     chunk = _cap_chunk(chunk, k)
+    n_cand = min(n_cand, k)
     cand = np.empty((n, n_cand), np.int32)
     best_d = np.empty((n,), np.float32)
     for i in range(0, n, chunk):
@@ -98,7 +120,7 @@ def assign_balanced(
         best_d[i : i + xi.shape[0]] = np.asarray(dd[:, 0])
     order = np.argsort(best_d, kind="stable")
     counts = np.zeros(k, np.int64)
-    out = np.empty(n, np.int32)
+    out = np.full(n, -1, np.int32)
     cand_ordered = cand[order]
     for row, cands in zip(order.tolist(), cand_ordered.tolist()):
         for cl in cands:
@@ -106,9 +128,47 @@ def assign_balanced(
                 out[row] = cl
                 counts[cl] += 1
                 break
-        else:
-            out[row] = cands[0]
-            counts[cands[0]] += 1
+    overflow = int((out < 0).sum())
+    if not hard:
+        if overflow:
+            warnings.warn(
+                f"assign_balanced: {overflow}/{n} points overflowed all "
+                f"{n_cand} candidate cells and fell back to their nearest "
+                f"cell — the cap ({cap}) is soft and max list size may "
+                f"exceed it (auto_windows' worst-query bound will not "
+                f"collapse). Pass hard=True / IndexConfig.balance_hard "
+                f"for an exact cap.", stacklevel=2)
+            rows = np.flatnonzero(out < 0)
+            out[rows] = cand[rows, 0]
+            np.add.at(counts, cand[rows, 0], 1)
+        return out
+    if overflow > max(1, n // 200):
+        warnings.warn(
+            f"assign_balanced(hard=True): {overflow}/{n} points "
+            f"({100.0 * overflow / n:.1f}%) overflowed all {n_cand} "
+            f"nearest cells — the cap ({cap}) binds against natural "
+            f"cluster sizes and hard displacement at this rate costs "
+            f"recall. Raise balance_factor or nlist.", stacklevel=2)
+    # Widening retry for overflow rows.  Each round quadruples the
+    # candidate width for the (shrinking) set of unplaced points; at
+    # width == k the scan sees every cell and k·cap ≥ n guarantees one
+    # has room.
+    width = n_cand
+    while width < k and (out < 0).any():
+        width = min(width * 4, k)
+        rows = np.flatnonzero(out < 0)
+        rchunk = _cap_chunk(chunk, max(width, k))
+        for i in range(0, rows.size, rchunk):
+            ri = rows[i : i + rchunk]
+            xi = jnp.asarray(x[ri], jnp.float32)
+            ids = np.asarray(_topc_chunk(xi, cent, width)[0])
+            for r, cands in zip(ri.tolist(), ids.tolist()):
+                for cl in cands:
+                    if counts[cl] < cap:
+                        out[r] = cl
+                        counts[cl] += 1
+                        break
+    assert (out >= 0).all(), "assign_balanced: capacity accounting bug"
     return out
 
 

@@ -29,6 +29,64 @@ def test_kmeans_assign_matches_argmin(rng):
     np.testing.assert_array_equal(a, ref)
 
 
+def _overflow_corpus(rng):
+    """16 cells, 1500 of 1600 points piled onto centroid 0:
+    cap=ceil(100·1.3)=130, first-pass capacity of the 8 nearest cells
+    = 8·130 = 1040 < 1500 — guaranteed overflow of every first-pass
+    candidate."""
+    cent = rng.standard_normal((16, 8)).astype(np.float32) * 10
+    x = np.concatenate([
+        cent[0] + rng.standard_normal((1500, 8)).astype(np.float32) * 0.1,
+        cent[rng.integers(1, 16, 100)]
+        + rng.standard_normal((100, 8)).astype(np.float32) * 0.1,
+    ])
+    cap = int(np.ceil(x.shape[0] / 16 * 1.3))
+    return x, cent, cap
+
+
+def test_assign_balanced_hard_cap_is_exact(rng):
+    """hard=True must hold the cap even when a dense cluster overflows
+    every first-pass candidate: the widening retry guarantees it because
+    k·cap ≥ n always leaves a cell with room.  (The soft nearest-cell
+    fallback produced 8.4× the cap on the 1M bench build, defeating the
+    worst-query window bound in auto_windows.)  Heavy overflow must warn —
+    hard displacement at this rate is a measured recall hazard."""
+    import warnings as w
+    from chamjax.index.kmeans import assign_balanced
+
+    x, cent, cap = _overflow_corpus(rng)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        a = assign_balanced(x, cent, cap=cap, n_cand=8, hard=True)
+    counts = np.bincount(a, minlength=16)
+    assert counts.max() <= cap
+    assert counts.sum() == x.shape[0]
+    assert (a >= 0).all()
+    assert any("binds against natural cluster" in str(r.message) for r in rec)
+
+
+def test_assign_balanced_soft_default_keeps_nearest(rng):
+    """Default (soft) mode: overflow rows stay in their NEAREST cell (the
+    recall-preserving fallback) and a warning says the cap was exceeded."""
+    import warnings as w
+    from chamjax.index.kmeans import assign_balanced
+
+    x, cent, cap = _overflow_corpus(rng)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        a = assign_balanced(x, cent, cap=cap, n_cand=8)
+    assert any("cap" in str(r.message) and "soft" in str(r.message)
+               for r in rec)
+    counts = np.bincount(a, minlength=16)
+    assert counts.sum() == x.shape[0]
+    assert counts.max() > cap          # soft: hot cell exceeds the cap
+    # soft mode never displaces beyond the first-pass candidates: every
+    # point sits in one of its n_cand nearest cells (overflow → cand[0])
+    d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    rank_of_assigned = (d2 < d2[np.arange(x.shape[0]), a][:, None]).sum(1)
+    assert rank_of_assigned.max() < 8
+
+
 def test_pq_reconstruction_beats_random(rng):
     x = rng.standard_normal((4000, 32)).astype(np.float32)
     cb = train_pq(x, m=4, iters=10)
