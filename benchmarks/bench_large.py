@@ -71,6 +71,10 @@ def main() -> None:
     ap.add_argument("--pq-iters", type=int, default=10)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--opq", action="store_true")
+    ap.add_argument("--balance", type=float, default=0.0,
+                    help="> 0: hard-capped balanced assignment at "
+                         "cap = ceil(nb/nlist * BALANCE) (device "
+                         "rebalance rounds; collapses auto_windows)")
     ap.add_argument("--lut-bf16", type=int, default=1,
                     help="0 = f32 LUT kernel (A/B against the packed-bf16 "
                          "production default)")
@@ -135,7 +139,8 @@ def main() -> None:
     note(f"train sample {xt.shape}, queries {xq.shape}")
 
     cfg = IndexConfig(dim=d, nlist=args.nlist, m=args.m, list_pad=128,
-                      balanced=False, opq=args.opq)
+                      balanced=args.balance > 0, balance_hard=True,
+                      balance_factor=args.balance or 1.3, opq=args.opq)
     t0 = time.time()
     # hand the builder a self-consuming lazy sample: a multi-GB (nt, d)
     # training array pinned by this frame through the pack is what tips

@@ -23,6 +23,7 @@ Search-time ranking math stays ``precision=HIGHEST`` throughout
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -96,9 +97,30 @@ def _lloyd_iter(xb: jax.Array, cent: jax.Array, key: jax.Array,
     return new, counts
 
 
+@jax.jit
+def _update_from_assignment(x: jax.Array, a: jax.Array, cent: jax.Array,
+                            key: jax.Array):
+    """Centroid update for a GIVEN assignment (+ empty-cell reseed) —
+    the balanced-Lloyd update step."""
+    k, d = cent.shape
+    sums = jnp.zeros((k, d), jnp.float32).at[a].add(x)
+    counts = jnp.zeros((k,), jnp.float32).at[a].add(1.0)
+    new = jnp.where(counts[:, None] > 0,
+                    sums / jnp.maximum(counts, 1.0)[:, None], cent)
+    empty = counts <= 0
+    heavy = jnp.argsort(-counts)
+    rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
+    donor = heavy[rank % k]
+    scale = jnp.mean(jnp.abs(new[donor]), axis=1, keepdims=True) * 1e-3 + 1e-6
+    jitter = jax.random.normal(key, (k, d), jnp.float32) * scale
+    return jnp.where(empty[:, None], new[donor] + jitter, new), counts
+
+
 def lloyd_device(x: jax.Array, k: int, iters: int = 10, seed: int = 0,
                  block: int = 4096, cand: int = 8, init: str = "auto",
                  init_sample: int = 1 << 17,
+                 balance_cap: int = 0, balance_iters: int = 0,
+                 balance_cand: int = 16,
                  verbose: bool = False) -> jax.Array:
     """Device-resident Lloyd k-means; centroids never visit the host.
 
@@ -107,6 +129,16 @@ def lloyd_device(x: jax.Array, k: int, iters: int = 10, seed: int = 0,
     Faiss default for large nlist — empties are reseeded per iteration), or
     ``"auto"`` (k-means++ below 4096 clusters).  Returns (k, d) f32 on
     device.
+
+    ``balance_cap > 0`` appends ``balance_iters`` *balanced* Lloyd
+    iterations: the assignment step is capacity-constrained
+    (``rebalance_assignment_device`` at ``balance_cap`` points/cell over
+    the top-``balance_cand`` candidates) before the centroid update, so
+    overflow from dense regions pulls neighboring centroids in and heavy
+    cells split at the source (Malinen-Fränti-style balanced k-means).
+    Plain Lloyd on this corpus family leaves a heavy tail (measured 8M/8192:
+    max cell 33k vs mean 1k) that no post-hoc capped assignment can fix —
+    18% of points had every candidate cell full.
     """
     n = x.shape[0]
     assert n >= k, (n, k)
@@ -127,7 +159,160 @@ def lloyd_device(x: jax.Array, k: int, iters: int = 10, seed: int = 0,
         if verbose:
             nz = int(jnp.sum(counts > 0))
             print(f"[lloyd] iter {it}: nonempty {nz}/{k}", flush=True)
+    if balance_cap and balance_iters:
+        for it in range(balance_iters):
+            cells, d2 = _topc_blocked(x, cent, block=block, c=balance_cand)
+            a = rebalance_assignment_device(cells, d2, balance_cap,
+                                            hard=True, warn=False)
+            del cells, d2
+            cent, counts = _update_from_assignment(
+                x, a, cent, jax.random.fold_in(key, 1000 + it))
+            if verbose:
+                mx = int(jnp.max(counts))
+                print(f"[lloyd] balance iter {it}: max cell {mx} "
+                      f"(cap {balance_cap})", flush=True)
     return cent
+
+
+# ---------------------------------------------------------------------------
+# device-native capacity-balanced assignment
+# ---------------------------------------------------------------------------
+
+def _topc_exact_2stage(x: jax.Array, cent: jax.Array, c: int) -> Tuple[
+        jax.Array, jax.Array]:
+    """Top-``c`` nearest cells + exact squared distances per row.
+
+    Same bf16-shortlist + fp32-re-rank scheme as ``_assign_exact_2stage``
+    (shortlist 2c wide so the exact top-c survives bf16 flips); returns
+    ``(cells (b, c) i32, d2 (b, c) f32)`` ordered nearest-first with TRUE
+    ||x-cent||² values — per-cell eviction compares distances of different
+    points to one cell, so the ||x||² term must be present.
+    """
+    cn = jnp.sum(cent * cent, axis=1)
+    scores = 2.0 * jnp.dot(x, cent.T) - cn[None, :]
+    _, top = jax.lax.approx_max_k(scores, 2 * c, recall_target=0.95)
+    cc = cent[top]                                          # (b, 2c, d)
+    d2 = (jnp.sum(cc * cc, axis=2)
+          - 2.0 * jnp.einsum("bd,bcd->bc", x, cc,
+                             precision=jax.lax.Precision.HIGHEST))
+    best_d, best = jax.lax.top_k(-d2, c)
+    cells = jnp.take_along_axis(top, best, axis=1).astype(jnp.int32)
+    xn = jnp.sum(x * x, axis=1, keepdims=True)
+    return cells, xn - best_d
+
+
+@functools.partial(jax.jit, static_argnames=("block", "c"))
+def _topc_blocked(x: jax.Array, cent: jax.Array, block: int, c: int):
+    """Blocked ``_topc_exact_2stage``: (n, d) → ((n, c) i32, (n, c) f32)."""
+    n, d = x.shape
+    n_use = (n // block) * block
+    xr = x[:n_use].reshape(-1, block, d)
+    _, (cells, d2) = jax.lax.scan(
+        lambda _, xb: (None, _topc_exact_2stage(xb, cent, c)), None, xr)
+    cells, d2 = cells.reshape(n_use, c), d2.reshape(n_use, c)
+    if n_use != n:
+        ct, dt = _topc_exact_2stage(x[n_use:], cent, c)
+        cells = jnp.concatenate([cells, ct])
+        d2 = jnp.concatenate([d2, dt])
+    return cells, d2
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("cap",))
+def _rebalance_round(r: jax.Array, cand: jax.Array, cd: jax.Array,
+                     cap: int):
+    """One keep-cap-best eviction round.
+
+    Every point claims its rank-``r`` candidate cell; each cell keeps its
+    ``cap`` nearest claimants (one global (cell, dist) sort), the rest bump
+    ``r`` to their next candidate.  Returns ``(r', moved, overflow)`` —
+    ``moved`` is this round's bump count (0 ⇒ fixpoint), ``overflow`` the
+    claimants still beyond some cell's cap (stragglers when ``moved`` hits
+    0: they exhausted their candidate list).
+    """
+    n, c = cand.shape
+    iota = jnp.arange(n, dtype=jnp.int32)
+    a = jnp.take_along_axis(cand, r[:, None], axis=1)[:, 0]
+    d = jnp.take_along_axis(cd, r[:, None], axis=1)[:, 0]
+    sa, _sd, sidx = jax.lax.sort((a, d, iota), num_keys=2)
+    # position within the cell's sorted run: iota - (run start), run starts
+    # where the sorted cell id changes (cummax of the boundary positions)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), sa[1:] != sa[:-1]])
+    run_start = jax.lax.cummax(jnp.where(boundary, iota, 0))
+    evict_sorted = (iota - run_start) >= cap
+    evict = jnp.zeros((n,), bool).at[sidx].set(evict_sorted)
+    can_move = evict & (r < c - 1)
+    return (r + can_move.astype(r.dtype), jnp.sum(can_move),
+            jnp.sum(evict))
+
+
+def rebalance_assignment_device(
+    cand: jax.Array,          # (n, c) i32 — nearest-first candidate cells
+    cd: jax.Array,            # (n, c) f32 — exact ||x - cent||² per cell
+    cap: int,
+    *,
+    hard: bool = True,
+    max_rounds: int = 32,
+    warn: bool = True,
+    verbose: bool = False,
+) -> jax.Array:
+    """Capacity-balanced assignment from a candidate table, on device.
+
+    The device analogue of ``kmeans.assign_balanced``: the host version's
+    confident-first greedy loop is inherently sequential, so this uses
+    parallel eviction rounds instead — every point claims its best
+    not-yet-refused candidate, overfull cells keep their ``cap`` nearest
+    claimants, losers move on.  Converges when no point moves (each round's
+    bumps strictly grow the rank vector, bounded by ``c``).
+
+    Stragglers (evicted from all ``c`` candidates) stay where they are in
+    ``hard`` mode (the cap can be exceeded by the straggler count — warned)
+    or revert to their nearest cell otherwise (the host soft-fallback
+    semantics).  With cap ≥ ~1.3× mean and nlist ≈ corpus mode count,
+    stragglers measure zero (see RESULTS.md).
+    """
+    n, c = cand.shape
+    r = jnp.zeros((n,), jnp.int32)
+    overflow = 0
+    for rnd in range(max_rounds):
+        r, moved, overflow = _rebalance_round(r, cand, cd, cap)
+        moved, overflow = int(moved), int(overflow)
+        if verbose:
+            print(f"[rebalance] round {rnd}: moved {moved} "
+                  f"overflow {overflow}", flush=True)
+        if moved == 0:
+            break
+    a = jnp.take_along_axis(cand, r[:, None], axis=1)[:, 0]
+    if overflow:
+        if hard and warn:
+            warnings.warn(
+                f"rebalance_assignment_device: {overflow}/{n} points "
+                f"exhausted all {c} candidate cells — the cap ({cap}) "
+                f"binds against natural cluster sizes; those cells exceed "
+                f"the cap and auto_windows' worst-query bound will not "
+                f"fully collapse. Raise balance_factor, nlist, or cand — "
+                f"or train with balanced Lloyd iterations (lloyd_device "
+                f"balance_cap), which removes the heavy cells at the "
+                f"source.", stacklevel=2)
+        # Stragglers go home to their NEAREST cell in both modes: every
+        # candidate is full, so the cap is exceeded wherever they sit —
+        # the nearest cell costs nothing extra and keeps them findable.
+        a = jnp.where(_evicted_mask(r, cand, cd, cap), cand[:, 0], a)
+    return a.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _evicted_mask(r: jax.Array, cand: jax.Array, cd: jax.Array, cap: int):
+    """Recompute the fixpoint's evicted set (soft-fallback selection)."""
+    n, _c = cand.shape
+    iota = jnp.arange(n, dtype=jnp.int32)
+    a = jnp.take_along_axis(cand, r[:, None], axis=1)[:, 0]
+    d = jnp.take_along_axis(cd, r[:, None], axis=1)[:, 0]
+    sa, _sd, sidx = jax.lax.sort((a, d, iota), num_keys=2)
+    boundary = jnp.concatenate([jnp.ones((1,), bool), sa[1:] != sa[:-1]])
+    run_start = jax.lax.cummax(jnp.where(boundary, iota, 0))
+    evict_sorted = (iota - run_start) >= cap
+    return jnp.zeros((n,), bool).at[sidx].set(evict_sorted)
 
 
 # ---------------------------------------------------------------------------
@@ -171,6 +356,30 @@ def _assign_encode_chunk(x: jax.Array, cent: jax.Array, cbooks: jax.Array,
 
     _, (a, codes) = jax.lax.scan(body, None, xr)
     return a.reshape(C), codes.reshape(C, m)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "by_residual"))
+def _encode_assigned_chunk(x: jax.Array, a: jax.Array, cent: jax.Array,
+                           cbooks: jax.Array, block: int, by_residual: bool):
+    """PQ-encode against a FIXED assignment (the balanced two-pass path):
+    x (C, d), a (C,) i32 → codes (C, m) u8, C % block == 0."""
+    C, d = x.shape
+    m, ksub, dsub = cbooks.shape
+    xr = x.reshape(-1, block, d)
+    ar = a.reshape(-1, block)
+    cb_n = jnp.sum(cbooks * cbooks, axis=2)                 # (m, ksub)
+
+    def body(_, inp):
+        x_blk, a_blk = inp
+        v = x_blk - cent[a_blk] if by_residual else x_blk
+        xs = jnp.transpose(v.reshape(block, m, dsub), (1, 0, 2))
+        scores = (2.0 * jnp.einsum(
+            "mnd,mkd->mnk", xs, cbooks,
+            precision=jax.lax.Precision.HIGHEST) - cb_n[:, None, :])
+        return None, jnp.argmax(scores, axis=2).T.astype(jnp.uint8)
+
+    _, codes = jax.lax.scan(body, None, (xr, ar))
+    return codes.reshape(C, m)
 
 
 # ---------------------------------------------------------------------------
@@ -328,8 +537,16 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
         if verbose:
             print(f"[build-dev] lloyd nlist={cfg.nlist} on {xt.shape}",
                   flush=True)
+        # balanced builds finish training with balanced-Lloyd iterations
+        # (sample-scaled cap): heavy cells split at the source, so the
+        # corpus-side rebalance below rarely hits stragglers
+        bal_cap = (int(np.ceil(xt.shape[0] / cfg.nlist
+                               * cfg.balance_factor))
+                   if cfg.balanced else 0)
         cent = lloyd_device(xt, cfg.nlist, iters=kmeans_iters, seed=seed,
-                            block=block, cand=cand, verbose=verbose)
+                            block=block, cand=cand, verbose=verbose,
+                            balance_cap=bal_cap,
+                            balance_iters=3 if bal_cap else 0)
 
         # PQ trains on (residuals of) the training sample — train_pq keeps
         # device arrays on device, pulling (m, 256, dsub) per iteration.
@@ -342,10 +559,58 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
         del xt, train_vecs, a_t      # free the training sample before the
         #                              corpus-sized encode/pack buffers
 
-    # streamed assign + encode; the non-block-aligned tail runs as one
-    # extra small-shape call (one extra compile, zero dropped rows)
     n_use = (n // block) * block
     tail = n - n_use
+
+    if cfg.balanced:
+        # Two-pass balanced build: pass 1 streams the corpus into a
+        # top-``cand`` candidate table (cells + exact d²), the parallel
+        # eviction rounds rebalance it under the cap, pass 2 re-streams to
+        # encode residuals against the FINAL cells.  Costs one extra draw
+        # pass (device-PRNG, cheap) over the single-pass path; the prize
+        # is a hard-capped list table that collapses auto_windows'
+        # worst-query budget to ~nprobe windows (see RESULTS.md).
+        cap_list = int(np.ceil(n / cfg.nlist * cfg.balance_factor))
+        cands, cds = [], []
+        for s in range(0, n_use, chunk):
+            c = min(chunk, n_use - s)
+            x = draw(s, c)
+            cell_c, d2_c = _topc_blocked(x, cent, block=block, c=cand)
+            cands.append(cell_c)
+            cds.append(d2_c)
+            del x
+            if verbose:
+                print(f"[build-dev] candidates {s + c}/{n}", flush=True)
+        if tail:
+            cell_c, d2_c = _topc_blocked(draw(n_use, tail), cent,
+                                         block=tail, c=cand)
+            cands.append(cell_c)
+            cds.append(d2_c)
+        cand_t = jnp.concatenate(cands) if len(cands) > 1 else cands[0]
+        cd_t = jnp.concatenate(cds) if len(cds) > 1 else cds[0]
+        del cands, cds
+        assignment = rebalance_assignment_device(
+            cand_t, cd_t, cap_list, hard=cfg.balance_hard, verbose=verbose)
+        del cand_t, cd_t
+        codes = []
+        for s in range(0, n_use, chunk):
+            c = min(chunk, n_use - s)
+            x = draw(s, c)
+            codes.append(_encode_assigned_chunk(
+                x, assignment[s:s + c], cent, cbooks, block=block,
+                by_residual=cfg.by_residual))
+            del x
+            if verbose:
+                print(f"[build-dev] encoded {s + c}/{n}", flush=True)
+        if tail:
+            codes.append(_encode_assigned_chunk(
+                draw(n_use, tail), assignment[n_use:], cent, cbooks,
+                block=tail, by_residual=cfg.by_residual))
+        codes = jnp.concatenate(codes) if len(codes) > 1 else codes[0]
+        return cent, cbooks, opq_R, assignment, codes
+
+    # streamed assign + encode; the non-block-aligned tail runs as one
+    # extra small-shape call (one extra compile, zero dropped rows)
     assigns, codes = [], []
     for s in range(0, n_use, chunk):
         c = min(chunk, n_use - s)

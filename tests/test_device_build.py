@@ -245,3 +245,93 @@ def test_build_device_preset_quantizers():
     np.testing.assert_array_equal(np.asarray(dev_a.ids),
                                   np.asarray(dev_b.ids))
     np.testing.assert_array_equal(info_a["list_len"], info_b["list_len"])
+
+
+def test_rebalance_device_stability_and_cap(rng):
+    """Parallel eviction rounds (`rebalance_assignment_device`): the cap is
+    exact, every point lands in one of its candidate cells, and the result
+    is STABLE — a point sits at rank r > 0 only if every better-ranked
+    candidate cell is full of strictly nearer claimants (cells only ever
+    trade claimants for nearer ones, so an eviction is never undone)."""
+    from chamjax.index.device_build import rebalance_assignment_device
+
+    n, k, C = 4000, 32, 6
+    cells = np.stack([rng.permutation(k)[:C] for _ in range(n)]).astype(
+        np.int32)
+    d2 = np.sort(rng.random((n, C)).astype(np.float32), axis=1)
+    cap = int(np.ceil(n / k * 1.1))
+    a = np.asarray(rebalance_assignment_device(
+        jnp.asarray(cells), jnp.asarray(d2), cap, hard=True))
+    counts = np.bincount(a, minlength=k)
+    assert counts.max() <= cap and counts.sum() == n
+    rank = np.argmax(cells == a[:, None], axis=1)
+    assert (cells[np.arange(n), rank] == a).all()   # within candidates
+    d_final = d2[np.arange(n), rank]
+    for p in np.flatnonzero(rank > 0):
+        for j in range(rank[p]):
+            cell = cells[p, j]
+            assert counts[cell] == cap
+            # ... of strictly nearer claimants
+            members = np.flatnonzero(a == cell)
+            mrank = np.argmax(cells[members] == cell, axis=1)
+            md = d2[members, mrank]
+            assert (md <= d2[p, j]).all()
+
+
+def test_rebalance_device_straggler_modes(rng):
+    """Overflow beyond every candidate: hard mode warns (the cap cannot
+    hold); stragglers go home to their NEAREST cell in both modes — every
+    candidate is full anyway, and the nearest cell keeps them findable."""
+    import warnings as w
+    from chamjax.index.device_build import rebalance_assignment_device
+
+    # 3 cells, cap 2, 9 points all sharing candidate list [0, 1]: only 4
+    # placements fit the cap, the other 5 are stragglers.
+    n = 9
+    cells = np.tile(np.array([[0, 1]], np.int32), (n, 1))
+    d2 = np.sort(rng.random((n, 2)).astype(np.float32), axis=1)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        a_hard = np.asarray(rebalance_assignment_device(
+            jnp.asarray(cells), jnp.asarray(d2), 2, hard=True))
+    assert any("exhausted" in str(r.message) for r in rec)
+    counts = np.bincount(a_hard, minlength=3)
+    assert counts.sum() == n and counts[2] == 0
+    assert counts[0] == 2 + 5       # cap-kept pair + the 5 stragglers home
+    assert counts[1] == 2           # cell 1 holds the cap exactly
+    # warn=False suppresses the straggler warning (balanced-Lloyd usage)
+    with w.catch_warnings(record=True) as rec2:
+        w.simplefilter("always")
+        a_soft = np.asarray(rebalance_assignment_device(
+            jnp.asarray(cells), jnp.asarray(d2), 2, hard=True, warn=False))
+    assert not any("exhausted" in str(r.message) for r in rec2)
+    np.testing.assert_array_equal(a_soft, a_hard)
+
+
+def test_build_device_balanced_end_to_end(ds):
+    """cfg.balanced + balance_hard through the streamed builder: the packed
+    list table honors the cap (so auto_windows' worst-query bound
+    collapses) at recall parity with the unbalanced build."""
+    cfg_u = IndexConfig(dim=32, nlist=64, m=8, list_pad=64)
+    cfg_b = IndexConfig(dim=32, nlist=64, m=8, list_pad=64, balanced=True,
+                        balance_hard=True, balance_factor=1.6)
+    gt, _ = compute_ground_truth(ds.xb, ds.xq, k=10)
+    recalls, Ws = {}, {}
+    for tag, cfg in (("unbal", cfg_u), ("bal", cfg_b)):
+        dev, info = build_ivfpq_device(
+            _draw(ds.xb), ds.nb, cfg, jnp.asarray(ds.xt),
+            kmeans_iters=6, pq_iters=6, chunk=8192, block=BLOCK)
+        assert int(info["list_len"].sum()) == ds.nb
+        seg = auto_seg(info["list_len"])
+        W = auto_windows(info["list_len"], seg, nprobe=16)
+        d, i = ivfpq_search(dev, jnp.asarray(ds.xq), nprobe=16, k=10,
+                            windows=W, seg=seg, group=2, use_approx=False,
+                            backend="seg", interpret=True)
+        recalls[tag] = recall_at_k(np.asarray(i), gt, 10)
+        Ws[tag] = W
+        if tag == "bal":
+            cap = int(np.ceil(ds.nb / cfg.nlist * cfg.balance_factor))
+            assert int(info["list_len"].max()) <= cap
+    # nlist == n_clusters regime: displacement is rare, recall holds
+    assert recalls["bal"] >= recalls["unbal"] - 0.03, recalls
+    assert Ws["bal"] <= Ws["unbal"], Ws
