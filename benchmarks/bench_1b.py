@@ -97,6 +97,10 @@ def main() -> None:
     ap.add_argument("--coarse-cand", type=int, default=-1,
                     help="SearchConfig.coarse_cand semantics "
                          "(-1 auto, 0 exact full-sort, >0 explicit)")
+    ap.add_argument("--balance", type=float, default=0.0,
+                    help="> 0: balanced-Lloyd global training + hard-capped "
+                         "per-shard rebalance at cap = "
+                         "ceil(shard_rows/nlist * BALANCE)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
@@ -154,7 +158,9 @@ def main() -> None:
     note(f"train sample {xt.shape}, queries {xq.shape}")
 
     # -------- global quantizers: trained ONCE, shared by all shards ------
-    cfg = IndexConfig(dim=d, nlist=args.nlist, m=args.m, list_pad=128)
+    cfg = IndexConfig(dim=d, nlist=args.nlist, m=args.m, list_pad=128,
+                      balanced=args.balance > 0, balance_hard=True,
+                      balance_factor=args.balance or 1.3)
     t0 = time.time()
     opq_R = None
     if args.opq:
@@ -165,12 +171,19 @@ def main() -> None:
         xt = jnp.dot(xt, opq_R, precision=jax.lax.Precision.HIGHEST)
         note(f"OPQ rotation trained on {sample.shape} "
              f"in {time.time() - t0:.1f}s")
+    # --balance: finish global training with balanced-Lloyd iterations
+    # (sample-scaled cap) so the per-shard hard-cap rebalance below rarely
+    # hits stragglers — shards reuse these centroids via quantizers=()
+    bal_cap = (int(np.ceil(xt.shape[0] / cfg.nlist * cfg.balance_factor))
+               if cfg.balanced else 0)
     cent = lloyd_device(xt, cfg.nlist, iters=args.kmeans_iters,
-                        seed=args.seed, block=args.block, cand=8)
+                        seed=args.seed, block=args.block, cand=8,
+                        balance_cap=bal_cap,
+                        balance_iters=8 if bal_cap else 0)
     a_t = _assign_blocked(xt, cent, block=args.block, cand=8)
     cbooks = jnp.asarray(train_pq(xt - cent[a_t], cfg.m, nbits=8,
                                   iters=args.pq_iters, seed=args.seed))
-    del a_t
+    del a_t, xt   # the 128M-row shard rebalance needs the HBM headroom
     note(f"global quantizers trained in {time.time() - t0:.1f}s "
          f"(nlist={cfg.nlist}, m={cfg.m})")
 

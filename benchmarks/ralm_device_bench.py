@@ -40,6 +40,11 @@ def main() -> None:
     ap.add_argument("--streamed", action="store_true",
                     help="build the corpus via the streamed device builder "
                          "(100M-scale; never materializes the corpus)")
+    ap.add_argument("--balance", type=float, default=0.0,
+                    help="> 0: hard-capped balanced assignment at cap = "
+                         "ceil(nb/nlist * BALANCE) in the streamed builder "
+                         "(collapses auto_windows to ~nprobe; see "
+                         "RESULTS.md hard-cap section)")
     args = ap.parse_args()
 
     import jax
@@ -102,7 +107,10 @@ def main() -> None:
 
         dev, info = build_ivfpq_device(
             draw, nb, IndexConfig(dim=d, nlist=args.nlist, m=args.m,
-                                  list_pad=128, balanced=False),
+                                  list_pad=128,
+                                  balanced=args.balance > 0,
+                                  balance_hard=True,
+                                  balance_factor=args.balance or 1.3),
             draw_xt, kmeans_iters=8, pq_iters=8, chunk=8 * GEN,
             verbose=True)
         retriever = DeviceRetriever(

@@ -98,22 +98,88 @@ def _lloyd_iter(xb: jax.Array, cent: jax.Array, key: jax.Array,
 
 
 @jax.jit
-def _update_from_assignment(x: jax.Array, a: jax.Array, cent: jax.Array,
-                            key: jax.Array):
-    """Centroid update for a GIVEN assignment (+ empty-cell reseed) —
-    the balanced-Lloyd update step."""
+def _update_from_assignment(x: jax.Array, a: jax.Array, nat: jax.Array,
+                            cent: jax.Array, key: jax.Array, cap: jax.Array,
+                            split: jax.Array):
+    """Centroid update for a GIVEN assignment — the balanced-Lloyd step.
+
+    The mean update uses the capacity-constrained assignment ``a``
+    (Malinen-Fränti pressure: overflow drags neighboring centroids toward
+    dense regions).  With ``split`` truthy, cells whose NATURAL demand
+    exceeds the cap are additionally *split at the source*: cell j needs
+    ``ceil(nat_count_j/cap) - 1`` extra centroids, and that many of the
+    lightest cells are killed and respawned at the over-demand donors
+    (jittered by the global intra-cell RMS so the twins separate real
+    sub-structure at the next assignment).  Demand must come from the
+    UNCONSTRAINED nearest-cell counts ``nat`` — constrained counts are
+    ≤ cap by construction, so they can never signal where density beats
+    capacity.  Capacity pressure alone migrates centroids far too slowly
+    on smooth skewed densities: measured at 100M/65536 (spectrum_tau=8),
+    3 pressure-only iterations left max cell at 6x cap and 18% of the
+    corpus as rebalance stragglers.  Empty cells beyond the split budget
+    fall back to the legacy heavy-donor reseed.
+    """
     k, d = cent.shape
     sums = jnp.zeros((k, d), jnp.float32).at[a].add(x)
     counts = jnp.zeros((k,), jnp.float32).at[a].add(1.0)
+    nat_counts = jnp.zeros((k,), jnp.float32).at[nat].add(1.0)
     new = jnp.where(counts[:, None] > 0,
                     sums / jnp.maximum(counts, 1.0)[:, None], cent)
     empty = counts <= 0
-    heavy = jnp.argsort(-counts)
-    rank = jnp.cumsum(empty.astype(jnp.int32)) - 1
-    donor = heavy[rank % k]
-    scale = jnp.mean(jnp.abs(new[donor]), axis=1, keepdims=True) * 1e-3 + 1e-6
-    jitter = jax.random.normal(key, (k, d), jnp.float32) * scale
-    return jnp.where(empty[:, None], new[donor] + jitter, new), counts
+    cap = jnp.maximum(cap, 1.0)
+    # Split only what the eviction rounds genuinely cannot absorb
+    # (deadband at 1.75x cap): at small counts/cell, Poisson noise alone
+    # puts a few % of cells slightly over cap — chasing those with splits
+    # churns more mass than it relieves (measured divergent at 65536
+    # cells x 30 pts/cell: max cell 253 -> 3027 in two iterations).
+    needed = jnp.where(nat_counts > cap * 1.75,
+                       jnp.ceil(nat_counts / cap) - 1.0, 0.0) * split
+    # per-iteration seed budget keeps the churn bounded
+    n_seeds = jnp.minimum(jnp.sum(needed), jnp.float32(max(k // 8, 1)))
+    # victims: lightest NATURAL demand first, but only cells light enough
+    # (< cap/2) that their reflowing mass cannot create a new over-cap cell
+    victim_key = jnp.where(nat_counts < cap * 0.5, nat_counts, jnp.inf)
+    order = jnp.argsort(victim_key)
+    inv = jnp.zeros((k,), jnp.int32).at[order].set(
+        jnp.arange(k, dtype=jnp.int32))               # eligibility rank
+    n_seeds = jnp.minimum(n_seeds, jnp.sum(nat_counts < cap * 0.5))
+    rank_f = inv.astype(jnp.float32)
+    is_victim = (rank_f < n_seeds) | empty
+    # donor per victim rank: over-demand cells enumerated with multiplicity
+    # ``needed`` (searchsorted over the demand-sorted cumsum)
+    heavy = jnp.argsort(-nat_counts)
+    cum = jnp.cumsum(needed[heavy])
+    pos = jnp.minimum(jnp.searchsorted(cum, rank_f, side="right"), k - 1)
+    seed_donor = heavy[pos]
+    erank = jnp.cumsum(empty.astype(jnp.int32)) - 1   # legacy empty reseed
+    legacy_donor = heavy[erank % k]
+    donor = jnp.where(rank_f < n_seeds, seed_donor, legacy_donor)
+    # Respawn each twin AT A REAL MEMBER POINT of its donor cell, spread
+    # across the cell's distance-sorted run.  A jittered copy of the donor
+    # centroid does NOT work in high d: a random jitter direction is
+    # near-orthogonal to every (x - centroid), so the twin is farther from
+    # every point than the donor and captures nothing (measured at d=128:
+    # 8149 of 8553 jitter-twins landed empty and were recycled as victims
+    # forever).  A member point captures at least its own neighborhood.
+    n = x.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    dist2 = jnp.sum((x - cent[nat]) ** 2, axis=1)
+    _sa, _sd, sidx = jax.lax.sort(
+        (nat, dist2, iota), num_keys=2)               # members grouped/sorted
+    run_start = jnp.full((k,), n - 1, jnp.int32).at[_sa].min(iota)
+    c_donor = nat_counts[donor]
+    # seed s-within-donor → member at quantile (s+1)/(needed+1); legacy
+    # empties cycle members by empty-rank
+    cum_prev = jnp.where(pos > 0, cum[jnp.maximum(pos - 1, 0)], 0.0)
+    s_within = jnp.where(rank_f < n_seeds, rank_f - cum_prev,
+                         (erank % k).astype(jnp.float32))
+    denom = jnp.where(rank_f < n_seeds, needed[donor] + 1.0,
+                      jnp.maximum(c_donor, 1.0))
+    off = jnp.floor((s_within + 1.0) * c_donor / jnp.maximum(denom, 1.0))
+    off = jnp.clip(off, 0.0, jnp.maximum(c_donor - 1.0, 0.0)).astype(
+        jnp.int32)
+    seed_point = x[sidx[jnp.clip(run_start[donor] + off, 0, n - 1)]]
+    return jnp.where(is_victim[:, None], seed_point, new), counts
 
 
 def lloyd_device(x: jax.Array, k: int, iters: int = 10, seed: int = 0,
@@ -164,9 +230,14 @@ def lloyd_device(x: jax.Array, k: int, iters: int = 10, seed: int = 0,
             cells, d2 = _topc_blocked(x, cent, block=block, c=balance_cand)
             a = rebalance_assignment_device(cells, d2, balance_cap,
                                             hard=True, warn=False)
+            nat = cells[:, 0]
             del cells, d2
+            # last iteration: no split-reseed — end on an assignment-
+            # validated centroid state, not freshly respawned twins
+            split = jnp.float32(it < balance_iters - 1)
             cent, counts = _update_from_assignment(
-                x, a, cent, jax.random.fold_in(key, 1000 + it))
+                x, a, nat, cent, jax.random.fold_in(key, 1000 + it),
+                jnp.float32(balance_cap), split)
             if verbose:
                 mx = int(jnp.max(counts))
                 print(f"[lloyd] balance iter {it}: max cell {mx} "
@@ -546,7 +617,7 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
         cent = lloyd_device(xt, cfg.nlist, iters=kmeans_iters, seed=seed,
                             block=block, cand=cand, verbose=verbose,
                             balance_cap=bal_cap,
-                            balance_iters=3 if bal_cap else 0)
+                            balance_iters=8 if bal_cap else 0)
 
         # PQ trains on (residuals of) the training sample — train_pq keeps
         # device arrays on device, pulling (m, 256, dsub) per iteration.

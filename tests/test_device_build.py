@@ -5,6 +5,7 @@ brute-force ground truth — the same verification ladder the reference uses
 for its offline pipeline (recall vs GT as the system oracle, SURVEY.md §4).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -335,3 +336,68 @@ def test_build_device_balanced_end_to_end(ds):
     # nlist == n_clusters regime: displacement is rare, recall holds
     assert recalls["bal"] >= recalls["unbal"] - 0.03, recalls
     assert Ws["bal"] <= Ws["unbal"], Ws
+
+
+def test_lloyd_balanced_split_reseed_converges(rng):
+    """Balanced-Lloyd with split-heavy reseeding on a SMOOTH skewed density
+    (half the mass in a tight blob — the regime where capacity pressure
+    alone was measured to stall at 6x cap): max cell must converge to ~cap
+    within the builder's iteration budget, and a follow-up hard rebalance
+    must place (nearly) everything within candidate cells."""
+    from chamjax.index.device_build import (
+        _topc_blocked, rebalance_assignment_device,
+    )
+
+    n, k, d = 16384, 64, 16
+    dense = rng.standard_normal((n // 2, d)).astype(np.float32) * 0.3
+    sparse = rng.standard_normal((n // 2, d)).astype(np.float32) * 4.0
+    x = jnp.asarray(np.concatenate([dense, sparse]))
+    cap = int(np.ceil(n / k * 1.3))
+    cent = lloyd_device(x, k, iters=5, seed=0, block=BLOCK,
+                        balance_cap=cap, balance_iters=8)
+    cells, d2 = _topc_blocked(x, cent, block=BLOCK, c=8)
+    a = np.asarray(rebalance_assignment_device(
+        jnp.asarray(cells), jnp.asarray(d2), cap, hard=True, warn=False))
+    counts = np.bincount(a, minlength=k)
+    assert counts.sum() == n
+    # marginal overflow from the final mean-update is allowed; the stall
+    # mode this guards against left max cell at several-x cap
+    assert counts.max() <= int(cap * 1.15), (counts.max(), cap)
+
+
+def test_update_split_reseed_places_twins_on_member_points(rng):
+    """Split-reseed invariants of `_update_from_assignment`: victims (the
+    lightest-demand cells) are respawned AT REAL MEMBER POINTS of over-
+    demand donor cells (jitter-twins are provably dead in high d — a random
+    jitter direction is near-orthogonal to every (x - centroid)), survivors
+    get the plain constrained-mean update, and cells inside the deadband
+    (< 1.75x cap) are never split."""
+    from chamjax.index.device_build import _update_from_assignment
+
+    k, d, cap = 32, 8, 10
+    # cell 0: 40 points (4x cap, needs 3 splits ≤ the k//8 = 4 seed
+    # budget); cells 1..27: 9 points each (under cap); cells 28..31:
+    # 1 point each (the victims)
+    sizes = [40] + [9] * 27 + [1] * 4
+    cent = rng.standard_normal((k, d)).astype(np.float32) * 10
+    xs, nat = [], []
+    for j, s in enumerate(sizes):
+        xs.append(cent[j] + rng.standard_normal((s, d)).astype(np.float32))
+        nat += [j] * s
+    x = jnp.asarray(np.concatenate(xs))
+    nat = jnp.asarray(np.array(nat, np.int32))
+    new, _ = _update_from_assignment(
+        x, nat, nat, jnp.asarray(cent), jax.random.PRNGKey(0),
+        jnp.float32(cap), jnp.float32(1.0))
+    new = np.asarray(new)
+    x_np = np.asarray(x)
+    members0 = x_np[:40]
+    for j in range(28, 31):
+        # victim respawned exactly at a member point of cell 0
+        dmin = np.min(np.linalg.norm(members0 - new[j], axis=1))
+        assert dmin < 1e-5, (j, dmin)
+    # distinct seeds: the three respawns are three different member points
+    seeds = new[28:31]
+    assert len({tuple(np.round(s, 4)) for s in seeds}) == 3
+    # survivors under cap: plain mean update (cell 1 keeps its own mean)
+    np.testing.assert_allclose(new[1], x_np[40:49].mean(axis=0), rtol=1e-5)
