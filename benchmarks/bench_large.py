@@ -75,6 +75,8 @@ def main() -> None:
                     help="> 0: hard-capped balanced assignment at "
                          "cap = ceil(nb/nlist * BALANCE) (device "
                          "rebalance rounds; collapses auto_windows)")
+    ap.add_argument("--balance-iters", type=int, default=8)
+    ap.add_argument("--balance-deadband", type=float, default=1.75)
     ap.add_argument("--lut-bf16", type=int, default=1,
                     help="0 = f32 LUT kernel (A/B against the packed-bf16 "
                          "production default)")
@@ -140,7 +142,9 @@ def main() -> None:
 
     cfg = IndexConfig(dim=d, nlist=args.nlist, m=args.m, list_pad=128,
                       balanced=args.balance > 0, balance_hard=True,
-                      balance_factor=args.balance or 1.3, opq=args.opq)
+                      balance_factor=args.balance or 1.3,
+                      balance_train_iters=args.balance_iters,
+                      balance_deadband=args.balance_deadband, opq=args.opq)
     t0 = time.time()
     # hand the builder a self-consuming lazy sample: a multi-GB (nt, d)
     # training array pinned by this frame through the pack is what tips

@@ -52,6 +52,16 @@ class IndexConfig:
     balanced: bool = False
     balance_factor: float = 1.3
     balance_hard: bool = False
+    # Balanced-Lloyd training knobs (device streamed builder only): number
+    # of capacity-constrained + split-reseed iterations appended after
+    # plain Lloyd, and the split deadband (only cells with natural demand
+    # > deadband * cap are split — chasing noise-level overflow diverges,
+    # see device_build._update_from_assignment).
+    balance_train_iters: int = 8
+    balance_deadband: float = 1.75
+    # 0 = auto: split the corpus rebalance into contiguous parts (each under
+    # cap/parts) when the candidate table would exceed ~7 GB of HBM.
+    balance_parts: int = 0
     # Inverted multi-index (the reference's ``IMI2xB,...`` training sweeps,
     # ``Faiss_experiments/train_cpu.py``): the coarse quantizer is the
     # cartesian product of two 2^imi-way sub-quantizers over the two halves

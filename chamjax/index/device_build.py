@@ -100,7 +100,7 @@ def _lloyd_iter(xb: jax.Array, cent: jax.Array, key: jax.Array,
 @jax.jit
 def _update_from_assignment(x: jax.Array, a: jax.Array, nat: jax.Array,
                             cent: jax.Array, key: jax.Array, cap: jax.Array,
-                            split: jax.Array):
+                            split: jax.Array, deadband: jax.Array):
     """Centroid update for a GIVEN assignment — the balanced-Lloyd step.
 
     The mean update uses the capacity-constrained assignment ``a``
@@ -132,7 +132,7 @@ def _update_from_assignment(x: jax.Array, a: jax.Array, nat: jax.Array,
     # puts a few % of cells slightly over cap — chasing those with splits
     # churns more mass than it relieves (measured divergent at 65536
     # cells x 30 pts/cell: max cell 253 -> 3027 in two iterations).
-    needed = jnp.where(nat_counts > cap * 1.75,
+    needed = jnp.where(nat_counts > cap * deadband,
                        jnp.ceil(nat_counts / cap) - 1.0, 0.0) * split
     # per-iteration seed budget keeps the churn bounded
     n_seeds = jnp.minimum(jnp.sum(needed), jnp.float32(max(k // 8, 1)))
@@ -186,7 +186,7 @@ def lloyd_device(x: jax.Array, k: int, iters: int = 10, seed: int = 0,
                  block: int = 4096, cand: int = 8, init: str = "auto",
                  init_sample: int = 1 << 17,
                  balance_cap: int = 0, balance_iters: int = 0,
-                 balance_cand: int = 16,
+                 balance_cand: int = 16, balance_deadband: float = 1.75,
                  verbose: bool = False) -> jax.Array:
     """Device-resident Lloyd k-means; centroids never visit the host.
 
@@ -237,7 +237,8 @@ def lloyd_device(x: jax.Array, k: int, iters: int = 10, seed: int = 0,
             split = jnp.float32(it < balance_iters - 1)
             cent, counts = _update_from_assignment(
                 x, a, nat, cent, jax.random.fold_in(key, 1000 + it),
-                jnp.float32(balance_cap), split)
+                jnp.float32(balance_cap), split,
+                jnp.float32(balance_deadband))
             if verbose:
                 mx = int(jnp.max(counts))
                 print(f"[lloyd] balance iter {it}: max cell {mx} "
@@ -326,6 +327,7 @@ def rebalance_assignment_device(
     max_rounds: int = 32,
     warn: bool = True,
     verbose: bool = False,
+    return_stats: bool = False,
 ) -> jax.Array:
     """Capacity-balanced assignment from a candidate table, on device.
 
@@ -369,7 +371,8 @@ def rebalance_assignment_device(
         # candidate is full, so the cap is exceeded wherever they sit —
         # the nearest cell costs nothing extra and keeps them findable.
         a = jnp.where(_evicted_mask(r, cand, cd, cap), cand[:, 0], a)
-    return a.astype(jnp.int32)
+    a = a.astype(jnp.int32)
+    return (a, overflow) if return_stats else a
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -617,7 +620,9 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
         cent = lloyd_device(xt, cfg.nlist, iters=kmeans_iters, seed=seed,
                             block=block, cand=cand, verbose=verbose,
                             balance_cap=bal_cap,
-                            balance_iters=8 if bal_cap else 0)
+                            balance_iters=(cfg.balance_train_iters
+                                           if bal_cap else 0),
+                            balance_deadband=cfg.balance_deadband)
 
         # PQ trains on (residuals of) the training sample — train_pq keeps
         # device arrays on device, pulling (m, 256, dsub) per iteration.
@@ -642,27 +647,46 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
         # is a hard-capped list table that collapses auto_windows'
         # worst-query budget to ~nprobe windows (see RESULTS.md).
         cap_list = int(np.ceil(n / cfg.nlist * cfg.balance_factor))
-        cands, cds = [], []
-        for s in range(0, n_use, chunk):
-            c = min(chunk, n_use - s)
-            x = draw(s, c)
-            cell_c, d2_c = _topc_blocked(x, cent, block=block, c=cand)
-            cands.append(cell_c)
-            cds.append(d2_c)
-            del x
-            if verbose:
-                print(f"[build-dev] candidates {s + c}/{n}", flush=True)
+        # Peak-HBM bound: the (n, cand) i32+f32 candidate table plus the
+        # eviction sort transients OOM a 16 GB chip past ~110M rows.  Split
+        # the corpus into contiguous part ranges, each rebalanced under
+        # cap/parts — draws are iid row streams, so every part is a random
+        # sample and the per-part cap loses only √parts cell-count noise
+        # (measured OOM: 134M-row 1B shard, table 8.6 GB + sorts).
+        parts = cfg.balance_parts or max(1, -(-(n * cand * 8) // (7 << 30)))
+        cap_part = max(cap_list // parts, 1)
+        ranges = [(s, min(chunk, n_use - s)) for s in range(0, n_use, chunk)]
         if tail:
-            cell_c, d2_c = _topc_blocked(draw(n_use, tail), cent,
-                                         block=tail, c=cand)
-            cands.append(cell_c)
-            cds.append(d2_c)
-        cand_t = jnp.concatenate(cands) if len(cands) > 1 else cands[0]
-        cd_t = jnp.concatenate(cds) if len(cds) > 1 else cds[0]
-        del cands, cds
-        assignment = rebalance_assignment_device(
-            cand_t, cd_t, cap_list, hard=cfg.balance_hard, verbose=verbose)
-        del cand_t, cd_t
+            ranges.append((n_use, tail))
+        groups = [g for g in np.array_split(np.arange(len(ranges)), parts)
+                  if len(g)]
+        assignment, n_stragglers = [], 0
+        # the (block, nlist) stage-1 scores are the other transient hog:
+        # bound them to ~1 GB (at nlist=65536 this keeps the full block)
+        blk_t = min(block, max(256, (1 << 30) // (4 * cfg.nlist)))
+        for g in groups:
+            cands, cds = [], []
+            for gi in g:
+                s, c = ranges[gi]
+                x = draw(s, c)
+                cell_c, d2_c = _topc_blocked(
+                    x, cent, block=blk_t if c % blk_t == 0 else c, c=cand)
+                cands.append(cell_c)
+                cds.append(d2_c)
+                del x
+                if verbose:
+                    print(f"[build-dev] candidates {s + c}/{n}", flush=True)
+            cand_t = jnp.concatenate(cands) if len(cands) > 1 else cands[0]
+            cd_t = jnp.concatenate(cds) if len(cds) > 1 else cds[0]
+            del cands, cds
+            a_part, strag = rebalance_assignment_device(
+                cand_t, cd_t, cap_part, hard=cfg.balance_hard,
+                verbose=verbose, return_stats=True)
+            del cand_t, cd_t
+            assignment.append(a_part)
+            n_stragglers += strag
+        assignment = (jnp.concatenate(assignment) if len(assignment) > 1
+                      else assignment[0])
         codes = []
         for s in range(0, n_use, chunk):
             c = min(chunk, n_use - s)
@@ -678,7 +702,8 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
                 draw(n_use, tail), assignment[n_use:], cent, cbooks,
                 block=tail, by_residual=cfg.by_residual))
         codes = jnp.concatenate(codes) if len(codes) > 1 else codes[0]
-        return cent, cbooks, opq_R, assignment, codes
+        return cent, cbooks, opq_R, assignment, codes, \
+            {"stragglers": n_stragglers, "cap": cap_list}
 
     # streamed assign + encode; the non-block-aligned tail runs as one
     # extra small-shape call (one extra compile, zero dropped rows)
@@ -702,7 +727,7 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
         codes.append(code_c)
     assignment = jnp.concatenate(assigns) if len(assigns) > 1 else assigns[0]
     codes = jnp.concatenate(codes) if len(codes) > 1 else codes[0]
-    return cent, cbooks, opq_R, assignment, codes
+    return cent, cbooks, opq_R, assignment, codes, {}
 
 
 def build_ivfpq_device(
@@ -744,7 +769,7 @@ def build_ivfpq_device(
 
     if tail_pad is None:
         tail_pad = 8192
-    cent, cbooks, opq_R, assignment, codes = _train_encode_stream(
+    cent, cbooks, opq_R, assignment, codes, binfo = _train_encode_stream(
         draw, n, cfg, xt, kmeans_iters=kmeans_iters, pq_iters=pq_iters,
         seed=seed, chunk=chunk, block=block, cand=cand, verbose=verbose,
         quantizers=quantizers)
@@ -776,6 +801,7 @@ def build_ivfpq_device(
         "list_start": np.asarray(list_start),
         "ntotal": n_use,
         "n_pad": cap,
+        **binfo,
     }
     return dev, info
 
@@ -869,7 +895,7 @@ def build_ivfpq_device_sharded(
 
     assert not cfg.opq, "sharded streamed build: OPQ not plumbed through " \
                         "sharded_search; rotate queries externally"
-    cent, cbooks, _opq_R, assignment, codes = _train_encode_stream(
+    cent, cbooks, _opq_R, assignment, codes, binfo = _train_encode_stream(
         draw, n, cfg, xt, kmeans_iters=kmeans_iters, pq_iters=pq_iters,
         seed=seed, chunk=chunk, block=block, cand=cand, verbose=verbose)
 

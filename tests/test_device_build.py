@@ -332,7 +332,8 @@ def test_build_device_balanced_end_to_end(ds):
         Ws[tag] = W
         if tag == "bal":
             cap = int(np.ceil(ds.nb / cfg.nlist * cfg.balance_factor))
-            assert int(info["list_len"].max()) <= cap
+            # hard mode may exceed the cap only by straggler fallback
+            assert int(info["list_len"].max()) <= cap + info["stragglers"]
     # nlist == n_clusters regime: displacement is rare, recall holds
     assert recalls["bal"] >= recalls["unbal"] - 0.03, recalls
     assert Ws["bal"] <= Ws["unbal"], Ws
@@ -388,7 +389,7 @@ def test_update_split_reseed_places_twins_on_member_points(rng):
     nat = jnp.asarray(np.array(nat, np.int32))
     new, _ = _update_from_assignment(
         x, nat, nat, jnp.asarray(cent), jax.random.PRNGKey(0),
-        jnp.float32(cap), jnp.float32(1.0))
+        jnp.float32(cap), jnp.float32(1.0), jnp.float32(1.75))
     new = np.asarray(new)
     x_np = np.asarray(x)
     members0 = x_np[:40]
@@ -401,3 +402,32 @@ def test_update_split_reseed_places_twins_on_member_points(rng):
     assert len({tuple(np.round(s, 4)) for s in seeds}) == 3
     # survivors under cap: plain mean update (cell 1 keeps its own mean)
     np.testing.assert_allclose(new[1], x_np[40:49].mean(axis=0), rtol=1e-5)
+
+
+def test_build_device_balanced_parts_split(ds):
+    """`balance_parts=2` (the peak-HBM part-split used by 1B shards): each
+    contiguous part is rebalanced under cap/2, so the combined table still
+    honors the full cap, nothing is dropped, and recall stays at parity
+    with the single-part build."""
+    cfg1 = IndexConfig(dim=32, nlist=64, m=8, list_pad=64, balanced=True,
+                       balance_hard=True, balance_factor=1.6)
+    cfg2 = IndexConfig(dim=32, nlist=64, m=8, list_pad=64, balanced=True,
+                       balance_hard=True, balance_factor=1.6,
+                       balance_parts=2)
+    gt, _ = compute_ground_truth(ds.xb, ds.xq, k=10)
+    recalls = {}
+    for tag, cfg in (("p1", cfg1), ("p2", cfg2)):
+        dev, info = build_ivfpq_device(
+            _draw(ds.xb), ds.nb, cfg, jnp.asarray(ds.xt),
+            kmeans_iters=6, pq_iters=6, chunk=8192, block=BLOCK)
+        assert int(info["list_len"].sum()) == ds.nb
+        cap = int(np.ceil(ds.nb / cfg.nlist * cfg.balance_factor))
+        # hard mode may exceed the cap only by straggler fallback
+        assert int(info["list_len"].max()) <= cap + info["stragglers"]
+        seg = auto_seg(info["list_len"])
+        W = auto_windows(info["list_len"], seg, nprobe=16)
+        d, i = ivfpq_search(dev, jnp.asarray(ds.xq), nprobe=16, k=10,
+                            windows=W, seg=seg, group=2, use_approx=False,
+                            backend="seg", interpret=True)
+        recalls[tag] = recall_at_k(np.asarray(i), gt, 10)
+    assert recalls["p2"] >= recalls["p1"] - 0.03, recalls
