@@ -165,7 +165,9 @@ def main() -> None:
     build_s = time.time() - t0
     lens = info["list_len"]
     note(f"build done in {build_s:.1f}s; list_len p50/p90/p99/max = "
-         f"{np.percentile(lens, [50, 90, 99, 100]).astype(int).tolist()}")
+         f"{np.percentile(lens, [50, 90, 99, 100]).astype(int).tolist()}"
+         + (f"; stragglers {info['stragglers']} (cap {info['cap']})"
+            if "stragglers" in info else ""))
 
     t0 = time.time()
     gt, _ = compute_ground_truth_streamed(

@@ -229,7 +229,7 @@ def lloyd_device(x: jax.Array, k: int, iters: int = 10, seed: int = 0,
         for it in range(balance_iters):
             cells, d2 = _topc_blocked(x, cent, block=block, c=balance_cand)
             a = rebalance_assignment_device(cells, d2, balance_cap,
-                                            hard=True, warn=False)
+                                            nlist=k, hard=True, warn=False)
             nat = cells[:, 0]
             del cells, d2
             # last iteration: no split-reseed — end on an assignment-
@@ -289,9 +289,9 @@ def _topc_blocked(x: jax.Array, cent: jax.Array, block: int, c: int):
     return cells, d2
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("cap",))
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _rebalance_round(r: jax.Array, cand: jax.Array, cd: jax.Array,
-                     cap: int):
+                     cap: jax.Array):
     """One keep-cap-best eviction round.
 
     Every point claims its rank-``r`` candidate cell; each cell keeps its
@@ -311,7 +311,7 @@ def _rebalance_round(r: jax.Array, cand: jax.Array, cd: jax.Array,
     boundary = jnp.concatenate(
         [jnp.ones((1,), bool), sa[1:] != sa[:-1]])
     run_start = jax.lax.cummax(jnp.where(boundary, iota, 0))
-    evict_sorted = (iota - run_start) >= cap
+    evict_sorted = (iota - run_start) >= cap[sa]
     evict = jnp.zeros((n,), bool).at[sidx].set(evict_sorted)
     can_move = evict & (r < c - 1)
     return (r + can_move.astype(r.dtype), jnp.sum(can_move),
@@ -321,8 +321,9 @@ def _rebalance_round(r: jax.Array, cand: jax.Array, cd: jax.Array,
 def rebalance_assignment_device(
     cand: jax.Array,          # (n, c) i32 — nearest-first candidate cells
     cd: jax.Array,            # (n, c) f32 — exact ||x - cent||² per cell
-    cap: int,
+    cap,                      # int scalar or (nlist,) per-cell capacities
     *,
+    nlist: Optional[int] = None,
     hard: bool = True,
     max_rounds: int = 32,
     warn: bool = True,
@@ -338,6 +339,11 @@ def rebalance_assignment_device(
     claimants, losers move on.  Converges when no point moves (each round's
     bumps strictly grow the rank vector, bounded by ``c``).
 
+    ``cap`` may be per-cell (a (nlist,) int array) — the part-split corpus
+    path hands each part the cells' REMAINING capacity, which wastes none
+    of the budget a scalar cap/parts would strand.  A scalar cap needs
+    ``nlist`` to build the array (falls back to max(cand)+1).
+
     Stragglers (evicted from all ``c`` candidates) stay where they are in
     ``hard`` mode (the cap can be exceeded by the straggler count — warned)
     or revert to their nearest cell otherwise (the host soft-fallback
@@ -345,6 +351,14 @@ def rebalance_assignment_device(
     stragglers measure zero (see RESULTS.md).
     """
     n, c = cand.shape
+    cap_desc = "per-cell"
+    if np.ndim(cap) == 0:
+        cap_desc = str(int(cap))
+        if nlist is None:
+            nlist = int(jnp.max(cand)) + 1
+        cap = jnp.full((nlist,), int(cap), jnp.int32)
+    else:
+        cap = jnp.asarray(cap, jnp.int32)
     r = jnp.zeros((n,), jnp.int32)
     overflow = 0
     for rnd in range(max_rounds):
@@ -360,7 +374,7 @@ def rebalance_assignment_device(
         if hard and warn:
             warnings.warn(
                 f"rebalance_assignment_device: {overflow}/{n} points "
-                f"exhausted all {c} candidate cells — the cap ({cap}) "
+                f"exhausted all {c} candidate cells — the cap ({cap_desc}) "
                 f"binds against natural cluster sizes; those cells exceed "
                 f"the cap and auto_windows' worst-query bound will not "
                 f"fully collapse. Raise balance_factor, nlist, or cand — "
@@ -375,8 +389,9 @@ def rebalance_assignment_device(
     return (a, overflow) if return_stats else a
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def _evicted_mask(r: jax.Array, cand: jax.Array, cd: jax.Array, cap: int):
+@jax.jit
+def _evicted_mask(r: jax.Array, cand: jax.Array, cd: jax.Array,
+                  cap: jax.Array):
     """Recompute the fixpoint's evicted set (soft-fallback selection)."""
     n, _c = cand.shape
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -385,7 +400,7 @@ def _evicted_mask(r: jax.Array, cand: jax.Array, cd: jax.Array, cap: int):
     sa, _sd, sidx = jax.lax.sort((a, d, iota), num_keys=2)
     boundary = jnp.concatenate([jnp.ones((1,), bool), sa[1:] != sa[:-1]])
     run_start = jax.lax.cummax(jnp.where(boundary, iota, 0))
-    evict_sorted = (iota - run_start) >= cap
+    evict_sorted = (iota - run_start) >= cap[sa]
     return jnp.zeros((n,), bool).at[sidx].set(evict_sorted)
 
 
@@ -649,12 +664,11 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
         cap_list = int(np.ceil(n / cfg.nlist * cfg.balance_factor))
         # Peak-HBM bound: the (n, cand) i32+f32 candidate table plus the
         # eviction sort transients OOM a 16 GB chip past ~110M rows.  Split
-        # the corpus into contiguous part ranges, each rebalanced under
-        # cap/parts — draws are iid row streams, so every part is a random
-        # sample and the per-part cap loses only √parts cell-count noise
+        # the corpus into contiguous part ranges, each rebalanced under the
+        # cells' REMAINING capacity (cumulative proportional budget) —
+        # draws are iid row streams, so every part is a random sample
         # (measured OOM: 134M-row 1B shard, table 8.6 GB + sorts).
         parts = cfg.balance_parts or max(1, -(-(n * cand * 8) // (7 << 30)))
-        cap_part = max(cap_list // parts, 1)
         ranges = [(s, min(chunk, n_use - s)) for s in range(0, n_use, chunk)]
         if tail:
             ranges.append((n_use, tail))
@@ -664,6 +678,13 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
         # the (block, nlist) stage-1 scores are the other transient hog:
         # bound them to ~1 GB (at nlist=65536 this keeps the full block)
         blk_t = min(block, max(256, (1 << 30) // (4 * cfg.nlist)))
+        # per-cell REMAINING capacity: part i is budgeted the cumulative
+        # proportional cap minus what earlier parts used, so no cell
+        # strands budget the way a scalar cap/parts would (a part only
+        # sees ~n/parts rows, but its dense cells can still fill up to the
+        # whole remaining cap)
+        used = jnp.zeros((cfg.nlist,), jnp.int32)
+        rows_done = 0
         for g in groups:
             cands, cds = [], []
             for gi in g:
@@ -679,12 +700,18 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
             cand_t = jnp.concatenate(cands) if len(cands) > 1 else cands[0]
             cd_t = jnp.concatenate(cds) if len(cds) > 1 else cds[0]
             del cands, cds
+            rows_done += int(cand_t.shape[0])
+            budget = int(np.ceil(cap_list * rows_done / n))
+            cap_arr = jnp.maximum(jnp.minimum(budget, cap_list) - used, 0)
             a_part, strag = rebalance_assignment_device(
-                cand_t, cd_t, cap_part, hard=cfg.balance_hard,
+                cand_t, cd_t, cap_arr, hard=cfg.balance_hard,
                 verbose=verbose, return_stats=True)
             del cand_t, cd_t
             assignment.append(a_part)
             n_stragglers += strag
+            if len(groups) > 1:
+                used = used + jnp.bincount(
+                    a_part, length=cfg.nlist).astype(jnp.int32)
         assignment = (jnp.concatenate(assignment) if len(assignment) > 1
                       else assignment[0])
         codes = []

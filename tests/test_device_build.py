@@ -431,3 +431,23 @@ def test_build_device_balanced_parts_split(ds):
                             backend="seg", interpret=True)
         recalls[tag] = recall_at_k(np.asarray(i), gt, 10)
     assert recalls["p2"] >= recalls["p1"] - 0.03, recalls
+
+
+def test_rebalance_device_per_cell_caps(rng):
+    """Per-cell capacity arrays (the remaining-capacity part-split path):
+    a zero-cap cell takes nothing (its would-be members flow to their next
+    candidates), cells keep at most their own cap, nothing is dropped."""
+    from chamjax.index.device_build import rebalance_assignment_device
+
+    n, k, C = 600, 8, 4
+    cells = np.stack([rng.permutation(k)[:C] for _ in range(n)]).astype(
+        np.int32)
+    d2 = np.sort(rng.random((n, C)).astype(np.float32), axis=1)
+    caps = np.array([0, 40, 200, 200, 200, 200, 200, 200], np.int32)
+    a = np.asarray(rebalance_assignment_device(
+        jnp.asarray(cells), jnp.asarray(d2), jnp.asarray(caps), hard=True,
+        warn=False))
+    counts = np.bincount(a, minlength=k)
+    assert counts.sum() == n
+    assert counts[0] == 0          # zero-cap cell stays empty
+    assert (counts <= caps).all(), counts
