@@ -75,8 +75,8 @@ def main() -> None:
                     help="> 0: hard-capped balanced assignment at "
                          "cap = ceil(nb/nlist * BALANCE) (device "
                          "rebalance rounds; collapses auto_windows)")
-    ap.add_argument("--balance-iters", type=int, default=8)
-    ap.add_argument("--balance-deadband", type=float, default=1.75)
+    ap.add_argument("--balance-iters", type=int, default=12)
+    ap.add_argument("--balance-deadband", type=float, default=1.25)
     ap.add_argument("--lut-bf16", type=int, default=1,
                     help="0 = f32 LUT kernel (A/B against the packed-bf16 "
                          "production default)")

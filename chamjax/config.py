@@ -57,10 +57,11 @@ class IndexConfig:
     # plain Lloyd, and the split deadband (only cells with natural demand
     # > deadband * cap are split — chasing noise-level overflow diverges,
     # see device_build._update_from_assignment).
-    balance_train_iters: int = 8
-    balance_deadband: float = 1.75
-    # 0 = auto: split the corpus rebalance into contiguous parts (each under
-    # cap/parts) when the candidate table would exceed ~7 GB of HBM.
+    balance_train_iters: int = 12
+    balance_deadband: float = 1.25
+    # 0 = auto: split the corpus rebalance into contiguous parts (each
+    # budgeted the cells' remaining capacity) when the candidate table
+    # would exceed ~7 GB of HBM.
     balance_parts: int = 0
     # Inverted multi-index (the reference's ``IMI2xB,...`` training sweeps,
     # ``Faiss_experiments/train_cpu.py``): the coarse quantizer is the
