@@ -179,7 +179,9 @@ def main() -> None:
     cent = lloyd_device(xt, cfg.nlist, iters=args.kmeans_iters,
                         seed=args.seed, block=args.block, cand=8,
                         balance_cap=bal_cap,
-                        balance_iters=8 if bal_cap else 0)
+                        balance_iters=(cfg.balance_train_iters
+                                       if bal_cap else 0),
+                        balance_deadband=cfg.balance_deadband)
     a_t = _assign_blocked(xt, cent, block=args.block, cand=8)
     cbooks = jnp.asarray(train_pq(xt - cent[a_t], cfg.m, nbits=8,
                                   iters=args.pq_iters, seed=args.seed))
