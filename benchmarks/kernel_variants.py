@@ -11,6 +11,13 @@ compute, to locate the VPU instruction bottleneck empirically:
                  isolates the cost of the uint8→int32 conversion
 - ``nosum``    : gathers only, no reduction — isolates the sum cost
 - ``nogather`` : unpack + sum of raw codes — isolates the gather cost
+- ``dma_only`` : DMA the slab, touch one row, no decode — isolates the
+                 achievable HBM rate for the (m, seg)-strided window reads
+- ``bf16_nodecode``: gather + sum, no parity select — isolates decode cost
+- ``contig_bf16t``: codes stored seg-tiled ``(n/seg, m, seg)`` so one
+                 window slab is ONE contiguous m*seg-byte HBM read
+                 (the production layout reads m separate seg-byte rows
+                 strided by n); trim decode on top
 
 Usage (TPU):  python benchmarks/kernel_variants.py --variants f32 bf16 ...
 """
@@ -104,6 +111,11 @@ def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
             return pltpu.make_async_copy(
                 codes_hbm.at[:, pl.ds(start, seg // 4)], scratch.at[slot],
                 sems.at[slot])
+        if variant.startswith("contig"):
+            # codes stored (n/seg, m, seg): one contiguous slab per window
+            return pltpu.make_async_copy(
+                codes_hbm.at[starts_ref[w] // seg], scratch.at[slot],
+                sems.at[slot])
         start = pl.multiple_of(starts_ref[w], LANES)
         return pltpu.make_async_copy(
             codes_hbm.at[:, pl.ds(start, seg)], scratch.at[slot],
@@ -128,7 +140,8 @@ def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
             for j in range(group):
                 lut = lut_refs[j][0]
                 if variant in ("bf16", "bf16_trim", "bf16_mxu",
-                               "bytes_bf16t"):
+                               "bytes_bf16t", "contig_bf16t",
+                               "bf16_nodecode"):
                     lut = jax.lax.bitcast_convert_type(lut, jnp.float32)
                 dma(sl * group + j, i * group + j).wait()
                 codes = scratch[sl * group + j]
@@ -165,16 +178,27 @@ def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
                             f0 = b * q + t2 * LANES
                             out_ref[j, f0 // LANES, :] = d
                     continue
+                if variant.endswith("dma_only"):
+                    # touch the slab so the DMA can't be elided; no decode
+                    # (u8→i32→f32: Mosaic has no direct u8→f32 cast)
+                    out_ref[j] = jnp.broadcast_to(
+                        codes[:1, :LANES].astype(jnp.int32)
+                        .astype(jnp.float32),
+                        (seg // LANES, LANES))
+                    continue
                 if variant != "i32codes":
                     codes = codes.astype(jnp.int32)
                 for t in range(seg // LANES):
                     cc = codes[:, t * LANES:(t + 1) * LANES]
                     if variant == "f32":
                         d = _tile_f32(lut, cc)
+                    elif variant in ("bf16_trim", "contig_bf16t"):
+                        d = _tile_bf16_trim(lut, cc)
                     elif variant == "bf16":
                         d = _tile_bf16(lut, cc)
-                    elif variant == "bf16_trim":
-                        d = _tile_bf16_trim(lut, cc)
+                    elif variant == "bf16_nodecode":
+                        vf = jnp.take_along_axis(lut, cc >> 1, axis=1)
+                        d = jnp.sum(vf, axis=0)
                     elif variant == "i32codes":
                         d = _tile_f32(lut, cc)
                     elif variant == "nosum":
@@ -189,7 +213,7 @@ def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
 def run_variant(codes, starts, lens, lut_idx, luts, *, seg, group, variant,
                 interpret=False):
     bw = starts.shape[0]
-    m = codes.shape[0]
+    m = codes.shape[1] if variant.startswith("contig") else codes.shape[0]
     ksub = luts.shape[-1]
     i32view = variant.startswith("i32view")
     cdt = jnp.int32 if (variant == "i32codes" or i32view) else jnp.uint8
@@ -304,6 +328,14 @@ def main():
                         main._v32 = jax.lax.bitcast_convert_type(
                             codes_u8.reshape(m, n // 4, 4), jnp.int32)
                     cd, st = main._v32, starts
+                elif variant.startswith("contig"):
+                    # seg-tiled layout: (n/seg, m, seg) — one window slab
+                    # is one contiguous HBM read
+                    cd = jnp.transpose(
+                        codes_u8[:, :(n // seg) * seg].reshape(
+                            m, n // seg, seg), (1, 0, 2))
+                    st = (jax.random.randint(k4, (bw,), 0, n // seg - 1,
+                                             jnp.int32) * seg)
                 else:
                     cd, st = codes_u8, starts
                 lt = luts_p if ("bf16" in variant) else luts
