@@ -84,12 +84,15 @@ def _recall_matrix(ds, idx, dev, gt, base_kw, nprobe, k, ivfpq_search,
 
     # exact-selection variants must match the oracle to +-tol (they scan
     # the same candidate set; only kernel arithmetic differs)
-    gate("seg_f32_g8", r10_of(use_approx=False, coarse_approx=False),
-         oracle, 0.002)
+    # NB: base_kw carries the production lut_bf16 default (env, usually
+    # True) — every f32-named row must force lut_bf16=False or it would
+    # silently gate the packed-bf16 kernel twice and the f32 decode never
+    gate("seg_f32_g8", r10_of(use_approx=False, coarse_approx=False,
+                              lut_bf16=False), oracle, 0.002)
     gate("seg_bf16_g8", r10_of(use_approx=False, coarse_approx=False,
                                lut_bf16=True), oracle, 0.002)
     gate("seg_f32_g1", r10_of(use_approx=False, coarse_approx=False,
-                              group=1), oracle, 0.002)
+                              lut_bf16=False, group=1), oracle, 0.002)
     scan_len = 4096
     gate("pallas_padded", r10_of(backend="pallas", scan_len=scan_len,
                                  use_approx=False, coarse_approx=False),
@@ -100,7 +103,7 @@ def _recall_matrix(ds, idx, dev, gt, base_kw, nprobe, k, ivfpq_search,
     gate("seg_coarse_2stage", r10_of(use_approx=False, coarse_approx=False,
                                      coarse_cand=4 * nprobe), oracle, 0.005)
     # production path (approx top-k + coarse approx): bounded, not equal
-    gate("seg_f32_approx", r10_of(), oracle, 0.02)
+    gate("seg_f32_approx", r10_of(lut_bf16=False), oracle, 0.02)
     # hierarchical oversized-L1 selection (ops/topk.py): effective
     # per-element recall ~0.99 at l1=1024 — bounded like the approx row
     gate("seg_l1_1024", r10_of(use_approx=True, coarse_approx=False,
@@ -134,7 +137,13 @@ def _recall_matrix(ds, idx, dev, gt, base_kw, nprobe, k, ivfpq_search,
         idx_o.save(opq_cache)
     dev_o = DeviceIVF.from_packed(idx_o)
     kw_o = dict(base_kw)
-    kw_o.update(use_approx=False, coarse_approx=False)
+    # the OPQ index is soft-capped (balance_factor=1.3 → multi-segment
+    # lists), so base_kw's W — collapsed to ~nprobe by the hard-capped
+    # main index — would truncate probes here; size W for THIS index
+    from chamjax.searcher import auto_windows
+    kw_o.update(use_approx=False, coarse_approx=False, lut_bf16=False,
+                windows=auto_windows(idx_o.list_len, base_kw["seg"],
+                                     nprobe))
     _d, i_o = ivfpq_search(dev_o, q, **kw_o)
     kw_ox = dict(kw_o)
     kw_ox.update(backend="xla", scan_len=4096)

@@ -14,6 +14,19 @@ compute, to locate the VPU instruction bottleneck empirically:
 - ``dma_only`` : DMA the slab, touch one row, no decode — isolates the
                  achievable HBM rate for the (m, seg)-strided window reads
 - ``bf16_nodecode``: gather + sum, no parity select — isolates decode cost
+- ``bf16_trim_w4``: trim decode over 512-lane (4-vreg) gather calls —
+                 tests whether wider take_along_axis amortizes per-op
+                 overhead vs the 128-lane tile loop.  OUTCOME: Mosaic
+                 rejects table(128)/idx(512) width-mismatched gathers
+                 (bare AssertionError); interpret-mode only.  Moot
+                 anyway: ``bf16_nodecode`` == ``bf16_trim`` to 0.3%
+                 (v5e, seg=2048) — decode ops are fully latency-hidden
+                 behind the gathers, so per-op overhead is not the cost.
+
+Measured conclusion (v5e, 2026-08-19, bw=4096 seg=2048 m=16, one
+process): full 1.230 ms = gather+unpack 0.874 (71%) + sum ~0.36 (29%),
+decode 0.003.  The (m,128) lane-gather instruction stream is the floor;
+DMA has ~4x headroom (``dma_only``).
 - ``contig_bf16t``: codes stored seg-tiled ``(n/seg, m, seg)`` so one
                  window slab is ONE contiguous m*seg-byte HBM read
                  (the production layout reads m separate seg-byte rows
@@ -139,9 +152,7 @@ def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
         def _(sl=sl):
             for j in range(group):
                 lut = lut_refs[j][0]
-                if variant in ("bf16", "bf16_trim", "bf16_mxu",
-                               "bytes_bf16t", "contig_bf16t",
-                               "bf16_nodecode"):
+                if "bf16" in variant:
                     lut = jax.lax.bitcast_convert_type(lut, jnp.float32)
                 dma(sl * group + j, i * group + j).wait()
                 codes = scratch[sl * group + j]
@@ -188,6 +199,14 @@ def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
                     continue
                 if variant != "i32codes":
                     codes = codes.astype(jnp.int32)
+                if variant == "bf16_trim_w4":
+                    wd = 4 * LANES
+                    for t in range(seg // wd):
+                        cc = codes[:, t * wd:(t + 1) * wd]
+                        d = _tile_bf16_trim(lut, cc)
+                        out_ref[j, t * 4:(t + 1) * 4, :] = d.reshape(
+                            4, LANES)
+                    continue
                 for t in range(seg // LANES):
                     cc = codes[:, t * LANES:(t + 1) * LANES]
                     if variant == "f32":

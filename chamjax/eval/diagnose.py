@@ -92,6 +92,11 @@ def recall_diagnosis(
     q = jnp.asarray(queries, jnp.float32)
     if index.opq_R is not None:
         q = jnp.dot(q, index.opq_R, precision=jax.lax.Precision.HIGHEST)
+    # resolve -1 (auto) the same way every search tier does, so passing
+    # the searcher's SearchConfig value verbatim reproduces its probe set
+    from chamjax.searcher import resolve_coarse_cand
+    coarse_cand = resolve_coarse_cand(
+        coarse_cand, int(index.centroids.shape[0]), nprobe)
     probe_ids, _ = select_probes(q, index.centroids, nprobe,
                                  coarse_cand=coarse_cand,
                                  use_approx=coarse_approx)

@@ -344,11 +344,12 @@ def rebalance_assignment_device(
     of the budget a scalar cap/parts would strand.  A scalar cap needs
     ``nlist`` to build the array (falls back to max(cand)+1).
 
-    Stragglers (evicted from all ``c`` candidates) stay where they are in
-    ``hard`` mode (the cap can be exceeded by the straggler count — warned)
-    or revert to their nearest cell otherwise (the host soft-fallback
-    semantics).  With cap ≥ ~1.3× mean and nlist ≈ corpus mode count,
-    stragglers measure zero (see RESULTS.md).
+    Stragglers (evicted from all ``c`` candidates) revert to their
+    NEAREST cell in both modes — every candidate is full, so the cap is
+    exceeded wherever they sit, and the nearest cell costs nothing extra
+    while keeping them findable; ``hard`` mode additionally warns that
+    the cap was not met.  With cap ≥ ~1.3× mean and nlist ≈ corpus mode
+    count, stragglers measure zero (see RESULTS.md).
     """
     n, c = cand.shape
     cap_desc = "per-cell"
@@ -690,8 +691,10 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
             for gi in g:
                 s, c = ranges[gi]
                 x = draw(s, c)
-                cell_c, d2_c = _topc_blocked(
-                    x, cent, block=blk_t if c % blk_t == 0 else c, c=cand)
+                # always block at blk_t: _topc_blocked handles the
+                # c % blk_t tail internally (one sub-blk_t call), while
+                # block=c would materialize the full (c, nlist) scores
+                cell_c, d2_c = _topc_blocked(x, cent, block=blk_t, c=cand)
                 cands.append(cell_c)
                 cds.append(d2_c)
                 del x

@@ -108,6 +108,12 @@ def assign_balanced(
     k = centroids.shape[0]
     if cap is None:
         cap = int(np.ceil(n / k * 1.3))
+    if hard and k * cap < n:
+        raise ValueError(
+            f"assign_balanced(hard=True): infeasible cap — k*cap = "
+            f"{k}*{cap} = {k * cap} < n = {n}; every cell fills before "
+            f"all points are placed. Raise cap (balance_factor ≥ 1.0) "
+            f"or nlist.")
     cent = jnp.asarray(centroids, jnp.float32)
     chunk = _cap_chunk(chunk, k)
     n_cand = min(n_cand, k)

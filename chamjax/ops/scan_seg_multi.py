@@ -244,7 +244,8 @@ def scan_lists_seg_multi(
         tile_idx = jax.lax.bitcast_convert_type(
             dists[:, 1, :], jnp.int32).reshape(b, windows * LANES)
         best_d, pos = select_topk(
-            flat, k, use_approx=use_approx, recall_target=recall_target)
+            flat, k, use_approx=use_approx, recall_target=recall_target,
+            l1=select_l1)
         win = pos // LANES
         lane = pos % LANES
         t_sel = jnp.take_along_axis(tile_idx, pos, axis=1)
