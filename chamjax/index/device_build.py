@@ -71,7 +71,8 @@ def _lloyd_iter(xb: jax.Array, cent: jax.Array, key: jax.Array,
                 block: int, cand: int):
     n, d = xb.shape
     k = cent.shape[0]
-    xr = xb[: (n // block) * block].reshape(-1, block, d)
+    n_use = (n // block) * block
+    xr = xb[:n_use].reshape(-1, block, d)
 
     def body(carry, x_blk):
         sums, counts = carry
@@ -83,6 +84,14 @@ def _lloyd_iter(xb: jax.Array, cent: jax.Array, key: jax.Array,
     (sums, counts), _ = jax.lax.scan(
         body, (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)),
         xr)
+    if n_use != n:
+        # the n % block tail must contribute too: dropping it biases every
+        # iteration's statistics, and with n < block the scan would run
+        # over ZERO blocks and Lloyd would degenerate to pure jitter
+        tail = xb[n_use:]
+        a_t = _assign_exact_2stage(tail, cent, cand)
+        sums = sums.at[a_t].add(tail)
+        counts = counts.at[a_t].add(1.0)
     new = jnp.where(counts[:, None] > 0,
                     sums / jnp.maximum(counts, 1.0)[:, None], cent)
     # empty clusters: reseed near the heaviest clusters' centroids (jittered
@@ -588,6 +597,12 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
     (the FPGA's own 4-bank round-robin list split,
     ``extract_Enzian_U250_required_data.py:296-360``, scaled up)."""
     from chamjax.index.pq import train_opq, train_pq
+
+    # chunk must be a block multiple: every full-chunk encode call
+    # reshapes (-1, block, d) — round down (min one block) rather than
+    # crash on an opaque reshape error inside jit (same rule as
+    # streamed_ground_truth)
+    chunk = max((chunk // block) * block, block)
 
     assert cfg.nbits == 8, "streamed device build is specialized for 8-bit PQ"
     if quantizers is not None:

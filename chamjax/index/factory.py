@@ -30,8 +30,16 @@ def parse_index_key(key: str, dim: int) -> IndexConfig:
     """Faiss-style key string → IndexConfig: ``"OPQ16,IVF4096,PQ16"`` or the
     multi-index form ``"IMI2x10,PQ16"`` (reference training sweeps,
     ``Faiss_experiments/train_cpu.py``)."""
-    opq = bool(re.search(r"OPQ(\d+)", key))
-    m = int(re.search(r"PQ(\d+)", key).group(1))
+    # token-wise: re.search(r"PQ(\d+)") over the whole key would match
+    # inside the leading "OPQ32" token and silently take m from the OPQ
+    # width (e.g. "OPQ32,IVF4096,PQ16" → m=32)
+    parts = [p.strip() for p in key.split(",")]
+    opq = any(re.fullmatch(r"OPQ\d+", p) for p in parts)
+    pq = [re.fullmatch(r"PQ(\d+)", p) for p in parts]
+    pq = [p for p in pq if p]
+    if not pq:
+        raise ValueError(f"index key {key!r} has no PQ<m> token")
+    m = int(pq[0].group(1))
     imi = re.search(r"IMI2x(\d+)", key)
     if imi:
         bits = int(imi.group(1))

@@ -173,6 +173,28 @@ def build_ivfpq(
     xt = xb if xt is None else _coerce(xt)
     on_device = isinstance(xb, jax.Array)
 
+    def _rotate(x, R):
+        # ranking-relevant transform: TPU's default single-pass bf16
+        # matmul would perturb the database side of every distance
+        # (CLAUDE.md precision invariant) — queries are rotated at
+        # HIGHEST in searcher.py, the corpus must match
+        if on_device:
+            return jnp.dot(x, R, precision=jax.lax.Precision.HIGHEST)
+        return x @ R
+
+    if cfg.imi:
+        # IMI coarse quantizers need product-structured training — the
+        # factory path owns that (train_imi + imi_centroids + factored
+        # assignment); a flat kmeans over 4^B cells here would return
+        # mostly-random centroids without warning.  Host-side route (IMI
+        # is an experiments feature; device corpora should use IVF).
+        from chamjax.index import factory
+        trained = factory.train_quantizers(
+            np.asarray(xt), cfg, seed=seed, kmeans_iters=kmeans_iters,
+            pq_iters=pq_iters)
+        return factory.populate(np.asarray(xb), trained,
+                                tail_pad=tail_pad)
+
     opq_R = None
     centroids = None
     train_assign = None
@@ -198,14 +220,18 @@ def build_ivfpq(
                 resid = xt[:n_s] - cent_raw[train_assign[:n_s]]
             opq_R, _ = train_opq(resid, cfg.m, nbits=cfg.nbits, seed=seed)
             R = jnp.asarray(opq_R) if on_device else opq_R
-            xt_r, xb_r = xt @ R, xb @ R
+            xt_r, xb_r = _rotate(xt, R), _rotate(xb, R)
             centroids = np.asarray(cent_raw) @ opq_R
         else:
-            opq_R, _ = train_opq(np.asarray(xt), cfg.m, nbits=cfg.nbits,
-                                 seed=seed)
+            # slice BEFORE pulling to host: train_opq subsamples to 2^17
+            # rows anyway, and np.asarray of a full device corpus crosses
+            # the (slow) host link
+            n_s = min(xt.shape[0], 1 << 17)
+            opq_R, _ = train_opq(np.asarray(xt[:n_s]), cfg.m,
+                                 nbits=cfg.nbits, seed=seed)
             R = jnp.asarray(opq_R) if on_device else opq_R
-            xt_r = xt @ R
-            xb_r = xb @ R
+            xt_r = _rotate(xt, R)
+            xb_r = _rotate(xb, R)
     else:
         xt_r, xb_r = xt, xb
 

@@ -47,11 +47,27 @@ def populate_on_disk(
     os.makedirs(out_dir, exist_ok=True)
     n = xb.shape[0]
 
+    if cfg.balanced:
+        import warnings
+        warnings.warn(
+            "populate_on_disk: cfg.balanced is IGNORED — the chunked "
+            "two-pass assigner is nearest-cell only, so the hard-cap list "
+            "invariant (auto_windows' worst-query bound) will not hold. "
+            "Use factory.populate or the device builder for balanced "
+            "builds.", stacklevel=2)
+
     # pass 1: assignment (chunked) → list sizes → packed layout
     assignment = np.empty(n, np.int32)
     for i, x in _chunks(xb, chunk):
         xr = x @ trained.opq_R if trained.opq_R is not None else x
-        assignment[i:i + x.shape[0]] = assign(xr, trained.centroids)
+        if cfg.imi:
+            # factored IMI assignment, same recovery as factory.populate
+            from chamjax.index.imi import assign_imi
+            kk, h = 1 << cfg.imi, cfg.dim // 2
+            assignment[i:i + x.shape[0]] = assign_imi(
+                xr, trained.centroids[::kk, :h], trained.centroids[:kk, h:])
+        else:
+            assignment[i:i + x.shape[0]] = assign(xr, trained.centroids)
     list_len = np.bincount(assignment, minlength=cfg.nlist).astype(np.int64)
     padded = (np.maximum(-(-list_len // cfg.list_pad), 1)
               * cfg.list_pad).astype(np.int64)

@@ -66,6 +66,21 @@ def pack_luts_bf16(luts: jax.Array) -> jax.Array:
     return (lo | (hi << 16)).astype(jnp.int32)
 
 
+def prepare_luts(luts: jax.Array, probe: jax.Array, *, lut_bf16: bool):
+    """(b, nprobe, ksub, m) XLA-layout LUTs + (b, W) window→probe map →
+    ``(luts_k (b·nprobe, m, ksub|128), lut_idx (b·W,) int32)`` in the
+    kernel's layout.  Shared by the resident scan wrappers and the
+    host-streamed tier — the wire layout between LUT build and the ADC
+    kernel lives HERE only."""
+    b, nprobe, ksub, m = luts.shape
+    lut_idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * nprobe
+               + probe).reshape(-1)
+    luts_k = luts.transpose(0, 1, 3, 2).reshape(b * nprobe, m, ksub)
+    if lut_bf16:
+        luts_k = pack_luts_bf16(luts_k)
+    return luts_k, lut_idx
+
+
 def _adc_tile(lut_lo, lut_hi, lut_packed, cc, lut_bf16: bool):
     """Distances for one 128-lane tile of codes ``cc`` (m, 128) int32."""
     if lut_bf16:
@@ -250,14 +265,10 @@ def scan_lists_seg(
     select_l1: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Segmented scan + selection. Returns ``(dists (b,k), ids (b,k))``."""
-    b, nprobe, ksub, m = luts.shape
+    b = luts.shape[0]
     starts, lens, probe, _valid = expand_windows(
         list_ids, list_start, list_len, windows=windows, seg=seg)
-    lut_idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * nprobe
-               + probe).reshape(-1)
-    luts_k = luts.transpose(0, 1, 3, 2).reshape(b * nprobe, m, ksub)
-    if lut_bf16:
-        luts_k = pack_luts_bf16(luts_k)
+    luts_k, lut_idx = prepare_luts(luts, probe, lut_bf16=lut_bf16)
     dists = adc_scan_segments(
         codes_t, starts.reshape(-1), lens.reshape(-1), lut_idx, luts_k,
         seg=seg, interpret=interpret, lut_bf16=lut_bf16,

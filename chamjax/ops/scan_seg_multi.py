@@ -20,7 +20,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from chamjax.ops.scan_seg import (
-    MAX_SEG, _adc_tile, expand_windows, pack_luts_bf16,
+    MAX_SEG, _adc_tile, expand_windows, pack_luts_bf16, prepare_luts,
 )
 from chamjax.ops.topk import select_topk
 
@@ -225,15 +225,11 @@ def scan_lists_seg_multi(
     and the kernel writes 2 rows/window instead of ``seg/128``.  Loss is
     bucket-collision-bounded: two true top-k rows in one (window, lane)
     bucket keep only the better (``index/sizing.py::lane_l1_loss``)."""
-    b, nprobe, ksub, m = luts.shape
+    b = luts.shape[0]
     windows = -(-windows // group) * group      # round W up to group multiple
     starts, lens, probe, _valid = expand_windows(
         list_ids, list_start, list_len, windows=windows, seg=seg)
-    lut_idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * nprobe
-               + probe).reshape(-1)
-    luts_k = luts.transpose(0, 1, 3, 2).reshape(b * nprobe, m, ksub)
-    if lut_bf16:
-        luts_k = pack_luts_bf16(luts_k)
+    luts_k, lut_idx = prepare_luts(luts, probe, lut_bf16=lut_bf16)
     dists = adc_scan_segments_multi(
         codes_t, starts.reshape(-1), lens.reshape(-1), lut_idx, luts_k,
         seg=seg, group=group, interpret=interpret, lut_bf16=lut_bf16,

@@ -111,17 +111,11 @@ def scan_staged(
     m = slab_codes.shape[-1]
     luts = build_luts(q_rot, centroids, codebooks, list_ids,
                       by_residual=by_residual)       # (b, nprobe, 256, m)
-    ksub = luts.shape[2]
     codes_t = slab_codes.transpose(2, 0, 1).reshape(m, bw * seg)
-    from chamjax.ops.scan_seg import MAX_SEG
+    from chamjax.ops.scan_seg import MAX_SEG, prepare_luts
     codes_t = jnp.pad(codes_t, ((0, 0), (0, MAX_SEG)))
     v_starts = (jnp.arange(bw, dtype=jnp.int32) * seg)
-    lut_idx = (jnp.arange(b, dtype=jnp.int32)[:, None] * nprobe
-               + probe).reshape(-1)
-    luts_k = luts.transpose(0, 1, 3, 2).reshape(b * nprobe, m, ksub)
-    if lut_bf16:
-        from chamjax.ops.scan_seg import pack_luts_bf16
-        luts_k = pack_luts_bf16(luts_k)
+    luts_k, lut_idx = prepare_luts(luts, probe, lut_bf16=lut_bf16)
     dists = adc_scan_segments_multi(
         codes_t, v_starts, lens.reshape(-1), lut_idx, luts_k,
         seg=seg, group=group, interpret=interpret, lut_bf16=lut_bf16)
@@ -147,10 +141,18 @@ class HostStreamedSearcher:
         self.packed = packed
         self.scfg = scfg
         self.cfg = packed.cfg
+        if packed.cfg.nbits != 8:
+            # the segmented kernel is specialized for 8-bit PQ and this
+            # tier has no XLA fallback (IVFSearcher warns + falls back;
+            # here the failure would be an opaque kernel assert mid-jit)
+            raise ValueError(
+                f"HostStreamedSearcher requires nbits=8 PQ codes (got "
+                f"nbits={packed.cfg.nbits}); use IVFSearcher's XLA "
+                "backend for nbits != 8")
         self.seg = seg or scfg.seg or auto_seg(packed.list_len)
         self.windows = scfg.scan_windows or auto_windows(
             packed.list_len, self.seg, scfg.nprobe)
-        self.group = scfg.seg_group
+        self.group = max(1, scfg.seg_group)   # 0/neg = no grouping
         self.windows += (-self.windows) % self.group
         put = functools.partial(jax.device_put, device=device)
         self.centroids = put(jnp.asarray(packed.centroids, jnp.float32))

@@ -54,6 +54,20 @@ def test_lloyd_device_recovers_clusters(rng):
     assert np.all(d < 1.0)
 
 
+def test_lloyd_device_tail_and_small_n(rng):
+    """Lloyd must use ALL rows: the n % block tail contributes to every
+    iteration's statistics, and n < block (zero full blocks) must still
+    train rather than degenerate to jittered random init."""
+    centers = rng.standard_normal((8, 16)).astype(np.float32) * 10
+    for n in (BLOCK - 56, 2 * BLOCK + 100):     # n < block; ragged tail
+        x = (centers[rng.integers(0, 8, n)]
+             + rng.standard_normal((n, 16)).astype(np.float32) * 0.1)
+        cent = np.asarray(
+            lloyd_device(jnp.asarray(x), 8, iters=8, block=BLOCK))
+        d = ((centers[:, None] - cent[None]) ** 2).sum(-1).min(1)
+        assert np.all(d < 1.0), (n, d)
+
+
 def test_pack_layout_matches_host_pack(rng):
     n, nlist, m, list_pad = 3000, 16, 4, 32
     assignment = rng.integers(0, nlist, n).astype(np.int32)

@@ -20,6 +20,12 @@ def test_parse_index_key():
     cfg = parse_index_key("IVF1024,PQ32", dim=128)
     assert not cfg.opq and cfg.nlist == 1024 and cfg.m == 32
     assert cfg.key == "IVF1024,PQ32"
+    # m must come from the PQ token, not the OPQ prefix width (a whole-key
+    # regex match for PQ\d+ lands inside "OPQ32" first)
+    cfg = parse_index_key("OPQ32,IVF4096,PQ16", dim=128)
+    assert cfg.opq and cfg.m == 16
+    with pytest.raises(ValueError):
+        parse_index_key("IVF4096", dim=128)
 
 
 @pytest.fixture(scope="module")
@@ -139,3 +145,25 @@ def test_imi_end_to_end_recall(corpus):
     _, ids2 = s2.search(ds.xq)
     r_ivf = recall_at_k(ids2, gt, 10)
     assert r_imi > 0.6 * r_ivf, (r_imi, r_ivf)
+
+
+def test_build_ivfpq_imi_routes_to_factory(corpus):
+    """build_ivfpq with an IMI config must produce a product-structured
+    coarse quantizer (the factory path), not a flat kmeans over 4^B cells
+    trained on too few points."""
+    from chamjax.data.ground_truth import compute_ground_truth
+    from chamjax.eval import recall_at_k
+
+    ds = corpus
+    cfg = parse_index_key("IMI2x3,PQ8", dim=32)
+    idx = build_ivfpq(ds.xb, cfg, xt=ds.xt, kmeans_iters=6, pq_iters=6)
+    assert idx.cfg.imi == 3 and idx.centroids.shape == (64, 32)
+    # product structure: row i*8+j = [a_i ‖ b_j]
+    k, h = 8, 16
+    np.testing.assert_array_equal(idx.centroids[: k, :h],
+                                  np.broadcast_to(idx.centroids[0, :h],
+                                                  (k, h)))
+    gt, _ = compute_ground_truth(ds.xb, ds.xq, k=10)
+    s = IVFSearcher(idx, SearchConfig(nprobe=16, k=10))
+    _, ids = s.search(ds.xq)
+    assert recall_at_k(ids, gt, 10) > 0.4

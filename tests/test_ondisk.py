@@ -41,3 +41,21 @@ def test_ondisk_equals_in_memory(tmp_path):
     d1, _ = s1.search(ds.xq)
     d2, _ = s2.search(ds.xq)
     np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
+
+
+def test_ondisk_balanced_warns(tmp_path):
+    """populate_on_disk cannot honor cfg.balanced (chunked nearest-cell
+    assigner) — it must say so instead of silently dropping the cap."""
+    import dataclasses
+    import pytest
+    from chamjax.config import IndexConfig
+    from chamjax.data import synthetic_dataset
+    from chamjax.index.factory import train_quantizers
+    from chamjax.index.ondisk import populate_on_disk
+
+    ds = synthetic_dataset(nb=4000, nq=4, nt=2000, d=16, seed=3,
+                           n_clusters=16)
+    cfg = IndexConfig(dim=16, nlist=16, m=4, balanced=True)
+    tq = train_quantizers(ds.xt, cfg, kmeans_iters=4, pq_iters=4)
+    with pytest.warns(UserWarning, match="balanced"):
+        populate_on_disk(ds.xb, tq, str(tmp_path / "od"))

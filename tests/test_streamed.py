@@ -121,3 +121,23 @@ def test_streamed_warm(ds, index):
     st.warm()
     d, i = st.search(ds.xq[:4])
     assert np.isfinite(d).all()
+
+
+def test_streamed_rejects_nbits_not_8(index):
+    """The staged kernel is 8-bit-PQ-specialized and this tier has no XLA
+    fallback — a non-8-bit index must fail loudly at construction."""
+    import dataclasses
+    idx4 = dataclasses.replace(index, cfg=dataclasses.replace(
+        index.cfg, nbits=4))
+    with pytest.raises(ValueError, match="nbits"):
+        HostStreamedSearcher(idx4, SearchConfig(nprobe=8, k=10))
+
+
+def test_streamed_seg_group_zero_ok(ds, index):
+    """seg_group=0 means 'no grouping' in IVFSearcher; the streamed tier
+    must accept it too (clamped to 1), not ZeroDivisionError."""
+    st = HostStreamedSearcher(index, SearchConfig(nprobe=8, k=10,
+                                                  seg_group=0,
+                                                  use_approx_topk=False))
+    d, i = st.search(ds.xq[:4])
+    assert np.isfinite(d).all()
