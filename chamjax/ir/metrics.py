@@ -53,7 +53,10 @@ def map_at_k(qrels: Qrels, results: Results, k: int) -> float:
             if d in relevant:
                 hits += 1
                 ap += hits / (i + 1)
-        vals.append(ap / min(len(relevant), k))
+        # trec_eval map_cut divides by the TOTAL relevant count, not
+        # min(R, k) — min(R, k) would report MAP@10 = 1.0 on a query with
+        # 50 relevant docs and a perfect top-10, 5x the pytrec_eval value
+        vals.append(ap / len(relevant))
     return float(sum(vals) / max(len(vals), 1))
 
 

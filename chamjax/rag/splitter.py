@@ -12,8 +12,12 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
-MARKDOWN_SEPARATORS = ["\n#{1,6} ", "```\n", "\n\\*\\*\\*+\n", "\n---+\n",
-                       "\n___+\n", "\n\n", "\n", " ", ""]
+# literal separators (``_split_on`` is str.split-based — LangChain's regex
+# classes like "\n#{1,6} " are expanded to their literal forms, strongest
+# first, or they would never match anything)
+MARKDOWN_SEPARATORS = ["\n# ", "\n## ", "\n### ", "\n#### ", "\n##### ",
+                       "\n###### ", "```\n", "\n***\n", "\n---\n", "\n___\n",
+                       "\n\n", "\n", " ", ""]
 _PLAIN_SEPARATORS = ["\n\n", "\n", " ", ""]
 
 
@@ -23,8 +27,6 @@ class RecursiveTextSplitter:
                  length_fn=len):
         self.chunk_size = chunk_size
         self.chunk_overlap = chunk_overlap
-        # plain-string separators (regex classes from MARKDOWN_SEPARATORS are
-        # simplified to their literal anchors)
         self.separators = separators or _PLAIN_SEPARATORS
         self.length = length_fn
 
@@ -49,6 +51,11 @@ class RecursiveTextSplitter:
             if cur and self.length(cur) + self.length(p) > self.chunk_size:
                 chunks.append(cur)
                 cur = cur[max(0, len(cur) - self.chunk_overlap):]
+                if cur and self.length(cur) + self.length(p) > self.chunk_size:
+                    # drop the overlap carry rather than emit a chunk over
+                    # the limit — downstream encoders size max_tokens to
+                    # chunk_size, and an oversized chunk silently truncates
+                    cur = ""
             cur += p
         if cur.strip():
             chunks.append(cur)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import select
 import socket
+import struct
 from collections import deque
 from typing import Dict, List, Optional
 
@@ -165,6 +166,19 @@ class RetrieveCoordinator:
                     "all retrieval engines failed with "
                     f"{len(unsent)} requests outstanding")
 
+        def drop_client(ci: int) -> None:
+            if ci not in live_clients:
+                return
+            live_clients.discard(ci)
+            try:
+                poller.unregister(self.clients[ci])
+            except (KeyError, OSError):
+                pass
+            try:
+                self.clients[ci].close()
+            except OSError:
+                pass
+
         while live_clients and (total is None
                                 or self.answered_query_cnt < total):
             for fd, _ev in poller.poll(100):
@@ -173,8 +187,22 @@ class RetrieveCoordinator:
                     try:
                         buf = recv_exact(self.clients[idx], req_bytes)
                     except ConnectionError:
-                        poller.unregister(self.clients[idx])
-                        live_clients.discard(idx)
+                        drop_client(idx)
+                        continue
+                    # answers are framed with the CONFIGURED k (fixed-size
+                    # relay, same as the native plane) — a request carrying
+                    # a different k would desync the engine byte stream, so
+                    # fail that client loudly instead
+                    (req_k,) = struct.unpack(">i", buf[:4])
+                    if req_k != self.k:
+                        import warnings
+                        warnings.warn(
+                            f"coordinator: client {idx} requested k={req_k} "
+                            f"but the coordinator frames answers with "
+                            f"k={self.k} — dropping the client (per-request "
+                            "k is not supported through the coordinator)",
+                            stacklevel=2)
+                        drop_client(idx)
                         continue
                     unsent.append((idx, buf))
                     self.received_query_cnt += 1
@@ -187,7 +215,13 @@ class RetrieveCoordinator:
                         dispatch()
                         continue
                     ci, _req = origin[idx].popleft()
-                    send_all(self.clients[ci], buf)
+                    try:
+                        send_all(self.clients[ci], buf)
+                    except (ConnectionError, OSError):
+                        # the engine did answer — count it, lose only the
+                        # dead client (a crash here would kill every other
+                        # client's relay)
+                        drop_client(ci)
                     self.answered_query_cnt += 1
         self.close()
 
@@ -241,6 +275,9 @@ class NativeCoordinator:
     same serialization point the reference notes in its poll loop.  The
     native loop does accept/barrier/round-robin-scatter/origin-gather with
     zero per-frame Python involvement.  Same wire format, same topology.
+    Like the Python relay, framing is fixed-size: every client must request
+    the coordinator's configured ``k`` (the native plane is a pure byte
+    relay and cannot detect a mismatch).
     """
 
     def __init__(self, host: str, port: int, n_clients: int,

@@ -21,6 +21,7 @@ from chamjax.searcher import IVFSearcher
 class LocalRetriever(BaseRetriever):
     def __init__(self, index: PackedIVF, search_cfg: Optional[SearchConfig] = None,
                  **searcher_kwargs):
+        self._searcher_kwargs = searcher_kwargs
         self.searcher = IVFSearcher(index, search_cfg or SearchConfig(),
                                     **searcher_kwargs)
 
@@ -31,11 +32,14 @@ class LocalRetriever(BaseRetriever):
 
     def set_nprobe(self, nprobe: int) -> None:
         """Parity with reference ``set_nprobe`` (``faiss_retriever.py``).
-        Rebuilds the searcher so window budgets resize with nprobe."""
+        Rebuilds the searcher so window budgets resize with nprobe —
+        keeping the constructor's scan_quantile/device kwargs (dropping
+        them would silently re-pin the index to the default device)."""
         import dataclasses
         self.searcher = IVFSearcher(
             self.searcher.packed,
-            dataclasses.replace(self.searcher.scfg, nprobe=nprobe))
+            dataclasses.replace(self.searcher.scfg, nprobe=nprobe),
+            **self._searcher_kwargs)
 
     def retrieve(self, queries: np.ndarray, nprobe: int, k: int
                  ) -> RetrievalResult:
@@ -49,18 +53,24 @@ class LocalRetriever(BaseRetriever):
         per-step GPU→host→socket hop, ``ralm.py:123-133``, eliminated)."""
         from chamjax.searcher import ivfpq_search
         s = self.searcher
+        np_ = nprobe or s.scfg.nprobe
+        # window budget must track an nprobe override (IVFSearcher.search
+        # does the same) — a budget sized for scfg.nprobe silently
+        # truncates the scan when the caller probes more lists
+        W = s.windows if np_ == s.scfg.nprobe else s._auto_windows(np_)
         d, i = ivfpq_search(
             s.dev, queries,
-            nprobe=nprobe or s.scfg.nprobe, k=k or s.scfg.k,
-            scan_len=s.scan_len, windows=s.windows, seg=s.seg,
+            nprobe=np_, k=k or s.scfg.k,
+            scan_len=s.scan_len, windows=W, seg=s.seg,
             group=s.group, probe_chunk=s.scfg.probe_chunk,
             by_residual=s.cfg.by_residual,
             use_approx=s.scfg.use_approx_topk,
             recall_target=s.scfg.approx_recall_target,
             backend=s.backend, tile=s.tile, interpret=s.interpret,
             coarse_approx=s.scfg.coarse_approx and not s.interpret,
-            coarse_cand=s._coarse_cand(nprobe or s.scfg.nprobe),
+            coarse_cand=s._coarse_cand(np_),
             lut_bf16=s.scfg.lut_bf16, select_l1=s.scfg.select_l1,
+            lane_l1=s.scfg.lane_l1,
         )
         return RetrievalResult(ids=i, dists=d)
 
@@ -87,6 +97,15 @@ class DeviceRetriever(BaseRetriever):
         self.dev = dev
         self.list_len = np.asarray(list_len)
         self.scfg = search_cfg or SearchConfig()
+        if self.scfg.backend != "seg":
+            # this tier has no PackedIVF behind it, so the xla/pallas
+            # backends' scan_len sizing is unavailable — say so instead of
+            # silently running a different kernel than the config names
+            import warnings
+            warnings.warn(
+                f"DeviceRetriever always uses backend='seg' (no host "
+                f"PackedIVF to size scan_len for "
+                f"backend={self.scfg.backend!r})", stacklevel=2)
         self.seg = auto_seg(self.list_len)
         self.windows = auto_windows(self.list_len, self.seg, self.scfg.nprobe)
         self.interpret = jax.default_backend() != "tpu"
@@ -100,13 +119,15 @@ class DeviceRetriever(BaseRetriever):
         return ivfpq_search(
             self.dev, q, nprobe=np_, k=k or self.scfg.k,
             windows=W, seg=self.seg, group=self.scfg.seg_group,
+            probe_chunk=self.scfg.probe_chunk,
             by_residual=True, use_approx=self.scfg.use_approx_topk,
             recall_target=self.scfg.approx_recall_target,
             backend="seg", interpret=self.interpret,
             coarse_approx=self.scfg.coarse_approx and not self.interpret,
             coarse_cand=resolve_coarse_cand(
                 self.scfg.coarse_cand, self.dev.centroids.shape[0], np_),
-            lut_bf16=self.scfg.lut_bf16, select_l1=self.scfg.select_l1)
+            lut_bf16=self.scfg.lut_bf16, select_l1=self.scfg.select_l1,
+            lane_l1=self.scfg.lane_l1)
 
     def retrieve(self, queries: np.ndarray, nprobe: int, k: int
                  ) -> RetrievalResult:

@@ -58,8 +58,13 @@ class RalmHFDecoder:
 
     def _query_vector(self, hidden) -> np.ndarray:
         q = hidden[:, -1, :].float().cpu().numpy()
-        if q.shape[1] != self.query_dim:          # project/truncate to index dim
+        if q.shape[1] > self.query_dim:           # truncate to index dim
             q = q[:, : self.query_dim]
+        elif q.shape[1] < self.query_dim:         # zero-pad up to index dim
+            # (reference ralm.py sends the raw hidden state and relies on
+            # matching dims; a narrow model must still produce a wire- and
+            # matmul-valid query rather than an opaque shape error)
+            q = np.pad(q, ((0, 0), (0, self.query_dim - q.shape[1])))
         return np.ascontiguousarray(q, np.float32)
 
     def single_step(self) -> None:

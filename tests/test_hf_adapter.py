@@ -28,3 +28,22 @@ def test_ralm_hf_decoder_steps():
     # reset clears state
     loop.reset_inference_state()
     assert loop.step_count == 0 and loop.past is None
+
+
+def test_query_vector_pads_narrow_hidden():
+    """A model narrower than the index dim must produce a zero-padded
+    query of the full width (previously the truncate-only branch passed a
+    wrong-width query through to an opaque matmul/wire failure)."""
+    model = tiny_hf_model(hidden=32, layers=1, heads=2, vocab=64)
+
+    class ShapeCheckRetriever(DummyRetriever):
+        def retrieve(self, queries, nprobe, k):
+            assert queries.shape[1] == 48, queries.shape
+            np.testing.assert_array_equal(queries[:, 32:], 0.0)
+            return super().retrieve(queries, nprobe, k)
+
+    loop = RalmHFDecoder(model, ShapeCheckRetriever(default_k=5),
+                         batch_size=2, retrieval_interval=1, k=5,
+                         query_dim=48)
+    loop.batch_inference(2)
+    assert loop.last_result.ids.shape == (2, 5)

@@ -361,3 +361,12 @@ def test_hf_encoder_local_checkpoint(tmp_path):
     c = enc.encode_corpus([{"title": "the", "text": "cat"},
                            {"text": "dog"}])
     assert c.shape == (2, 16)
+
+
+def test_map_at_k_uses_total_relevant_denominator():
+    """trec_eval map_cut divides AP by the TOTAL relevant count: 50
+    relevant docs with a perfect top-10 is MAP@10 = 0.2, not 1.0 (the
+    min(R, k) denominator inflated every published-comparable number)."""
+    qrels = {"q": {f"d{i}": 1 for i in range(50)}}
+    results = {"q": {f"d{i}": float(50 - i) for i in range(10)}}
+    assert M.map_at_k(qrels, results, 10) == pytest.approx(10 / 50)

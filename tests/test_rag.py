@@ -15,7 +15,7 @@ def test_splitter_chunks_and_overlap():
     sp = RecursiveTextSplitter(chunk_size=120, chunk_overlap=20)
     chunks = sp.split_text(text)
     assert len(chunks) >= 3
-    assert all(len(c) <= 120 + 20 for c in chunks)
+    assert all(len(c) <= 120 for c in chunks)
     # every non-separator character is retained in order
     joined = "".join(chunks)
     for probe in ("para one", "para two", "tail"):
@@ -202,3 +202,32 @@ def test_doc_qa_end_to_end(tmp_path):
     answer, ctx = rag.answer("what about the supreme court justice")
     assert "supreme court" in ctx[0]["text"].lower()
     assert answer
+
+
+def test_splitter_never_exceeds_chunk_size_with_overlap():
+    """The overlap carry must be re-checked against chunk_size: cur =
+    overlap-tail + next piece used to emit chunks up to size+overlap,
+    truncating downstream encoders sized to chunk_size."""
+    text = "word " * 500
+    sp = RecursiveTextSplitter(chunk_size=100, chunk_overlap=30)
+    chunks = sp.split_text(text)
+    assert len(chunks) > 3
+    assert all(len(c) <= 100 for c in chunks)
+
+
+def test_markdown_separators_are_literal_and_split_headings():
+    """MARKDOWN_SEPARATORS must be literal strings (the splitter is
+    str.split-based) — the old regex-style entries never matched, so
+    heading boundaries silently degraded to character splits."""
+    from chamjax.rag.splitter import MARKDOWN_SEPARATORS
+
+    text = ("intro\n## section one\n" + "alpha " * 20 +
+            "\n## section two\n" + "beta " * 20)
+    sp = RecursiveTextSplitter(chunk_size=80, chunk_overlap=0,
+                               separators=MARKDOWN_SEPARATORS)
+    chunks = sp.split_text(text)
+    assert len(chunks) >= 2
+    one = next(c for c in chunks if "section one" in c)
+    two = next(c for c in chunks if "section two" in c)
+    assert one is not two          # heading boundary respected
+    assert "beta" not in one and "alpha" not in two

@@ -249,3 +249,35 @@ def test_hierarchical_select_matches_exact(ds, index):
     d_p, i_p = s_p.search(ds.xq)
     np.testing.assert_allclose(d_h, d_p, rtol=1e-5, atol=1e-5)
     assert recall_at_k(i_h2, gt, 10) == recall_at_k(i_p, gt, 10)
+
+
+def test_local_retriever_device_nprobe_override(ds, index):
+    """The fused retrieve_device path must resize the window budget when
+    nprobe is overridden (a budget auto-sized for scfg.nprobe silently
+    truncates the scan) — pinned to IVFSearcher.search, which recomputes."""
+    from chamjax.retrieval.local import LocalRetriever
+
+    scfg = SearchConfig(nprobe=2, k=10, use_approx_topk=False)
+    r = LocalRetriever(index, scfg)
+    out = r.retrieve_device(jnp.asarray(ds.xq), nprobe=32, k=10)
+    s32 = IVFSearcher(index, SearchConfig(nprobe=32, k=10,
+                                          use_approx_topk=False))
+    _d_ref, i_ref = s32.search(ds.xq)
+    np.testing.assert_array_equal(np.asarray(out.ids, np.int64), i_ref)
+
+
+def test_local_retriever_set_nprobe_keeps_kwargs(index):
+    """set_nprobe rebuilds the searcher — it must keep the constructor's
+    searcher kwargs (scan_quantile/device), not silently reset them."""
+    from chamjax.retrieval.local import LocalRetriever
+
+    r = LocalRetriever(index, SearchConfig(nprobe=4, k=10),
+                       scan_quantile=0.5)
+    want = IVFSearcher(index, SearchConfig(nprobe=8, k=10),
+                       scan_quantile=0.5).scan_len
+    deflt = IVFSearcher(index, SearchConfig(nprobe=8, k=10)).scan_len
+    r.set_nprobe(8)
+    assert r.searcher.scfg.nprobe == 8
+    assert r.searcher.scan_len == want
+    if want != deflt:      # ragged corpus ⇒ the quantile actually bites
+        assert r.searcher.scan_len != deflt

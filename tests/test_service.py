@@ -228,3 +228,75 @@ def test_coordinator_survives_engine_death():
         assert res.ids.shape == (2, 5)
         assert np.all(np.diff(res.dists, axis=1) >= 0)
     c.close()
+
+
+def test_coordinator_survives_client_death_on_answer():
+    """A client that dies with a request in flight must cost only that
+    client: the answer-routing send failure is caught and the other
+    client's relay keeps running (previously a BrokenPipeError here
+    killed the whole coordinator)."""
+    e_port = next_port()
+    engine = RandomAnswerServer(HOST, e_port, batch_size=2, dim=8,
+                                delay_ms=150)
+    threading.Thread(target=engine.start, daemon=True).start()
+    time.sleep(0.1)
+
+    c_port = next_port()
+    coord = RetrieveCoordinator(
+        HOST, c_port, n_clients=2, batch_size=2, dim=8, k=5,
+        engine_addrs=[(HOST, e_port)])
+    ct = threading.Thread(target=coord.start, daemon=True)
+    ct.start()
+
+    doomed = connect_retry(lambda: ExternalRetriever(HOST, c_port, 2, 8, k=5))
+    survivor = connect_retry(lambda: ExternalRetriever(HOST, c_port, 2, 8,
+                                                       k=5))
+    for c in (doomed, survivor):
+        c.sync_with_coordinator()
+
+    q = np.zeros((2, 8), np.float32)
+    # the doomed client sends a request, then dies while it is in flight
+    # (the engine's 150 ms delay guarantees the answer arrives after close)
+    doomed.retrieve_send(q, nprobe=4, k=5)
+    doomed.close()
+
+    # the survivor must keep getting answers straight through the window
+    # where the doomed client's answer bounces
+    for _ in range(4):
+        res = survivor.retrieve(q, nprobe=4, k=5)
+        assert res.ids.shape == (2, 5)
+    survivor.close()
+    ct.join(timeout=10)
+    assert not ct.is_alive()          # loop exited when all clients left
+    assert coord.answered_query_cnt == 5   # 1 bounced + 4 delivered
+
+
+def test_coordinator_rejects_k_mismatch():
+    """The coordinator frames answers with its configured k; a client
+    requesting a different k would desync the engine byte stream — it
+    must be dropped loudly, not silently mis-framed."""
+    import warnings as _w
+    e_port = next_port()
+    engine = RandomAnswerServer(HOST, e_port, batch_size=2, dim=8)
+    threading.Thread(target=engine.start, daemon=True).start()
+    time.sleep(0.1)
+
+    c_port = next_port()
+    coord = RetrieveCoordinator(
+        HOST, c_port, n_clients=1, batch_size=2, dim=8, k=5,
+        engine_addrs=[(HOST, e_port)])
+    ct = threading.Thread(target=coord.start, daemon=True)
+    ct.start()
+
+    c = connect_retry(lambda: ExternalRetriever(HOST, c_port, 2, 8, k=7))
+    c.sync_with_coordinator()
+    q = np.zeros((2, 8), np.float32)
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")     # warning fires on the coord thread
+        c.retrieve_send(q, nprobe=4, k=7)
+        with pytest.raises((ConnectionError, OSError)):
+            c.retrieve_recv()
+    c.close()
+    ct.join(timeout=10)
+    assert not ct.is_alive()
+    assert coord.answered_query_cnt == 0
