@@ -202,7 +202,8 @@ def main() -> None:
             from chamjax.eval.diagnose import recall_diagnosis
             diag = recall_diagnosis(
                 dev, np.asarray(xq[: args.nq_gt]), gt, np.asarray(i_r),
-                np.asarray(d_r), nprobe=nprobe, windows=W, seg=seg, at=10,
+                np.asarray(d_r), nprobe=nprobe, windows=W, seg=seg,
+                group=args.group, at=10,
                 coarse_approx=kw["coarse_approx"],
                 coarse_cand=kw["coarse_cand"])
             note(f"nprobe={nprobe} loss decomposition: "

@@ -97,8 +97,10 @@ def write_ivecs(path: str, x: np.ndarray) -> None:
 
 def read_fbin(path: str, start: int = 0, count: Optional[int] = None) -> np.ndarray:
     with open(path, "rb") as f:
-        n, d = np.frombuffer(f.read(8), dtype=np.int32)
-        n = int(n) - start
+        n, d = (int(v) for v in np.frombuffer(f.read(8), dtype=np.int32))
+        # int(d): numpy-2 NEP-50 keeps n*d / start*d*4 as int32 scalars,
+        # which silently WRAP past 2^31 (100M x 96 f32 already overflows)
+        n = n - start
         if count is not None:
             n = min(n, count)
         f.seek(8 + start * d * 4)
@@ -107,8 +109,8 @@ def read_fbin(path: str, start: int = 0, count: Optional[int] = None) -> np.ndar
 
 def read_ibin(path: str, start: int = 0, count: Optional[int] = None) -> np.ndarray:
     with open(path, "rb") as f:
-        n, d = np.frombuffer(f.read(8), dtype=np.int32)
-        n = int(n) - start
+        n, d = (int(v) for v in np.frombuffer(f.read(8), dtype=np.int32))
+        n = n - start
         if count is not None:
             n = min(n, count)
         f.seek(8 + start * d * 4)
@@ -340,7 +342,15 @@ def load_dataset(dbname: str, data_dir: str = "data", **syn_kwargs) -> Dataset:
         gt = read_ivecs(gt_path) if os.path.exists(gt_path) else None
         return Dataset(dbname, np.asarray(xb, np.float32), xq.astype(np.float32),
                        np.asarray(xt[:10**6], np.float32), gt)
-    d, nb = _KNOWN.get(dbname, (syn_kwargs.pop("d", 128), None))
+    if dbname in _KNOWN:
+        d, nb = _KNOWN[dbname]
+        if "d" in syn_kwargs and syn_kwargs["d"] != d:
+            raise ValueError(
+                f"load_dataset: {dbname!r} has fixed dim {d}; a d="
+                f"{syn_kwargs['d']} override would silently not apply")
+        syn_kwargs.pop("d", None)
+    else:
+        d, nb = syn_kwargs.pop("d", 128), None
     nb = min(nb or 100_000, syn_kwargs.pop("max_nb", 1_000_000))
     kw = dict(nb=nb, d=d, n_clusters=256)
     kw.update(syn_kwargs)

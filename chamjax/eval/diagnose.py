@@ -61,6 +61,7 @@ def recall_diagnosis(
     nprobe: int,
     windows: int,
     seg: int,
+    group: int = 1,
     at: int = 10,
     by_residual: bool = True,
     coarse_approx: bool = False,
@@ -105,7 +106,11 @@ def recall_diagnosis(
     probed = (probe_ids[:, None, :] == list_of[:, :, None]).any(-1)
 
     # window reach: which probe rank, and does the budget cover the row's
-    # segment?  Mirror expand_windows' probe-major packing exactly.
+    # segment?  Mirror expand_windows' probe-major packing exactly —
+    # including the group round-up the grouped scan applies
+    # (scan_lists_seg_multi: windows = ceil(W/group)*group), or a gt row
+    # scanned in the rounded-up tail would be misreported as window loss
+    windows = -(-windows // max(group, 1)) * max(group, 1)
     starts_w, lens_w, probe_w, valid_w = (np.asarray(a) for a in
                                           expand_windows(
         jnp.asarray(probe_ids), index.list_start, index.list_len,

@@ -261,7 +261,6 @@ def decoder_step(
     idx = cache.idx
     x = params.embed[tokens] + params.pos[idx][None]      # (b, d)
     x = x[:, None, :]                                     # (b, 1, d)
-    pos_mask = jnp.arange(T)[None, None, :] <= idx        # (1,1,T)
 
     has_cross = cross_kv is not None
     xs = (params.layers, cache.k, cache.v)

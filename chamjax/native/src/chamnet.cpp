@@ -186,6 +186,13 @@ long long cham_coordinator_run(const char* host, int port, int n_clients,
 
   // --- epoll relay loop ---
   int ep = epoll_create1(0);
+  if (ep < 0) {
+    // fd exhaustion: every epoll_ctl below would silently fail and
+    // epoll_wait(-1) returns instantly — the relay would busy-spin forever
+    for (auto& e : engines) close(e.fd);
+    for (int f : clients) close(f);
+    return -6;
+  }
   // fd -> (is_client, index) lookup
   struct Peer { bool is_client; int idx; };
   std::vector<Peer> peer_of_fd;

@@ -271,23 +271,33 @@ extern "C" {
 int64_t cham_hnsw_create(int dim, int M, int ef_construction,
                          uint64_t seed) {
     if (dim <= 0 || M < 2) return -1;
-    auto *h = new HNSW();
-    h->dim = dim;
-    h->M = M;
-    h->Mmax0 = 2 * M;
-    h->efc = ef_construction;
-    h->mult = 1.0 / std::log((double)M);
-    h->rng.seed(seed);
-    return register_index(h);
+    try {
+        auto *h = new HNSW();
+        h->dim = dim;
+        h->M = M;
+        h->Mmax0 = 2 * M;
+        h->efc = ef_construction;
+        h->mult = 1.0 / std::log((double)M);
+        h->rng.seed(seed);
+        return register_index(h);
+    } catch (const std::bad_alloc &) {
+        return -5;       // bad_alloc must not cross the ctypes boundary
+    }
 }
 
 int64_t cham_hnsw_add(int64_t handle, int64_t n, const float *vecs,
                       const int64_t *labels) {
     HNSW *h = get(handle);
     if (!h) return -1;
-    for (int64_t i = 0; i < n; ++i)
-        h->add_one(vecs + i * h->dim,
-                   labels ? labels[i] : (int64_t)h->size());
+    try {
+        for (int64_t i = 0; i < n; ++i)
+            h->add_one(vecs + i * h->dim,
+                       labels ? labels[i] : (int64_t)h->size());
+    } catch (const std::bad_alloc &) {
+        // growth vectors can throw mid-corpus; already-added rows remain
+        // valid — report the failure instead of aborting the interpreter
+        return -5;
+    }
     return (int64_t)h->size();
 }
 
@@ -334,7 +344,7 @@ int64_t cham_hnsw_save(int64_t handle, const char *path) {
     return (int64_t)n;
 }
 
-int64_t cham_hnsw_load(const char *path) {
+int64_t cham_hnsw_load(const char *path) try {
     FILE *f = fopen(path, "rb");
     if (!f) return -2;
     // header fields are untrusted: bound every count against sane limits
@@ -399,11 +409,30 @@ int64_t cham_hnsw_load(const char *path) {
         }
     }
     fclose(f);
+    // graph-consistency post-pass: search() walks links[node][l] for every
+    // node it reaches at layer l, so (a) the entry point must carry
+    // max_level+1 layers, (b) per-node layer counts must match the levels
+    // array (links.size() == levels+1 >= 1 by construction in add_one),
+    // and (c) any neighbor referenced at layer l must itself have a
+    // layer-l list — otherwise a corrupt file that passes the id bounds
+    // check still drives an out-of-bounds vector access on first search.
+    if (ok && n > 0)
+        ok = h->links[(size_t)entry].size() == (size_t)max_level + 1;
+    for (uint64_t i = 0; ok && i < n; ++i) {
+        const auto &ls = h->links[i];
+        ok = !ls.empty() && h->levels[i] >= 0 &&
+             ls.size() == (size_t)h->levels[i] + 1;
+        for (size_t l = 0; ok && l < ls.size(); ++l)
+            for (int nb : ls[l])
+                if (h->links[(size_t)nb].size() <= l) { ok = false; break; }
+    }
     if (!ok) {
         delete h;
         return -4;
     }
     return register_index(h);
+} catch (const std::bad_alloc &) {
+    return -5;
 }
 
 void cham_hnsw_free(int64_t handle) {

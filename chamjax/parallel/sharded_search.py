@@ -69,8 +69,13 @@ def shard_index(index: PackedIVF, n_shards: int, tail_pad: int = 8192
     for l in order:
         s = int(np.argmin(loads))
         owner[l] = s
-        loads[s] += int(-(-int(index.list_len[l]) // index.cfg.list_pad)
-                        * index.cfg.list_pad)
+        # max(ln, 1): the pack loop below advances one list_pad slot even
+        # for an empty list — counting them as 0 here both under-sizes
+        # n_pad_sh (overrun crash when one shard collects many empties)
+        # and piles every empty list onto a single shard (argmin never
+        # moves on +0)
+        loads[s] += int(-(-max(int(index.list_len[l]), 1)
+                          // index.cfg.list_pad) * index.cfg.list_pad)
     n_pad_sh = int(loads.max()) + tail_pad
 
     m = index.codes.shape[1]
@@ -99,6 +104,24 @@ def shard_index(index: PackedIVF, n_shards: int, tail_pad: int = 8192
     )
 
 
+def _shard_window_budget(windows: int, windows_shard: int, nprobe: int,
+                         group: int) -> int:
+    """Static per-shard window budget.
+
+    Default (``windows_shard=0``) is the FULL global budget: foreign lists
+    are len-0 ⇒ zero segments (``expand_windows``), so a shard's window
+    demand for any query is a subset of the global demand — the global
+    budget can never truncate more locally than it would globally.  A
+    divided budget (global/n_shards style) silently drops windows for
+    queries whose probes concentrate on one shard (shard assignment is by
+    list size, uncorrelated with query locality).  Pass ``windows_shard``
+    explicitly to trade that risk for per-shard fixed-cost savings when
+    the build is balanced (every list one segment ⇒ demand ≤ nprobe)."""
+    if windows_shard:
+        return max(group, windows_shard)
+    return max(group, windows, nprobe)
+
+
 def place_sharded(sh: ShardedIVF, mesh: Mesh, axis: str = "lists"
                   ) -> ShardedIVF:
     """Pin the shard axis of the big arrays to the mesh; replicate the rest."""
@@ -118,8 +141,9 @@ def place_sharded(sh: ShardedIVF, mesh: Mesh, axis: str = "lists"
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis", "nprobe", "k", "scan_len", "windows",
-                     "seg", "group", "by_residual", "use_approx", "backend",
-                     "interpret", "lut_bf16", "select_l1", "coarse_cand"),
+                     "windows_shard", "seg", "group", "by_residual",
+                     "use_approx", "backend", "interpret", "lut_bf16",
+                     "select_l1", "coarse_cand"),
 )
 def sharded_search(
     sh: ShardedIVF,
@@ -131,6 +155,7 @@ def sharded_search(
     k: int,
     scan_len: int = 0,
     windows: int = 0,
+    windows_shard: int = 0,
     seg: int = 512,
     group: int = 8,
     by_residual: bool = True,
@@ -158,11 +183,8 @@ def sharded_search(
         luts = build_luts(q, centroids, codebooks, list_ids,
                           by_residual=by_residual)
         if backend == "seg":
-            # per-shard window budget: probed lists split ~evenly across
-            # shards (foreign lists are len-0 ⇒ zero segments), so the
-            # global budget divides by the shard count, with headroom.
-            n_sh = mesh.shape[axis]
-            w_sh = max(group, -(-max(windows, 2 * nprobe) // n_sh) * 2)
+            w_sh = _shard_window_budget(windows, windows_shard, nprobe,
+                                        group)
             local_d, local_i = scan_lists_seg_multi(
                 codes_t, ids, list_start, list_len, luts, list_ids,
                 windows=w_sh, seg=seg, group=group, k=k,
@@ -202,9 +224,9 @@ def sharded_search(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis", "batch_axis", "nprobe", "k", "scan_len",
-                     "windows", "seg", "group", "by_residual", "use_approx",
-                     "backend", "interpret", "lut_bf16", "select_l1",
-                     "coarse_cand"),
+                     "windows", "windows_shard", "seg", "group",
+                     "by_residual", "use_approx", "backend", "interpret",
+                     "lut_bf16", "select_l1", "coarse_cand"),
 )
 def sharded_search_2d(
     sh: ShardedIVF,
@@ -217,6 +239,7 @@ def sharded_search_2d(
     k: int,
     scan_len: int = 0,
     windows: int = 0,
+    windows_shard: int = 0,
     seg: int = 512,
     group: int = 8,
     by_residual: bool = True,
@@ -242,8 +265,7 @@ def sharded_search_2d(
         list_ids = _coarse(q, centroids, nprobe, coarse_cand)
         luts = build_luts(q, centroids, codebooks, list_ids,
                           by_residual=by_residual)
-        n_sh = mesh.shape[axis]
-        w_sh = max(group, -(-max(windows, 2 * nprobe) // n_sh) * 2)
+        w_sh = _shard_window_budget(windows, windows_shard, nprobe, group)
         local_d, local_i = scan_lists_seg_multi(
             codes_t, ids, list_start, list_len, luts, list_ids,
             windows=w_sh, seg=seg, group=group, k=k,

@@ -36,8 +36,14 @@ class RaplMeter:
     SYS = "/sys/class/powercap"
 
     def __init__(self) -> None:
-        self.domains = sorted(glob.glob(
-            os.path.join(self.SYS, "intel-rapl:*", "energy_uj")))
+        # top-level PACKAGE domains only (intel-rapl:<n>): subzones like
+        # intel-rapl:0:0 (core) / :0:1 (uncore) are subsets of the package
+        # counter — glob'ing them too would double-count energy
+        self.domains = sorted(
+            p for p in glob.glob(
+                os.path.join(self.SYS, "intel-rapl:*", "energy_uj"))
+            if ":" not in os.path.basename(os.path.dirname(p))
+            .split("intel-rapl:", 1)[1])
         self.available = bool(self.domains) and all(
             os.access(p, os.R_OK) for p in self.domains)
         self.joules: Optional[float] = None

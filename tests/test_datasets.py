@@ -1,6 +1,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from chamjax.data import datasets
 
@@ -67,7 +68,6 @@ def test_synthetic_dataset_device_deterministic():
                                  n_clusters=16, chunk=1024)
     b = synthetic_dataset_device(nb=2000, nq=16, nt=500, d=32, seed=3,
                                  n_clusters=16, chunk=512)
-    import numpy as np
     assert a.xb.shape == (2000, 32) and a.xb.dtype == np.float32
     # chunk size must not change content at chunk-aligned boundaries of the
     # fold_in stream: same seed+offsets → same draws per chunk start
@@ -149,3 +149,28 @@ def test_golden_sbert_raw_f32():
     assert m.shape == (2, 384)
     np.testing.assert_allclose(
         np.asarray(m).ravel(), np.arange(768, dtype=np.float32) / 7.0)
+
+
+def test_fbin_large_offset_no_int32_wrap(tmp_path, rng):
+    """Header fields are int32; the seek offset / element count math must
+    be Python-int (numpy-2 NEP-50 keeps start*d*4 an int32 scalar, which
+    WRAPS past 2^31 — start=6M rows at d=96 seeks negative).  Sparse file:
+    apparent size ~2.3 GB, a few KB on disk."""
+    from chamjax.data.datasets import read_fbin
+    d, start, nrows = 96, 6_000_000, 4
+    want = rng.standard_normal((nrows, d)).astype(np.float32)
+    p = tmp_path / "big.fbin"
+    with open(p, "wb") as f:
+        np.asarray([start + nrows, d], np.int32).tofile(f)
+        f.seek(8 + start * d * 4)
+        want.tofile(f)
+    got = read_fbin(str(p), start=start, count=nrows)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_load_dataset_rejects_dim_override_for_known_names():
+    """load_dataset('Deep1M', d=128) used to silently drop the override
+    and return 96-d data; known names must reject a conflicting d."""
+    from chamjax.data.datasets import load_dataset
+    with pytest.raises(ValueError, match="fixed dim"):
+        load_dataset("Deep1M", d=128)

@@ -39,8 +39,8 @@ def test_classes_partition_and_sum_to_one(setup):
     seg = auto_seg(idx.list_len)
     W = auto_windows(idx.list_len, seg, 16)
     dists, ids = _run(dev, idx, ds.xq, 16, W, seg)
-    diag = recall_diagnosis(dev, ds.xq, gt, ids, dists,
-                            nprobe=16, windows=W, seg=seg, at=10)
+    diag = recall_diagnosis(dev, ds.xq, gt, ids, dists, nprobe=16,
+                            windows=W, seg=seg, group=2, at=10)
     assert abs(sum(diag.values()) - 1.0) < 1e-9
     assert 0.1 <= diag["found"] <= 1.0
     # found must equal the gt∩result intersection fraction
@@ -57,7 +57,8 @@ def test_probe_loss_shrinks_with_more_probes(setup):
         W = auto_windows(idx.list_len, seg, nprobe)
         dists, ids = _run(dev, idx, ds.xq, nprobe, W, seg)
         out[nprobe] = recall_diagnosis(dev, ds.xq, gt, ids, dists,
-                                       nprobe=nprobe, windows=W, seg=seg)
+                                       nprobe=nprobe, windows=W, seg=seg,
+                                       group=2)
     assert out[2]["probe"] > out[16]["probe"]
     assert out[16]["probe"] <= 0.05
 
@@ -66,12 +67,17 @@ def test_window_loss_appears_when_budget_starved(setup):
     ds, idx, dev, gt = setup
     seg = auto_seg(idx.list_len)
     W_full = auto_windows(idx.list_len, seg, 16)
-    W_tiny = max(2, W_full // 8)
+    W_tiny = max(3, W_full // 8) | 1   # odd: group round-up bites
     dists, ids = _run(dev, idx, ds.xq, 16, W_tiny, seg)
-    diag = recall_diagnosis(dev, ds.xq, gt, ids, dists,
-                            nprobe=16, windows=W_tiny, seg=seg)
+    diag = recall_diagnosis(dev, ds.xq, gt, ids, dists, nprobe=16,
+                            windows=W_tiny, seg=seg, group=2)
+    # the scan rounds W up to a group multiple — the diagnosis must mirror
+    # that, so reach with group=2 is a superset of the group=1 reckoning
+    diag_g1 = recall_diagnosis(dev, ds.xq, gt, ids, dists, nprobe=16,
+                               windows=W_tiny, seg=seg, group=1)
+    assert diag["window"] <= diag_g1["window"] + 1e-12
     full_d, full_i = _run(dev, idx, ds.xq, 16, W_full, seg)
-    full = recall_diagnosis(dev, ds.xq, gt, full_i, full_d,
-                            nprobe=16, windows=W_full, seg=seg)
+    full = recall_diagnosis(dev, ds.xq, gt, full_i, full_d, nprobe=16,
+                            windows=W_full, seg=seg, group=2)
     assert diag["window"] > full["window"]
     assert full["window"] <= 0.02

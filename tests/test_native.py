@@ -283,3 +283,32 @@ def test_native_ivfpq_opq_rotation():
     close = np.abs(d_n - d_r) < 1e-3   # id ties may swap at equal distance
     assert np.all(agree | close)
     eng.close()
+
+
+def test_hnsw_load_rejects_inconsistent_graph(tmp_path):
+    """A file whose per-node layer structure is internally inconsistent
+    (entry point missing its max_level list, or a neighbor referenced at a
+    layer it does not have) must be rejected at load — previously it
+    passed the id bounds check and walked links[] out of bounds on the
+    first search."""
+    import struct as st
+    from chamjax.native import HNSWIndex
+    np_rng = np.random.default_rng(3)
+    idx = HNSWIndex(8, M=4, ef_construction=32)
+    idx.add(np_rng.standard_normal((200, 8)).astype(np.float32))
+    p = str(tmp_path / "g.hnsw")
+    idx.save(p)
+    raw = bytearray(open(p, "rb").read())
+    # header: [magic, dim, M, Mmax0, efc, n, entry+1, max_level+1] u64le.
+    # claim one extra level for the whole graph: the entry node now lacks
+    # its top layer list
+    (maxl,) = st.unpack_from("<Q", raw, 7 * 8)
+    st.pack_into("<Q", raw, 7 * 8, maxl + 1)
+    bad = str(tmp_path / "bad.hnsw")
+    open(bad, "wb").write(bytes(raw))
+    with pytest.raises(IOError):
+        HNSWIndex.load_file(bad, 8)
+    # truncated file still rejected (regression for the header-bounds gate)
+    open(bad, "wb").write(bytes(raw[: len(raw) // 2]))
+    with pytest.raises(IOError):
+        HNSWIndex.load_file(bad, 8)

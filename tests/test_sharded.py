@@ -132,3 +132,60 @@ def test_sharded_2d_data_and_lists(setup):
     agree = np.asarray(i_sh) == i_ref
     close = np.abs(np.asarray(d_sh) - d_ref) < 1e-2
     assert np.all(agree | close)
+
+
+def test_shard_index_many_empty_lists():
+    """Empty lists cost one list_pad slot in the pack loop — the load
+    accounting must count them identically, or a shard collecting many
+    empties overruns its n_pad_sh sizing (numpy broadcast crash) and all
+    empties pile onto one shard (argmin never moves on +0)."""
+    ds = synthetic_dataset(nb=40_000, nq=4, nt=20_000, d=16, seed=11,
+                           n_clusters=512)
+    # train centroids on the full spread, then populate with rows from a
+    # thin slice of it: most of the 512 lists end up EMPTY (kmeans
+    # reseeding can no longer fill them — the corpus itself is narrow)
+    from chamjax.index.factory import train_quantizers, populate
+    cfg = IndexConfig(dim=16, nlist=512, m=4, list_pad=64)
+    tq = train_quantizers(ds.xt, cfg, kmeans_iters=6, pq_iters=4)
+    idx = populate(ds.xb[:200], tq)
+    assert int((idx.list_len == 0).sum()) > 256   # the regression regime
+    sh = shard_index(idx, 4)                      # crashed before the fix
+    lens = np.asarray(sh.list_len)
+    np.testing.assert_array_equal(lens.sum(axis=0), idx.list_len)
+    all_ids = np.asarray(sh.ids).ravel()
+    valid = np.sort(all_ids[all_ids >= 0])
+    np.testing.assert_array_equal(valid, np.arange(idx.ntotal))
+    # empties spread across shards, not all on one
+    owner_has_empty = ((lens == 0) & (np.asarray(sh.list_start) >= 0)).sum(1)
+    assert int(owner_has_empty.max()) < 512
+
+
+def test_sharded_seg_probe_concentration_matches_single():
+    """Worst-case budget regression: all probes land on multi-segment
+    lists that one shard owns — the per-shard window budget must cover
+    them (the old global/n_shards heuristic silently truncated the scan
+    and dropped true neighbours)."""
+    ds = synthetic_dataset(nb=24_000, nq=16, nt=6000, d=16, seed=13,
+                           n_clusters=3)
+    # 3 giant clusters over 16 lists: a few huge (multi-segment) lists own
+    # nearly all rows, and every query's probes concentrate on them
+    idx = build_ivfpq(ds.xb, IndexConfig(dim=16, nlist=16, m=4,
+                                         list_pad=64),
+                      xt=ds.xt, kmeans_iters=4, pq_iters=4)
+    from chamjax.searcher import auto_seg, auto_windows
+    seg = auto_seg(idx.list_len)
+    W = auto_windows(idx.list_len, seg, 4)
+    mesh = make_mesh((("lists", 4),), devices=jax.devices()[:4])
+    sh = place_sharded(shard_index(idx, 4), mesh)
+    d_sh, i_sh = sharded_search(
+        sh, jnp.asarray(ds.xq), mesh=mesh, nprobe=4, k=10,
+        windows=W, seg=seg, group=2, use_approx=False, backend="seg",
+        interpret=True)
+    single = IVFSearcher(idx, SearchConfig(nprobe=4, k=10, backend="seg",
+                                           seg_group=2, lut_bf16=False,
+                                           use_approx_topk=False))
+    d_1, i_1 = single.search(ds.xq)
+    np.testing.assert_allclose(np.asarray(d_sh), d_1, rtol=1e-4, atol=1e-3)
+    same = np.asarray(i_sh) == i_1
+    close = np.abs(np.asarray(d_sh) - d_1) < 1e-3
+    assert np.all(same | close)
