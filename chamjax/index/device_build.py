@@ -973,11 +973,14 @@ def build_ivfpq_device_sharded(
         g_ids, st, ln = _pack_layout_core(
             order, list_len, src_start, owner_dev == s,
             list_pad=pad, cap=cap)
-        ids_s.append(jnp.concatenate(
-            [g_ids, jnp.full((MAX_SEG,), -1, jnp.int32)]))
-        codes_s.append(jnp.concatenate(
-            [_pack_codes_t(codes, g_ids),
-             jnp.zeros((cfg.m, MAX_SEG), jnp.uint8)], axis=1))
+        # pad the gather map BEFORE packing (same trick as the non-sharded
+        # path above): a post-pack concatenate transiently doubles the
+        # shard's codes_t at peak HBM, alongside the still-live corpus-
+        # sized `codes` buffer
+        g_ids = jnp.concatenate(
+            [g_ids, jnp.full((MAX_SEG,), -1, jnp.int32)])
+        ids_s.append(g_ids)
+        codes_s.append(_pack_codes_t(codes, g_ids))
         starts_s.append(st)
         lens_s.append(ln)
     del codes, order

@@ -45,8 +45,12 @@ def parse_index_key(key: str, dim: int) -> IndexConfig:
         bits = int(imi.group(1))
         return IndexConfig(dim=dim, nlist=1 << (2 * bits), m=m, opq=opq,
                            imi=bits)
-    nlist = int(re.search(r"IVF(\d+)", key).group(1))
-    return IndexConfig(dim=dim, nlist=nlist, m=m, opq=opq)
+    ivf = re.search(r"IVF(\d+)", key)
+    if ivf is None:
+        raise ValueError(
+            f"index key {key!r} has no IVF<nlist>/IMI2x<b> coarse-"
+            "quantizer token (flat-PQ keys are not supported)")
+    return IndexConfig(dim=dim, nlist=int(ivf.group(1)), m=m, opq=opq)
 
 
 @dataclass

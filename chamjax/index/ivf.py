@@ -143,6 +143,15 @@ def _pack_lists(
     return packed_codes, packed_ids, list_start, list_len
 
 
+def _opq_subsample_idx(n: int, seed: int, cap: int = 1 << 17) -> np.ndarray:
+    """Uniform OPQ-training row subsample (sorted, for gather locality);
+    identity when the training set already fits the cap."""
+    if n <= cap:
+        return np.arange(n)
+    rng = np.random.default_rng(seed)
+    return np.sort(rng.choice(n, size=cap, replace=False))
+
+
 def build_ivfpq(
     xb: np.ndarray,
     cfg: IndexConfig,
@@ -210,24 +219,28 @@ def build_ivfpq(
                       file=sys.stderr, flush=True)
             cent_raw = kmeans(xt, cfg.nlist, iters=kmeans_iters, seed=seed)
             train_assign = kmeans_assign(xt, cent_raw)
-            n_s = min(xt.shape[0], 1 << 17)
+            # UNIFORM subsample, not the head slice: ordered training sets
+            # (appended per-source/cluster corpora) would otherwise fit the
+            # rotation to the head's distribution only
+            sub = _opq_subsample_idx(xt.shape[0], seed)
             if on_device:
-                resid = (xt[:n_s]
+                resid = (xt[jnp.asarray(sub)]
                          - jnp.asarray(cent_raw)[jnp.asarray(
-                             train_assign[:n_s])])
+                             train_assign)[jnp.asarray(sub)]])
                 resid = np.asarray(resid)
             else:
-                resid = xt[:n_s] - cent_raw[train_assign[:n_s]]
+                resid = xt[sub] - cent_raw[np.asarray(train_assign)[sub]]
             opq_R, _ = train_opq(resid, cfg.m, nbits=cfg.nbits, seed=seed)
             R = jnp.asarray(opq_R) if on_device else opq_R
             xt_r, xb_r = _rotate(xt, R), _rotate(xb, R)
             centroids = np.asarray(cent_raw) @ opq_R
         else:
-            # slice BEFORE pulling to host: train_opq subsamples to 2^17
+            # subsample BEFORE pulling to host (train_opq caps at 2^17
             # rows anyway, and np.asarray of a full device corpus crosses
-            # the (slow) host link
-            n_s = min(xt.shape[0], 1 << 17)
-            opq_R, _ = train_opq(np.asarray(xt[:n_s]), cfg.m,
+            # the slow host link) — uniformly, not the head slice
+            sub = _opq_subsample_idx(xt.shape[0], seed)
+            xt_s = xt[jnp.asarray(sub)] if on_device else xt[sub]
+            opq_R, _ = train_opq(np.asarray(xt_s), cfg.m,
                                  nbits=cfg.nbits, seed=seed)
             R = jnp.asarray(opq_R) if on_device else opq_R
             xt_r = _rotate(xt, R)

@@ -138,6 +138,7 @@ def adc_scan_distances(
         for c in (4096, 2048):
             if scan_len % c == 0:
                 chunk = c
+                break          # largest first — don't overwrite with 2048
     chunk = min(chunk, scan_len)
     n_groups = scan_len // GROUP
 

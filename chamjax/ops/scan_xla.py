@@ -79,19 +79,28 @@ def scan_lists_xla(
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, scan_len), 2)
 
+    n_pad = codes_t.shape[1]
+
     def step(carry, x):
         best_d, best_i = carry
         lids, lut_c, pvalid = x                       # (b,pc), (b,pc,ksub,m), (b,pc)
         starts = list_start[lids]                     # (b, pc)
         lens = list_len[lids]                         # (b, pc)
-        w_codes = slice_codes(starts)                 # (b, pc, L, m) uint8
-        w_ids = slice_ids(starts)                     # (b, pc, L) int32
+        # dynamic_slice CLAMPS an out-of-range start backwards — a short
+        # list near the packed tail would silently read rows of EARLIER
+        # lists and score them as its own.  Clamp explicitly and shift the
+        # valid mask by the clamp delta instead (foreign head rows masked).
+        s_cl = jnp.clip(starts, 0, max(n_pad - scan_len, 0))
+        delta = starts - s_cl                         # (b, pc) ≥ 0
+        w_codes = slice_codes(s_cl)                   # (b, pc, L, m) uint8
+        w_ids = slice_ids(s_cl)                       # (b, pc, L) int32
         # ADC accumulate: dist[b,p,l] = Σ_m lut[b,p,code[b,p,l,m],m]
         contrib = jnp.take_along_axis(
             lut_c, w_codes.astype(jnp.int32), axis=2
         )                                             # (b, pc, L, m)
         dist = jnp.sum(contrib, axis=-1)              # (b, pc, L)
-        valid = (pos < lens[:, :, None]) & pvalid[:, :, None]
+        valid = ((pos >= delta[:, :, None])
+                 & (pos < (delta + lens)[:, :, None]) & pvalid[:, :, None])
         dist = jnp.where(valid, dist, INVALID)
         flat_d = dist.reshape(b, pc * scan_len)
         flat_i = w_ids.reshape(b, pc * scan_len)

@@ -38,8 +38,8 @@ V5P = TpuSpec(name="v5p", hbm_gbps=2765.0, bf16_tflops=459.0,
 # Vector search components
 # ---------------------------------------------------------------------------
 
-def scan_bytes_per_query(dbsize: int, nlist: int, nprobe: int, m: int,
-                         id_bytes: int = 8) -> float:
+def scan_bytes_per_query(dbsize: int, nlist: int, nprobe: int, m: int
+                         ) -> float:
     """HBM bytes touched per query by the PQ-code scan.
 
     Expected rows scanned = nprobe/nlist · dbsize (uniform-list assumption,

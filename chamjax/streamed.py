@@ -43,7 +43,8 @@ from chamjax.searcher import auto_seg, auto_windows, resolve_coarse_cand
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "windows", "seg", "coarse_cand"))
+    jax.jit, static_argnames=("nprobe", "windows", "seg", "coarse_cand",
+                              "use_approx"))
 def plan_windows(
     queries: jax.Array,          # (b, d) f32
     centroids: jax.Array,        # (nlist, d) f32
@@ -55,6 +56,7 @@ def plan_windows(
     windows: int,
     seg: int,
     coarse_cand: int = 0,
+    use_approx: bool = False,
 ):
     """Device phase 1: coarse scan + window table.  Returns
     ``(starts, lens, probe, list_ids, q_rot)`` — starts/lens are *global*
@@ -67,7 +69,8 @@ def plan_windows(
     if opq_R is not None:
         q = jnp.dot(q, opq_R, precision=jax.lax.Precision.HIGHEST)
     list_ids, _ = select_probes(q, centroids, nprobe,
-                                coarse_cand=coarse_cand)
+                                coarse_cand=coarse_cand,
+                                use_approx=use_approx)
     starts, lens, probe, _valid = expand_windows(
         list_ids, list_start, list_len, windows=windows, seg=seg)
     return starts, lens, probe, list_ids, q
@@ -149,6 +152,13 @@ class HostStreamedSearcher:
                 f"HostStreamedSearcher requires nbits=8 PQ codes (got "
                 f"nbits={packed.cfg.nbits}); use IVFSearcher's XLA "
                 "backend for nbits != 8")
+        if scfg.lane_l1:
+            # the staged kernel writes full seg rows per window; the
+            # in-kernel lane-L1 reduction is not plumbed through this tier
+            import warnings
+            warnings.warn(
+                "HostStreamedSearcher ignores SearchConfig.lane_l1 (not "
+                "supported by the staged kernel path)", stacklevel=2)
         self.seg = seg or scfg.seg or auto_seg(packed.list_len)
         self.windows = scfg.scan_windows or auto_windows(
             packed.list_len, self.seg, scfg.nprobe)
@@ -226,7 +236,8 @@ class HostStreamedSearcher:
             nprobe=self.scfg.nprobe, windows=self.windows, seg=self.seg,
             coarse_cand=resolve_coarse_cand(
                 self.scfg.coarse_cand, self.centroids.shape[0],
-                self.scfg.nprobe))
+                self.scfg.nprobe),
+            use_approx=self.scfg.coarse_approx and not self.interpret)
         slab_c, slab_i = self._stage(np.asarray(starts), np.asarray(lens))
         d, i = scan_staged(
             jnp.asarray(slab_c), jnp.asarray(slab_i), lens, probe,

@@ -167,3 +167,8 @@ def test_build_ivfpq_imi_routes_to_factory(corpus):
     s = IVFSearcher(idx, SearchConfig(nprobe=16, k=10))
     _, ids = s.search(ds.xq)
     assert recall_at_k(ids, gt, 10) > 0.4
+
+
+def test_parse_index_key_requires_coarse_token():
+    with pytest.raises(ValueError, match="IVF"):
+        parse_index_key("OPQ16,PQ16", dim=128)

@@ -187,3 +187,16 @@ def test_build_ivfpq_device_resident_opq():
                       kmeans_iters=3, pq_iters=3)
     assert dev.opq_R is not None and dev.codes.dtype == np.uint8
     assert int(dev.list_len.sum()) == 3000
+
+
+def test_opq_subsample_is_uniform_not_head():
+    """OPQ training rows must be a uniform subsample — the head slice
+    fits the rotation to ordered corpora's head distribution only."""
+    from chamjax.index.ivf import _opq_subsample_idx
+    n, cap = 1_000_000, 1 << 17
+    idx = _opq_subsample_idx(n, seed=0, cap=cap)
+    assert idx.shape == (cap,) and len(np.unique(idx)) == cap
+    assert np.all(np.diff(idx) > 0)              # sorted, no repeats
+    assert idx.max() > n // 2                    # reaches past the head
+    small = _opq_subsample_idx(1000, seed=0, cap=cap)
+    np.testing.assert_array_equal(small, np.arange(1000))

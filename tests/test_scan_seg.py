@@ -267,3 +267,38 @@ def test_lane_l1_loss_model():
     assert lane_l1_loss(10, 69) < loss          # fewer pairs, less loss
     assert lane_l1_loss(100, 138) < loss        # more buckets, less loss
     assert lane_l1_loss(100, 0) == 1.0
+
+
+def test_scan_xla_short_tail_list_no_foreign_rows():
+    """dynamic_slice clamps an out-of-range window start BACKWARDS: a
+    short list near the packed tail used to have earlier lists' rows
+    scored under its own LUT (wrong neighbors, silently).  The clamp
+    delta must shift the valid mask instead."""
+    import numpy as np
+    from chamjax.ops.scan_xla import scan_lists_xla
+
+    rng = np.random.default_rng(0)
+    m, ksub = 4, 256
+    # list 0: rows [0, 100) — ADC distance ~0 under ANY lut (codes=0 and
+    # lut row 0 set to 0 would be degenerate; instead give list-0 rows the
+    # code value 1 whose lut entry we make tiny, so a leak would WIN top-k)
+    n_pad = 112                         # list1 start=100, len=4, tail=8
+    codes_t = np.zeros((m, n_pad), np.uint8)
+    codes_t[:, :100] = 1                # foreign rows: lut[1] = 0.0 → best
+    codes_t[:, 100:104] = 2             # true rows:    lut[2] = 1.0
+    ids = np.arange(n_pad, dtype=np.int32)
+    ids[104:] = -1
+    list_start = np.asarray([0, 100], np.int32)
+    list_len = np.asarray([100, 4], np.int32)
+    luts = np.full((1, 1, ksub, m), 9.0, np.float32)
+    luts[:, :, 1, :] = 0.0              # foreign code → would dominate
+    luts[:, :, 2, :] = 1.0
+    list_ids = np.asarray([[1]], np.int32)   # probe ONLY the tail list
+    d, i = scan_lists_xla(
+        jnp.asarray(codes_t), jnp.asarray(ids), jnp.asarray(list_start),
+        jnp.asarray(list_len), jnp.asarray(luts), jnp.asarray(list_ids),
+        scan_len=64, probe_chunk=1, k=8, use_approx=False)
+    i, d = np.asarray(i), np.asarray(d)
+    got = set(i[0][i[0] >= 0].tolist())
+    assert got == {100, 101, 102, 103}, got        # no foreign rows
+    np.testing.assert_allclose(d[0][:4], 4.0)      # m * lut[2]

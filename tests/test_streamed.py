@@ -141,3 +141,11 @@ def test_streamed_seg_group_zero_ok(ds, index):
                                                   use_approx_topk=False))
     d, i = st.search(ds.xq[:4])
     assert np.isfinite(d).all()
+
+
+def test_streamed_warns_on_lane_l1(index):
+    """lane_l1 is not plumbed through the staged kernel — asking for it
+    must warn, not silently run a different kernel than configured."""
+    with pytest.warns(UserWarning, match="lane_l1"):
+        HostStreamedSearcher(index, SearchConfig(nprobe=8, k=10,
+                                                 lane_l1=True))
