@@ -32,6 +32,17 @@ DMA has ~4x headroom (``dma_only``).
                  (the production layout reads m separate seg-byte rows
                  strided by n); trim decode on top
 
+Round-3 fixed-cost decomposition (what makes F·R ≈ 2048 row-equivalents
+per window — the 80%-overhead question at the seg=512 flagship):
+
+- ``bf16_trim_nodma``: trim compute on stale scratch, NO codes DMA
+                 start/wait — isolates the DMA machinery share of F
+- ``bf16_min``  : trim compute + per-window lane-min output (1 row
+                 instead of seg/128) — isolates the output-block share
+- ``--same-lut``: lut_idx all zero, so the Pallas pipeline skips every
+                 LUT block refetch after the first — isolates the
+                 per-window 8 KB LUT DMA share of F
+
 Usage (TPU):  python benchmarks/kernel_variants.py --variants f32 bf16 ...
 """
 
@@ -134,18 +145,20 @@ def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
             codes_hbm.at[:, pl.ds(start, seg)], scratch.at[slot],
             sems.at[slot])
 
-    @pl.when(i == 0)
-    def _():
-        for j in range(group):
-            dma(j, j).start()
+    nodma = variant.endswith("_nodma")
+    if not nodma:
+        @pl.when(i == 0)
+        def _():
+            for j in range(group):
+                dma(j, j).start()
 
-    @pl.when(i + 1 < nw)
-    def _():
-        for sl in (0, 1):
-            @pl.when((i + 1) % 2 == sl)
-            def _(sl=sl):
-                for j in range(group):
-                    dma(sl * group + j, (i + 1) * group + j).start()
+        @pl.when(i + 1 < nw)
+        def _():
+            for sl in (0, 1):
+                @pl.when((i + 1) % 2 == sl)
+                def _(sl=sl):
+                    for j in range(group):
+                        dma(sl * group + j, (i + 1) * group + j).start()
 
     for sl in (0, 1):
         @pl.when(i % 2 == sl)
@@ -154,8 +167,23 @@ def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
                 lut = lut_refs[j][0]
                 if "bf16" in variant:
                     lut = jax.lax.bitcast_convert_type(lut, jnp.float32)
-                dma(sl * group + j, i * group + j).wait()
+                if not nodma:
+                    dma(sl * group + j, i * group + j).wait()
                 codes = scratch[sl * group + j]
+                if variant in ("bf16_trim_nodma", "bf16_min"):
+                    codes = codes.astype(jnp.int32)
+                    if variant == "bf16_min":
+                        best = jnp.full((LANES,), jnp.inf, jnp.float32)
+                        for t in range(seg // LANES):
+                            cc = codes[:, t * LANES:(t + 1) * LANES]
+                            best = jnp.minimum(best,
+                                               _tile_bf16_trim(lut, cc))
+                        out_ref[j, 0, :] = best
+                    else:
+                        for t in range(seg // LANES):
+                            cc = codes[:, t * LANES:(t + 1) * LANES]
+                            out_ref[j, t, :] = _tile_bf16_trim(lut, cc)
+                    continue
                 if variant == "bf16_mxu":
                     # decode tiles into a VMEM buffer; reduce over m with
                     # ONE MXU dot per window — frees the VPU of the
@@ -237,6 +265,7 @@ def run_variant(codes, starts, lens, lut_idx, luts, *, seg, group, variant,
     i32view = variant.startswith("i32view")
     cdt = jnp.int32 if (variant == "i32codes" or i32view) else jnp.uint8
     scr_lanes = seg // 4 if i32view else seg
+    out_rows = 1 if variant == "bf16_min" else seg // LANES
 
     def lut_spec(j):
         return pl.BlockSpec(
@@ -250,7 +279,7 @@ def run_variant(codes, starts, lens, lut_idx, luts, *, seg, group, variant,
         in_specs=[lut_spec(j) for j in range(group)] + [
             pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (group, seg // LANES, LANES),
+            (group, out_rows, LANES),
             lambda i, s, l, li: (i, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -260,12 +289,12 @@ def run_variant(codes, starts, lens, lut_idx, luts, *, seg, group, variant,
              if variant == "bf16_mxu" else []))
     out = pl.pallas_call(
         functools.partial(_kernel, seg=seg, group=group, variant=variant),
-        out_shape=jax.ShapeDtypeStruct((bw, seg // LANES, LANES),
+        out_shape=jax.ShapeDtypeStruct((bw, out_rows, LANES),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts, lens, lut_idx, *([luts] * group), codes)
-    return out.reshape(bw, seg)
+    return out.reshape(bw, out_rows * LANES)
 
 
 def chained_ms(make_step, arrays, steps_small=8, steps_large=64):
@@ -311,6 +340,10 @@ def main():
     ap.add_argument("--variants", nargs="+",
                     default=["f32", "bf16", "bf16_trim", "i32codes",
                              "nosum", "nogather"])
+    ap.add_argument("--same-lut", action="store_true",
+                    help="lut_idx all zero: Pallas skips every LUT block "
+                         "refetch — isolates the LUT-DMA share of the "
+                         "per-window fixed cost")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
     assert jax.default_backend() == "tpu"
@@ -321,7 +354,10 @@ def main():
     codes_u8 = jax.random.randint(k1, (m, n), 0, 256, jnp.uint8)
     luts = jax.random.uniform(k2, (args.n_lut, m, 256), jnp.float32)
     luts_p = pack_luts_bf16(luts)
-    lut_idx = jax.random.randint(k3, (bw,), 0, args.n_lut, jnp.int32)
+    if args.same_lut:
+        lut_idx = jnp.zeros((args.bw,), jnp.int32)
+    else:
+        lut_idx = jax.random.randint(k3, (bw,), 0, args.n_lut, jnp.int32)
     np.asarray(lut_idx[0])
     print(f"[data ready] n={n} m={m} bw={bw}", file=sys.stderr, flush=True)
     codes_i32 = None

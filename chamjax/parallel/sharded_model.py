@@ -54,7 +54,48 @@ def shard_decoder_params(params: TransformerParams, mesh: Mesh,
 def shard_kv_cache(cache: KVCache, mesh: Mesh, dp_axis: str = "dp",
                    tp_axis: str = "tp") -> KVCache:
     """Cache: batch over dp, heads over tp."""
-    spec = P(None, dp_axis, None, tp_axis, None)
+    tp = mesh.shape.get(tp_axis, 1)
+    # GQA caches may carry fewer KV heads than tp; replicate heads then
+    # (a head dim that doesn't divide tp would force uneven GSPMD tiles)
+    head_ax = tp_axis if cache.k.shape[3] % max(tp, 1) == 0 else None
+    spec = P(None, dp_axis, None, head_ax, None)
     put = lambda x: jax.device_put(x, NamedSharding(mesh, spec))
     return KVCache(k=put(cache.k), v=put(cache.v),
                    idx=jax.device_put(cache.idx, NamedSharding(mesh, P())))
+
+
+def shard_llama_params(params: dict, mesh: Mesh,
+                       tp_axis: str = "tp") -> dict:
+    """Megatron-style placement for the llama stack
+    (``models/llama.py::init_llama``): Q/K/V and FFN-in (w1/w3) column-
+    sharded over ``tp_axis``, O and FFN-out (w2) row-sharded, norms and
+    embeddings replicated.  XLA/GSPMD inserts the two per-layer
+    all-reduces over ICI; GQA K/V projections whose head count doesn't
+    divide tp stay replicated (uneven tiles would cost more than the
+    sharding saves)."""
+    tp = mesh.shape.get(tp_axis, 1)
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def col(x):  # (L, d, out) — shard out if divisible
+        ax = tp_axis if x.shape[-1] % max(tp, 1) == 0 else None
+        return put(x, P(None, None, ax))
+
+    def row(x):  # (L, in, d) — shard in if divisible
+        ax = tp_axis if x.shape[1] % max(tp, 1) == 0 else None
+        return put(x, P(None, ax, None))
+
+    lp = params["layers"]
+    return {
+        "embed": put(params["embed"], P()),
+        "layers": {
+            "ln1": put(lp["ln1"], P(None, None)),
+            "wq": col(lp["wq"]), "wk": col(lp["wk"]), "wv": col(lp["wv"]),
+            "wo": row(lp["wo"]),
+            "ln2": put(lp["ln2"], P(None, None)),
+            "w1": col(lp["w1"]), "w3": col(lp["w3"]), "w2": row(lp["w2"]),
+        },
+        "ln_f": put(params["ln_f"], P(None)),
+        "out_proj": put(params["out_proj"], P(None, None)),
+    }
