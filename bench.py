@@ -329,6 +329,8 @@ def main() -> None:
             t[steps].append(time.perf_counter() - t0)
     ms_b1 = (min(t[s_hi]) - min(t[s_lo])) / (s_hi - s_lo) * 1e3
 
+    from chamjax.utils.energy import tpu_efficiency
+
     baseline_qps = 1932.0   # reference 1FPGA-1GPU tik-tok b=128 (BASELINE.md)
     result = {
         "metric": "ivfpq_search_qps_b128_d128_m16_nprobe32_1M",
@@ -339,6 +341,7 @@ def main() -> None:
         "ms_per_query_b1": round(ms_b1, 4),
         "recall_at_10": round(float(r10), 4),
         "windows": W,
+        "qps_per_watt": tpu_efficiency(qps)["qps_per_watt"],
         "device": str(jax.devices()[0]),
     }
     if matrix_pass is not None:

@@ -57,6 +57,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from chamjax.config import IndexConfig
+    from chamjax.utils.energy import tpu_efficiency
     from chamjax.eval import recall_at_k
     from chamjax.index import build_ivfpq_device, compute_ground_truth_streamed
     from chamjax.index.device_build import lloyd_device, _assign_blocked
@@ -304,6 +305,10 @@ def main() -> None:
             # (shards, b, k) + top-k) is sub-ms at these shapes
             "projected_mesh_qps": round(args.batch / ms_max * 1e3, 1),
             "sequential_1chip_qps": round(args.batch / ms_sum * 1e3, 1),
+            # mesh efficiency: n shard-chips busy; sequential: one chip
+            "mesh_qps_per_watt": tpu_efficiency(
+                args.batch / ms_max * 1e3, n_chips=args.shards)[
+                "qps_per_watt"],
             "build_s_total": round(build_s_total, 1),
         }
         results.append(res)

@@ -44,6 +44,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from chamjax.config import IndexConfig
+    from chamjax.utils.energy import tpu_efficiency
     from chamjax.eval import recall_at_k
     from chamjax.index import build_ivfpq_device, compute_ground_truth_streamed
     from chamjax.searcher import (auto_seg, auto_windows, ivfpq_search,
@@ -238,6 +239,7 @@ def main() -> None:
                "lane_l1": lane,
                "R@1": round(float(r1), 4), "R@10": round(float(r10), 4),
                "ms_per_batch": round(ms, 3), "qps": round(qps, 1),
+               "qps_per_watt": tpu_efficiency(qps)["qps_per_watt"],
                "build_s": round(build_s, 1)}
         results.append(rec)
         print(json.dumps(rec), flush=True)

@@ -42,6 +42,13 @@ per window — the 80%-overhead question at the seg=512 flagship):
 - ``--same-lut``: lut_idx all zero, so the Pallas pipeline skips every
                  LUT block refetch after the first — isolates the
                  per-window 8 KB LUT DMA share of F
+- ``block_bf16t``: codes seg-tiled ``(n/seg, m, seg)`` AND fetched via a
+                 scalar-prefetched BlockSpec index map (exactly like the
+                 LUT blocks) instead of manual make_async_copy — the
+                 measured answer to the F decomposition: manual per-window
+                 DMA issue cost 0.30 ms of the 0.80 ms baseline at
+                 seg=512/bw=4096 while the pipelined LUT fetches were
+                 free (``--same-lut`` delta ≈ 0)
 
 Usage (TPU):  python benchmarks/kernel_variants.py --variants f32 bf16 ...
 """
@@ -255,6 +262,61 @@ def _kernel(starts_ref, lens_ref, lutidx_ref, *rest, seg, group, variant):
                     out_ref[j, t, :] = d
 
 
+def _kernel_block(starts_ref, lens_ref, lutidx_ref, *rest, seg, group):
+    """Codes arrive through the BlockSpec pipeline (no manual DMA)."""
+    lut_refs = rest[:group]
+    code_refs = rest[group:2 * group]
+    out_ref = rest[2 * group]
+    for j in range(group):
+        lut = jax.lax.bitcast_convert_type(lut_refs[j][0], jnp.float32)
+        codes = code_refs[j][0].astype(jnp.int32)          # (m, seg)
+        for t in range(seg // LANES):
+            cc = codes[:, t * LANES:(t + 1) * LANES]
+            out_ref[j, t, :] = _tile_bf16_trim(lut, cc)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("seg", "group", "interpret"))
+def run_block_variant(codes_tiled, starts, lens, lut_idx, luts, *, seg,
+                      group, interpret=False):
+    """codes_tiled: (n/seg, m, seg) uint8; starts are ROW starts (multiples
+    of seg here).  Both codes and LUT blocks ride the scalar-prefetched
+    BlockSpec pipeline."""
+    bw = starts.shape[0]
+    m = codes_tiled.shape[1]
+    ksub = luts.shape[-1]
+
+    def lut_spec(j):
+        return pl.BlockSpec(
+            (1, m, ksub),
+            lambda i, s, l, li, j=j: (li[i * group + j], 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def code_spec(j):
+        return pl.BlockSpec(
+            (1, m, seg),
+            lambda i, s, l, li, j=j: (s[i * group + j] // seg, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bw // group,),
+        in_specs=[lut_spec(j) for j in range(group)]
+        + [code_spec(j) for j in range(group)],
+        out_specs=pl.BlockSpec(
+            (group, seg // LANES, LANES),
+            lambda i, s, l, li: (i, 0, 0),
+            memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        functools.partial(_kernel_block, seg=seg, group=group),
+        out_shape=jax.ShapeDtypeStruct((bw, seg // LANES, LANES),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, lens, lut_idx, *([luts] * group), *([codes_tiled] * group))
+    return out.reshape(bw, seg)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("seg", "group", "variant", "interpret"))
 def run_variant(codes, starts, lens, lut_idx, luts, *, seg, group, variant,
@@ -383,6 +445,12 @@ def main():
                         main._v32 = jax.lax.bitcast_convert_type(
                             codes_u8.reshape(m, n // 4, 4), jnp.int32)
                     cd, st = main._v32, starts
+                elif variant.startswith("block"):
+                    cd = jnp.transpose(
+                        codes_u8[:, :(n // seg) * seg].reshape(
+                            m, n // seg, seg), (1, 0, 2))
+                    st = (jax.random.randint(k4, (bw,), 0, n // seg - 1,
+                                             jnp.int32) * seg)
                 elif variant.startswith("contig"):
                     # seg-tiled layout: (n/seg, m, seg) — one window slab
                     # is one contiguous HBM read
@@ -402,9 +470,14 @@ def main():
                     # dependency XLA hoists the loop-invariant kernel out
                     # of the fori_loop and the slope measures nothing
                     iacc = jnp.int32(acc)
-                    out = run_variant(cd, st ^ iacc, lens, lut_idx ^ iacc,
-                                      lt, seg=seg, group=group,
-                                      variant=variant)
+                    if variant.startswith("block"):
+                        out = run_block_variant(
+                            cd, st ^ iacc, lens, lut_idx ^ iacc, lt,
+                            seg=seg, group=group)
+                    else:
+                        out = run_variant(cd, st ^ iacc, lens,
+                                          lut_idx ^ iacc, lt, seg=seg,
+                                          group=group, variant=variant)
                     return out.reshape(-1)[0] * 0.0 + acc
 
                 try:

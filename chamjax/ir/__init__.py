@@ -22,3 +22,6 @@ from chamjax.ir.rerank import (                           # noqa: F401
 from chamjax.ir.sparse import (                           # noqa: F401
     LearnedSparseEncoder, SparseSearch, TfidfSparseEncoder,
 )
+from chamjax.ir.models import (                           # noqa: F401
+    JaxDualEncoder, JaxSparseEncoder, training_pairs,
+)

@@ -1,0 +1,264 @@
+"""Trainable JAX encoder models for the IR harness.
+
+The reference ships a zoo of pretrained encoder families
+(``beir/beir/retrieval/models/__init__.py``: SBERT, DPR dual encoders,
+SPLADE/UniCOIL learned-sparse, BPR, TLDR).  This environment has no
+weight downloads, so the zoo's *trainable* members are rebuilt as compact
+JAX models over a hashed vocabulary, trained with the loss surface of
+``chamjax/ir/train.py`` (the JAX twins of ``beir/beir/losses/``):
+
+- ``JaxDualEncoder``   — DPR-style two-tower dense encoder (shared hashed
+  embedding, per-tower MLP heads, L2-normalized outputs), trained with
+  in-batch-negatives InfoNCE (``multiple_negatives_ranking_loss``).
+  Duck-types ``encode_queries``/``encode_corpus`` for
+  ``DenseRetrievalExactSearch`` exactly like the reference's
+  ``models.SentenceBERT``.
+- ``JaxSparseEncoder`` — SPLADE-style learned-sparse encoder
+  (``log1p(relu(E @ head))`` with max-pooling over positions), trained
+  with the same InfoNCE over sparse dot products plus SPLADE's FLOPS
+  regularizer; emits weighted bucket dicts for ``SparseSearch``.
+
+Both train in seconds on CPU for test-scale corpora and scale to the MXU
+unchanged (the train step is one jitted program).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chamjax.ir.train import multiple_negatives_ranking_loss
+
+
+def _hash_token(tok: str, vocab: int) -> int:
+    return zlib.crc32(tok.encode()) % vocab
+
+
+def tokenize_ids(text: str, vocab: int, max_len: int
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Whitespace-lowercase tokens → (ids (max_len,), mask (max_len,))."""
+    toks = text.lower().split()[:max_len]
+    ids = np.zeros(max_len, np.int32)
+    mask = np.zeros(max_len, np.float32)
+    for i, t in enumerate(toks):
+        ids[i] = _hash_token(t, vocab)
+        mask[i] = 1.0
+    return ids, mask
+
+
+def _batch_ids(texts: Sequence[str], vocab: int, max_len: int):
+    ids = np.zeros((len(texts), max_len), np.int32)
+    mask = np.zeros((len(texts), max_len), np.float32)
+    for i, t in enumerate(texts):
+        ids[i], mask[i] = tokenize_ids(t, vocab, max_len)
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+def _doc_text(d) -> str:
+    if isinstance(d, dict):
+        return (d.get("title", "") + " " + d.get("text", "")).strip()
+    return str(d)
+
+
+def training_pairs(queries: Dict[str, str], qrels: Dict[str, Dict[str, int]],
+                   corpus: Dict[str, Dict[str, str]]
+                   ) -> List[Tuple[str, str]]:
+    """(query text, positive doc text) pairs from BEIR-format qrels — the
+    input shape of the reference's ``TrainRetriever`` dataloader."""
+    pairs = []
+    for qid, rel in qrels.items():
+        if qid not in queries:
+            continue
+        for did, score in rel.items():
+            if score > 0 and did in corpus:
+                pairs.append((queries[qid], _doc_text(corpus[did])))
+    return pairs
+
+
+class JaxDualEncoder:
+    """DPR-style dual encoder: shared hashed embedding, two MLP towers.
+
+    Reference anchor: ``beir/beir/retrieval/models/sentence_bert.py`` (the
+    duck-typed surface) + ``models/dpr.py`` (the two-tower structure);
+    trained like ``beir/examples/retrieval/training/train_sbert.py`` but
+    with the JAX loss (``ir/train.py``)."""
+
+    def __init__(self, vocab: int = 8192, dim: int = 128,
+                 emb_dim: int = 64, max_len: int = 32, seed: int = 0,
+                 shared_towers: bool = False):
+        self.vocab = vocab
+        self.dim = dim
+        self.max_len = max_len
+        self.shared = shared_towers
+        k = jax.random.PRNGKey(seed)
+        ke, k1, k2 = jax.random.split(k, 3)
+
+        def tower(key):
+            ka, kb = jax.random.split(key)
+            return {
+                "w1": jax.random.normal(ka, (emb_dim, dim), jnp.float32)
+                * emb_dim ** -0.5,
+                "b1": jnp.zeros((dim,), jnp.float32),
+                "w2": jax.random.normal(kb, (dim, dim), jnp.float32)
+                * dim ** -0.5,
+                "b2": jnp.zeros((dim,), jnp.float32),
+            }
+
+        self.params = {
+            "embed": jax.random.normal(ke, (vocab, emb_dim), jnp.float32)
+            * emb_dim ** -0.5,
+            "q": tower(k1),
+            "d": tower(k1 if shared_towers else k2),
+        }
+
+    @staticmethod
+    def _encode(params, tower, ids, mask):
+        e = params["embed"][ids]                       # (b, L, emb)
+        denom = jnp.sum(mask, axis=1, keepdims=True) + 1e-9
+        pooled = jnp.sum(e * mask[..., None], axis=1) / denom
+        t = params[tower]
+        h = jax.nn.gelu(pooled @ t["w1"] + t["b1"])
+        out = h @ t["w2"] + t["b2"]
+        return out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-9)
+
+    def fit(self, pairs: Sequence[Tuple[str, str]], *, steps: int = 200,
+            batch: int = 32, lr: float = 3e-3, seed: int = 0,
+            scale: float = 20.0, verbose: bool = False) -> List[float]:
+        """Train with in-batch-negatives InfoNCE; returns the loss curve."""
+        import optax
+
+        q_ids, q_mask = _batch_ids([p[0] for p in pairs], self.vocab,
+                                   self.max_len)
+        d_ids, d_mask = _batch_ids([p[1] for p in pairs], self.vocab,
+                                   self.max_len)
+        n = len(pairs)
+        batch = min(batch, n)
+        opt = optax.adam(lr)
+        opt_state = opt.init(self.params)
+
+        @jax.jit
+        def step(params, opt_state, sel):
+            def loss_fn(p):
+                qe = self._encode(p, "q", q_ids[sel], q_mask[sel])
+                de = self._encode(p, "d", d_ids[sel], d_mask[sel])
+                return multiple_negatives_ranking_loss(qe, de, scale=scale)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        rng = np.random.default_rng(seed)
+        curve = []
+        for i in range(steps):
+            sel = jnp.asarray(rng.choice(n, size=batch,
+                                         replace=batch > n // 2))
+            self.params, opt_state, loss = step(self.params, opt_state, sel)
+            curve.append(float(loss))
+            if verbose and i % 50 == 0:
+                print(f"  dual-encoder step {i}: loss {curve[-1]:.4f}")
+        return curve
+
+    # --- DenseRetrievalExactSearch duck-typed surface ---
+
+    def _embed_texts(self, texts: List[str], tower: str) -> np.ndarray:
+        ids, mask = _batch_ids(texts, self.vocab, self.max_len)
+        return np.asarray(self._encode(self.params, tower, ids, mask))
+
+    def encode_queries(self, texts: List[str], batch_size: int = 0,
+                       **kw) -> np.ndarray:
+        return self._embed_texts(list(texts), "q")
+
+    def encode_corpus(self, docs, batch_size: int = 0, **kw) -> np.ndarray:
+        return self._embed_texts([_doc_text(d) for d in docs], "d")
+
+
+class JaxSparseEncoder:
+    """SPLADE-style trainable learned-sparse encoder.
+
+    Reference anchor: ``beir/beir/retrieval/models/splade.py`` /
+    ``unicoil.py``.  Activation ``max_pool_t(log1p(relu(E[tok] @ head)))``
+    over vocab buckets; trained with the same in-batch InfoNCE as the
+    dense tower plus the SPLADE FLOPS regularizer
+    ``λ·Σ_j (mean_i a_ij)²`` that drives bucket sparsity."""
+
+    def __init__(self, vocab: int = 8192, n_buckets: int = 1024,
+                 latent: int = 64, max_len: int = 32,
+                 max_expansion: int = 64, seed: int = 3):
+        self.vocab = vocab
+        self.n_buckets = n_buckets
+        self.max_len = max_len
+        self.max_expansion = max_expansion
+        ke, kh = jax.random.split(jax.random.PRNGKey(seed))
+        self.params = {
+            "embed": jax.random.normal(ke, (vocab, latent), jnp.float32)
+            * latent ** -0.5,
+            "head": jax.random.normal(kh, (latent, n_buckets), jnp.float32)
+            * latent ** -0.5,
+        }
+
+    @staticmethod
+    def _activate(params, ids, mask):
+        e = params["embed"][ids]                        # (b, L, latent)
+        a = jnp.log1p(jax.nn.relu(
+            e @ params["head"]))                        # (b, L, buckets)
+        return jnp.max(a * mask[..., None], axis=1)     # (b, buckets)
+
+    def fit(self, pairs: Sequence[Tuple[str, str]], *, steps: int = 200,
+            batch: int = 32, lr: float = 3e-3, flops_lambda: float = 1e-3,
+            seed: int = 0, verbose: bool = False) -> List[float]:
+        import optax
+
+        q_ids, q_mask = _batch_ids([p[0] for p in pairs], self.vocab,
+                                   self.max_len)
+        d_ids, d_mask = _batch_ids([p[1] for p in pairs], self.vocab,
+                                   self.max_len)
+        n = len(pairs)
+        batch = min(batch, n)
+        opt = optax.adam(lr)
+        opt_state = opt.init(self.params)
+
+        @jax.jit
+        def step(params, opt_state, sel):
+            def loss_fn(p):
+                qa = self._activate(p, q_ids[sel], q_mask[sel])
+                da = self._activate(p, d_ids[sel], d_mask[sel])
+                scores = qa @ da.T            # sparse dot, (b, b)
+                labels = jnp.arange(scores.shape[0])
+                logp = jax.nn.log_softmax(scores, axis=-1)
+                nce = -jnp.mean(logp[labels, labels])
+                flops = (jnp.sum(jnp.mean(qa, axis=0) ** 2)
+                         + jnp.sum(jnp.mean(da, axis=0) ** 2))
+                return nce + flops_lambda * flops
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        rng = np.random.default_rng(seed)
+        curve = []
+        for i in range(steps):
+            sel = jnp.asarray(rng.choice(n, size=batch,
+                                         replace=batch > n // 2))
+            self.params, opt_state, loss = step(self.params, opt_state, sel)
+            curve.append(float(loss))
+            if verbose and i % 50 == 0:
+                print(f"  sparse-encoder step {i}: loss {curve[-1]:.4f}")
+        return curve
+
+    # --- SparseSearch duck-typed surface (weighted bucket dicts) ---
+
+    def _expand(self, text: str) -> Dict[str, float]:
+        ids, mask = _batch_ids([text], self.vocab, self.max_len)
+        act = np.asarray(self._activate(self.params, ids, mask))[0]
+        top = np.argsort(-act)[: self.max_expansion]
+        return {f"b{int(i)}": float(act[i]) for i in top if act[i] > 0}
+
+    def encode_corpus(self, docs) -> List[Dict[str, float]]:
+        return [self._expand(_doc_text(d)) for d in docs]
+
+    def encode_query(self, text: str) -> Dict[str, float]:
+        return self._expand(text)

@@ -95,3 +95,21 @@ def tpu_energy_estimate(seconds: float, duty: float = 1.0,
 def queries_per_joule(qps: float, watts: float) -> float:
     """The reference's headline efficiency metric (queries/J)."""
     return qps / watts if watts else float("nan")
+
+
+def tpu_efficiency(qps: float, chip: str = "v5e", n_chips: int = 1,
+                   duty: float = 1.0) -> Dict:
+    """Accelerator-side efficiency block for benchmark JSON lines.
+
+    Same methodology as the reference's FPGA accounting
+    (``ASPLOS_compute_CPU_GPU_FPGA_energy.py:74-98``: constant board
+    power × busy time — its FPGA draws 36.5-39.3 W and pays
+    ``scanned_bytes/32 GB/s`` per query): here published chip TDP × the
+    measured busy fraction.  Returns queries/J (== QPS/W) and mJ/query,
+    the two efficiency axes the reference reports."""
+    w = TPU_TDP_W.get(chip, 200.0) * n_chips * duty
+    return {
+        "chip": chip, "n_chips": n_chips, "assumed_watts": w,
+        "qps_per_watt": round(qps / w, 3) if w else None,
+        "mj_per_query": round(w / qps * 1e3, 4) if qps else None,
+    }

@@ -25,6 +25,9 @@ from chamjax.ir import (                                        # noqa: E402
     EvaluateRetrieval, GenericDataLoader, MaxSimReranker,
 )
 from chamjax.ir.dense import HashingEncoder, HFEncoder          # noqa: E402
+from chamjax.ir.models import (                                 # noqa: E402
+    JaxDualEncoder, JaxSparseEncoder, training_pairs,
+)
 from chamjax.ir.sparse import SparseSearch                      # noqa: E402
 
 
@@ -56,9 +59,12 @@ def main() -> None:
     ap.add_argument("--demo", action="store_true")
     ap.add_argument("--method", default="dense",
                     choices=["dense", "ivfpq", "bm25", "sparse"])
-    ap.add_argument("--encoder", default="hash", choices=["hash", "hf"])
+    ap.add_argument("--encoder", default="hash",
+                    choices=["hash", "hf", "trained"])
     ap.add_argument("--hf_model",
                     default="sentence-transformers/all-MiniLM-L6-v2")
+    ap.add_argument("--train_steps", type=int, default=300,
+                    help="--encoder trained: optimizer steps")
     ap.add_argument("--rerank", action="store_true")
     ap.add_argument("--k_values", type=int, nargs="+",
                     default=[1, 3, 5, 10, 100])
@@ -70,15 +76,37 @@ def main() -> None:
         corpus, queries, qrels = GenericDataLoader(args.data).load(args.split)
     print(f"corpus={len(corpus)} queries={len(queries)}", flush=True)
 
+    def _train_pairs():
+        """(query, positive doc) pairs — from the train split when the
+        dataset ships one (the reference's ``TrainRetriever`` path), else
+        from the eval qrels (demo-scale smoke)."""
+        if args.data:
+            try:
+                _c, tq, tqr = GenericDataLoader(args.data).load("train")
+                return training_pairs(tq, tqr, corpus)
+            except FileNotFoundError:
+                print("no train split; training on eval qrels", flush=True)
+        return training_pairs(queries, qrels, corpus)
+
     if args.method in ("dense", "ivfpq"):
-        enc = (HFEncoder(args.hf_model) if args.encoder == "hf"
-               else HashingEncoder(dim=256))
+        if args.encoder == "hf":
+            enc = HFEncoder(args.hf_model)
+        elif args.encoder == "trained":
+            enc = JaxDualEncoder()
+            enc.fit(_train_pairs(), steps=args.train_steps, verbose=True)
+        else:
+            enc = HashingEncoder(dim=256)
         retriever = (DenseRetrievalExactSearch(enc) if args.method == "dense"
                      else DenseRetrievalIVFPQSearch(enc))
     elif args.method == "bm25":
         retriever = BM25Search()
     else:
-        retriever = SparseSearch()
+        if args.encoder == "trained":
+            senc = JaxSparseEncoder()
+            senc.fit(_train_pairs(), steps=args.train_steps, verbose=True)
+            retriever = SparseSearch(sparse_encoder=senc)
+        else:
+            retriever = SparseSearch()
 
     ev = EvaluateRetrieval(retriever, k_values=args.k_values)
     results = ev.retrieve(corpus, queries)

@@ -44,3 +44,15 @@ def test_rapl_meter_skips_subzones(tmp_path, monkeypatch):
                        ("intel-rapl:1", 5000)):
             (tmp_path / dom / "energy_uj").write_text(str(e))
     assert m.joules == (3000 + 3000) / 1e6
+
+
+def test_tpu_efficiency_block():
+    from chamjax.utils.energy import tpu_efficiency
+
+    eff = tpu_efficiency(85_000.0, chip="v5e")
+    assert eff["assumed_watts"] == 170.0
+    assert abs(eff["qps_per_watt"] - 500.0) < 0.1
+    assert abs(eff["mj_per_query"] - 2.0) < 0.01
+    # mesh accounting scales watts with chips
+    eff8 = tpu_efficiency(85_000.0, chip="v5e", n_chips=8)
+    assert abs(eff8["qps_per_watt"] - 62.5) < 0.1
