@@ -202,6 +202,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--matrix", action="store_true",
                     help="gate R@10 on-device for every kernel variant")
+    ap.add_argument("--dataset", default=None,
+                    help="real dataset spec: a TexMex/big-ANN directory or "
+                         "'base=PATH,query=PATH[,learn=PATH][,gt=PATH]' — "
+                         "replaces the synthetic corpus "
+                         "(chamjax.data.load_real_dataset)")
+    ap.add_argument("--nlist", type=int, default=0)
+    ap.add_argument("--m", type=int, default=0)
+    ap.add_argument("--max-nb", type=int, default=0,
+                    help="--dataset: cap the corpus rows")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
@@ -210,13 +219,31 @@ def main() -> None:
     batch, nprobe, k = 128, 32, 100
 
     nq = batch * 65 + 256
-    # v5: dataset draws moved to the on-device generator (deterministic JAX
-    # PRNG stream — different stream than the old numpy one, hence the key
-    # bump) so cold runs don't pay minutes of host-CPU normal sampling.
-    # v7: assign_balanced widening retry makes the cap hard (max list was
-    # 8.4× cap before) and cap is sized to seg — auto_windows' worst-query
-    # bound collapses W to nprobe at unchanged recall.
-    key = f"v7_{nb}_{d}_{nlist}_{m}_{nq}"
+    gt = None
+    if args.dataset:
+        from chamjax.data.datasets import load_real_dataset
+        ds = load_real_dataset(args.dataset, max_nb=args.max_nb or None)
+        nb, d = ds.nb, ds.d
+        nlist = args.nlist or min(4096, max(64, 1 << (nb // 256)
+                                            .bit_length()))
+        m = args.m or next(mm for mm in (16, 8, 4, 2, 1) if d % mm == 0)
+        if ds.gt is not None:
+            gt = np.asarray(ds.gt[:256, :10])
+        if len(ds.xq) < nq:      # throughput batches cycle real queries
+            ds.xq = np.resize(ds.xq, (nq, d))
+        _note(f"real dataset: nb={nb} d={d} nlist={nlist} m={m} "
+              f"gt={'file' if gt is not None else 'exact'}")
+        key = (f"real_{os.path.basename(args.dataset.rstrip('/'))}"
+               f"_{nb}_{d}_{nlist}_{m}")
+    else:
+        # v5: dataset draws moved to the on-device generator (deterministic
+        # JAX PRNG stream — different stream than the old numpy one, hence
+        # the key bump) so cold runs don't pay minutes of host-CPU normal
+        # sampling.
+        # v7: assign_balanced widening retry makes the cap hard (max list
+        # was 8.4× cap before) and cap is sized to seg — auto_windows'
+        # worst-query bound collapses W to nprobe at unchanged recall.
+        key = f"v7_{nb}_{d}_{nlist}_{m}_{nq}"
     cache = os.environ.get("CHAMJAX_BENCH_INDEX",
                            f"/tmp/chamjax_bench_idx_{key}.npz")
     gt_cache = cache.replace(".npz", "_gt.npy")
@@ -224,44 +251,59 @@ def main() -> None:
     # --matrix builds a separate OPQ artifact from xb on its first run
     if args.matrix and not os.path.exists(cache.replace(".npz", "_opq.npz")):
         cold = True
-    parts = ("xb", "xt", "xq") if cold else ("xq",)
-    _note(f"drawing dataset parts={parts} (cold={cold})")
-    # to_host=False: splits stay in HBM; with the device-resident
-    # build_ivfpq path the 512 MB corpus never crosses the ~2 MB/s tunnel.
-    ds = synthetic_dataset_device(nb=nb, nq=nq, nt=100_000, d=d, seed=42,
-                                  n_clusters=4096, parts=parts,
-                                  to_host=False)
-    _note("dataset ready")
+    if args.dataset:
+        pass                      # ds already loaded from disk above
+    else:
+        parts = ("xb", "xt", "xq") if cold else ("xq",)
+        _note(f"drawing dataset parts={parts} (cold={cold})")
+        # to_host=False: splits stay in HBM; with the device-resident
+        # build_ivfpq path the 512 MB corpus never crosses the ~2 MB/s
+        # tunnel.
+        ds = synthetic_dataset_device(nb=nb, nq=nq, nt=100_000, d=d, seed=42,
+                                      n_clusters=4096, parts=parts,
+                                      to_host=False)
+        _note("dataset ready")
     if os.path.exists(cache):
         idx = PackedIVF.load(cache)
         _note("index loaded from cache")
     else:
-        # Hard cap sized so cap == seg (512): every list is one segment,
-        # so auto_windows' worst-query bound collapses W to nprobe
-        # (measured 79.8k → 98.0k QPS at identical R@10 0.8828), while
-        # the cap is loose enough (2.1× mean; nlist == corpus mode count)
-        # that almost no point is displaced from its nearest cell (a
-        # tight 1.3×cap measured −0.02 R@10 from hot-cell displacement).
-        idx = build_ivfpq(
-            ds.xb, IndexConfig(dim=d, nlist=nlist, m=m, list_pad=128,
-                               balanced=True, balance_hard=True,
-                               balance_factor=512 * nlist / nb),
-            xt=ds.xt, kmeans_iters=10, pq_iters=10, verbose=True,
-        )
+        if args.dataset:
+            # real corpora: soft-balanced build (a hard cap sized for the
+            # synthetic mode count could displace points on a natural
+            # skew); OPQ stays off here to keep the build one-command fast
+            cfg_i = IndexConfig(dim=d, nlist=nlist, m=m, list_pad=128,
+                                balanced=True, balance_factor=1.3)
+        else:
+            # Hard cap sized so cap == seg (512): every list is one
+            # segment, so auto_windows' worst-query bound collapses W to
+            # nprobe (measured 79.8k → 98.0k QPS at identical R@10
+            # 0.8828), while the cap is loose enough (2.1× mean; nlist ==
+            # corpus mode count) that almost no point is displaced from
+            # its nearest cell (a tight 1.3×cap measured −0.02 R@10 from
+            # hot-cell displacement).
+            cfg_i = IndexConfig(dim=d, nlist=nlist, m=m, list_pad=128,
+                                balanced=True, balance_hard=True,
+                                balance_factor=512 * nlist / nb)
+        idx = build_ivfpq(ds.xb, cfg_i, xt=ds.xt, kmeans_iters=10,
+                          pq_iters=10, verbose=True)
         idx.save(cache)
         _note("index built + cached")
 
-    if os.path.exists(gt_cache):
-        gt = np.load(gt_cache)
-    else:
-        gt, _ = compute_ground_truth(ds.xb, ds.xq[:256], k=10)
-        np.save(gt_cache, gt)
-        _note("ground truth computed + cached")
+    if gt is None:
+        if os.path.exists(gt_cache):
+            gt = np.load(gt_cache)
+        else:
+            gt, _ = compute_ground_truth(ds.xb, ds.xq[:256], k=10)
+            np.save(gt_cache, gt)
+            _note("ground truth computed + cached")
 
     dev = DeviceIVF.from_packed(idx)
     # window budget: length-weighted mean segments per probe + headroom
-    # (defaults measured best on v5e; env knobs for tuning experiments)
-    seg = int(os.environ.get("CHAMJAX_SEG", "512"))
+    # (defaults measured best on v5e; env knobs for tuning experiments).
+    # Real datasets size seg from their own list-length distribution.
+    from chamjax.searcher import auto_seg
+    seg_default = auto_seg(idx.list_len) if args.dataset else 512
+    seg = int(os.environ.get("CHAMJAX_SEG", str(seg_default)))
     group = int(os.environ.get("CHAMJAX_GROUP", "8"))
     from chamjax.searcher import auto_windows
     W = auto_windows(idx.list_len, seg, nprobe)
@@ -332,8 +374,12 @@ def main() -> None:
     from chamjax.utils.energy import tpu_efficiency
 
     baseline_qps = 1932.0   # reference 1FPGA-1GPU tik-tok b=128 (BASELINE.md)
+    ds_tag = (os.path.basename(args.dataset.rstrip("/")).replace("=", "_")
+              if args.dataset else "1M")
     result = {
-        "metric": "ivfpq_search_qps_b128_d128_m16_nprobe32_1M",
+        "metric": (f"ivfpq_search_qps_b128_d{d}_m{m}_nprobe32_{ds_tag}"
+                   if args.dataset else
+                   "ivfpq_search_qps_b128_d128_m16_nprobe32_1M"),
         "value": round(qps, 1),
         "unit": "QPS",
         "vs_baseline": round(qps / baseline_qps, 3),

@@ -66,9 +66,15 @@ def main() -> None:
     ap.add_argument("--train_steps", type=int, default=300,
                     help="--encoder trained: optimizer steps")
     ap.add_argument("--rerank", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (skip TPU init — demo "
+                         "corpora don't need the chip)")
     ap.add_argument("--k_values", type=int, nargs="+",
                     default=[1, 3, 5, 10, 100])
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     if args.demo or not args.data:
         corpus, queries, qrels = demo_dataset()
