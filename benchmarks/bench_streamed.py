@@ -83,14 +83,23 @@ def main() -> None:
     # ---- correctness + end-to-end wall (tunnel-bound) -------------------
     qs = np.resize(ds.xq[:256], (max(256, b), ds.d))
     d0, i0 = st.search(qs[:b])                     # compile + warm
+    batches = [qs[(i * b) % 128:][:b] for i in range(args.n_batches)]
     t0 = time.perf_counter()
     ids_all = []
-    for i in range(args.n_batches):
-        _d, ii = st.search(qs[(i * b) % 128:][:b])
+    for qb in batches:
+        _d, ii = st.search(qb)
         ids_all.append(ii)
     e2e_s = (time.perf_counter() - t0) / args.n_batches
     ids = np.concatenate(ids_all)[: min(256, args.n_batches * b)]
     r10 = float(recall_at_k(ids, gt[: ids.shape[0]], 10))
+
+    # ---- pipelined serving (gather overlapped with device scan) ---------
+    st.search_pipelined(batches[:2])               # warm the piped path
+    t0 = time.perf_counter()
+    piped = st.search_pipelined(batches)
+    pipe_s = (time.perf_counter() - t0) / args.n_batches
+    ids_p = np.concatenate([ii for _d, ii in piped])[: ids.shape[0]]
+    r10_pipe = float(recall_at_k(ids_p, gt[: ids_p.shape[0]], 10))
 
     # ---- host gather bandwidth (the real-host number) -------------------
     q = jnp.asarray(qs[:b], jnp.float32)
@@ -120,6 +129,9 @@ def main() -> None:
         "host_gather_GBs": round(gather_gbs, 2),
         "e2e_ms_per_batch_tunnel": round(e2e_s * 1e3, 1),
         "e2e_qps_tunnel": round(b / e2e_s, 1),
+        "e2e_ms_per_batch_pipelined": round(pipe_s * 1e3, 1),
+        "e2e_qps_pipelined": round(b / pipe_s, 1),
+        "R@10_pipelined": round(r10_pipe, 4),
         "design_ceiling_qps_pcie": round(ceiling_qps, 1),
     }
     print(json.dumps(out), flush=True)

@@ -227,19 +227,18 @@ class HostStreamedSearcher:
             slab_i[w, : e - s] = self.ids[s:e]
         return slab_c, slab_i
 
-    def search(self, queries: np.ndarray, k: Optional[int] = None
-               ) -> Tuple[np.ndarray, np.ndarray]:
-        k = k or self.scfg.k
+    def _plan(self, queries: np.ndarray):
         q = jnp.asarray(queries, jnp.float32)
-        starts, lens, probe, list_ids, q_rot = plan_windows(
+        return plan_windows(
             q, self.centroids, self.list_start, self.list_len, self.opq_R,
             nprobe=self.scfg.nprobe, windows=self.windows, seg=self.seg,
             coarse_cand=resolve_coarse_cand(
                 self.scfg.coarse_cand, self.centroids.shape[0],
                 self.scfg.nprobe),
             use_approx=self.scfg.coarse_approx and not self.interpret)
-        slab_c, slab_i = self._stage(np.asarray(starts), np.asarray(lens))
-        d, i = scan_staged(
+
+    def _scan(self, slab_c, slab_i, lens, probe, list_ids, q_rot, k: int):
+        return scan_staged(
             jnp.asarray(slab_c), jnp.asarray(slab_i), lens, probe,
             list_ids, q_rot, self.centroids, self.codebooks,
             nprobe=self.scfg.nprobe, k=k, seg=self.seg, group=self.group,
@@ -247,4 +246,47 @@ class HostStreamedSearcher:
             recall_target=self.scfg.approx_recall_target,
             interpret=self.interpret, by_residual=self.cfg.by_residual,
             lut_bf16=self.scfg.lut_bf16, select_l1=self.scfg.select_l1)
+
+    def search(self, queries: np.ndarray, k: Optional[int] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        k = k or self.scfg.k
+        starts, lens, probe, list_ids, q_rot = self._plan(queries)
+        slab_c, slab_i = self._stage(np.asarray(starts), np.asarray(lens))
+        d, i = self._scan(slab_c, slab_i, lens, probe, list_ids, q_rot, k)
         return np.asarray(d), np.asarray(i, np.int64)
+
+    def search_pipelined(self, batches, k: Optional[int] = None):
+        """Double-buffered serving over a stream of query batches: batch
+        i+1's host gather overlaps batch i's staged device scan — the TPU
+        twin of the FPGA's double-buffered LUT-load/scan overlap
+        (``SRC/ADC.hpp:105-257``).
+
+        Scheduling: batch i+1's ``plan_windows`` is dispatched *before*
+        batch i's ``scan_staged``, so pulling its (starts, lens) never
+        waits behind the scan in the device FIFO; the host then gathers
+        i+1's slabs while the device executes scan i (JAX dispatch is
+        async, so nothing here blocks on device completion except the
+        two small plan pulls).  Results are pulled once at the end.
+        Returns a list of ``(dists, ids)`` numpy pairs, identical to
+        mapping :meth:`search` over ``batches``.
+        """
+        k = k or self.scfg.k
+        batches = list(batches)
+        if not batches:
+            return []
+        outs = []
+        plan = self._plan(batches[0])
+        slab = self._stage(np.asarray(plan[0]), np.asarray(plan[1]))
+        for i in range(len(batches)):
+            next_plan = (self._plan(batches[i + 1])
+                         if i + 1 < len(batches) else None)
+            starts, lens, probe, list_ids, q_rot = plan
+            outs.append(self._scan(slab[0], slab[1], lens, probe,
+                                   list_ids, q_rot, k))
+            if next_plan is not None:
+                # pull only the window table (small); the host gather
+                # below overlaps the scan just dispatched above
+                slab = self._stage(np.asarray(next_plan[0]),
+                                   np.asarray(next_plan[1]))
+                plan = next_plan
+        return [(np.asarray(d), np.asarray(i, np.int64)) for d, i in outs]

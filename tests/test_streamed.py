@@ -149,3 +149,29 @@ def test_streamed_warns_on_lane_l1(index):
     with pytest.warns(UserWarning, match="lane_l1"):
         HostStreamedSearcher(index, SearchConfig(nprobe=8, k=10,
                                                  lane_l1=True))
+
+
+def test_streamed_pipelined_matches_sequential(ds, index):
+    scfg = SearchConfig(nprobe=8, k=10, use_approx_topk=False)
+    st = HostStreamedSearcher(index, scfg)
+    batches = [ds.xq[:8], ds.xq[8:16], ds.xq[4:12]]
+    piped = st.search_pipelined(batches)
+    assert len(piped) == 3
+    for q, (d_p, i_p) in zip(batches, piped):
+        d_s, i_s = st.search(q)
+        np.testing.assert_allclose(d_p, d_s, rtol=1e-4, atol=1e-4)
+        agree = i_p == i_s
+        close = np.abs(d_p - d_s) < 1e-4
+        assert np.all(agree | close)
+
+
+def test_streamed_pipelined_empty():
+    from chamjax.streamed import HostStreamedSearcher  # noqa: F401
+    # no construction needed: the empty-stream contract is pure
+    # (guarded before any device work)
+    cfg = IndexConfig(dim=32, nlist=16, m=8, list_pad=64)
+    ds_l = synthetic_dataset(nb=2000, nq=4, nt=1000, d=32, seed=3,
+                             n_clusters=16)
+    idx = build_ivfpq(ds_l.xb, cfg, xt=ds_l.xt, kmeans_iters=2, pq_iters=2)
+    st = HostStreamedSearcher(idx, SearchConfig(nprobe=4, k=5))
+    assert st.search_pipelined([]) == []
