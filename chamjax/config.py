@@ -165,6 +165,15 @@ class SearchConfig:
     # Bucket-collision loss ≈ C(k,2)/(W·128) of the top-k
     # (``index/sizing.py::lane_l1_loss``); opt-in like lut_bf16.
     lane_l1: bool = False
+    # Seg backend: store codes seg-TILED ((n_tiles, m, seg), every list on
+    # a tile boundary) and fetch windows through the scalar-prefetched
+    # BlockSpec pipeline instead of manual per-window async copies
+    # (``ops/scan_seg_block.py``).  Kills the measured ~150 ns/window
+    # manual-DMA fixed cost (60% of the seg=512 kernel on v5e).  Costs a
+    # second device copy of the codes (the flat layout stays resident for
+    # the other backends), so it defaults ON for serving-scale indexes and
+    # should be disabled when HBM is the binding constraint.
+    tiled: bool = True
 
 
 @dataclass(frozen=True)

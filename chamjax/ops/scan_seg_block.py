@@ -1,0 +1,180 @@
+"""Segmented ADC scan with BlockSpec-pipelined code fetches.
+
+Round-3 rework of the multi-window kernel (``scan_seg_multi.py``), from
+the measured fixed-cost decomposition (``benchmarks/kernel_variants.py``,
+v5e, seg=512/bw=4096/group=8):
+
+    full kernel 0.799 ms = compute 0.316 + manual codes-DMA 0.48
+    dma_only        0.303 ms   (the manual async-copy machinery alone)
+    --same-lut      Δ≈0        (BlockSpec-pipelined LUT fetches are free)
+
+The per-window fixed cost (F·R ≈ 2048 row-equivalents — 80 % of every
+seg=512 window) is the manually issued ``make_async_copy`` per window:
+~150 ns of scalar-core issue/wait per 8 KB strided copy, poorly
+overlapped with compute.  The fix is layout + fetch-path:
+
+- codes are stored **seg-tiled**: ``(n_tiles, m, seg)`` with every
+  inverted list starting on a tile boundary (list_pad == seg), so a
+  window is ONE contiguous m·seg-byte tile;
+- each window's tile is fetched through a **scalar-prefetched BlockSpec
+  index map** — exactly how the LUT blocks already ride the Pallas
+  pipeline — so Mosaic's generated pipeline issues/double-buffers the
+  copies and the kernel body has no DMA code at all.
+
+FPGA lineage unchanged (``SRC/ADC.hpp:33-102`` M-banked LUT PEs,
+``DRAM_utils.hpp:104-185`` per-cell streaming); see ``scan_seg.py`` for
+the window/expansion design.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from chamjax.ops.scan_seg import _adc_tile, expand_windows, prepare_luts
+from chamjax.ops.topk import select_topk
+
+LANES = 128
+
+
+def _adc_block_kernel(tiles_ref, lens_ref, lutidx_ref, *rest,
+                      seg: int, group: int, lut_bf16: bool):
+    lut_refs = rest[:group]
+    code_refs = rest[group:2 * group]
+    out_ref = rest[2 * group]
+    i = pl.program_id(0)
+    for j in range(group):
+        ln = lens_ref[i * group + j]
+        lut = lut_refs[j][0]
+        if lut_bf16:
+            lut_lo = lut_hi = None
+            lut_p = jax.lax.bitcast_convert_type(lut, jnp.float32)
+        else:
+            lut_lo = lut[:, :LANES]
+            lut_hi = lut[:, LANES:]
+            lut_p = None
+
+        @pl.when(ln > 0)
+        def _(j=j, ln=ln, lut_lo=lut_lo, lut_hi=lut_hi, lut_p=lut_p):
+            codes = code_refs[j][0].astype(jnp.int32)      # (m, seg)
+            for t in range(seg // LANES):
+                cc = codes[:, t * LANES:(t + 1) * LANES]
+                dist = _adc_tile(lut_lo, lut_hi, lut_p, cc, lut_bf16)
+                pos = t * LANES + jax.lax.broadcasted_iota(
+                    jnp.int32, (LANES,), 0)
+                out_ref[j, t, :] = jnp.where(pos < ln, dist, jnp.inf)
+
+        @pl.when(ln <= 0)
+        def _(j=j):
+            out_ref[j] = jnp.full((seg // LANES, LANES), jnp.inf,
+                                  jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("seg", "group", "interpret", "lut_bf16"))
+def adc_scan_tiles(
+    codes_tiled: jax.Array,  # (n_tiles, m, seg) uint8 — tile-major
+    tile_idx: jax.Array,     # (bW,) int32 — tile row per window
+    lens: jax.Array,         # (bW,) int32 — valid rows (0 = skip)
+    lut_idx: jax.Array,      # (bW,) int32
+    luts: jax.Array,         # (n_lut, m, 256) f32 | (n_lut, m, 128) i32
+    *,
+    seg: int,
+    group: int = 8,
+    interpret: bool = False,
+    lut_bf16: bool = False,
+) -> jax.Array:
+    """Returns ``dists (bW, seg) float32`` (+inf on padding/skips)."""
+    bw = tile_idx.shape[0]
+    _n_tiles, m, seg_t = codes_tiled.shape
+    _n_lut, _m2, ksub = luts.shape
+    assert seg_t == seg, (seg_t, seg)
+    assert ksub == (128 if lut_bf16 else 256)
+    assert seg % LANES == 0
+    assert bw % group == 0, (bw, group)
+
+    def lut_spec(j):
+        return pl.BlockSpec(
+            (1, m, ksub),
+            lambda i, tiles, lens, lutidx, j=j: (lutidx[i * group + j],
+                                                 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def code_spec(j):
+        return pl.BlockSpec(
+            (1, m, seg),
+            lambda i, tiles, lens, lutidx, j=j: (tiles[i * group + j],
+                                                 0, 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,           # tile_idx, lens, lut_idx
+        grid=(bw // group,),
+        in_specs=[lut_spec(j) for j in range(group)]
+        + [code_spec(j) for j in range(group)],
+        out_specs=pl.BlockSpec(
+            (group, seg // LANES, LANES),
+            lambda i, tiles, lens, lutidx: (i, 0, 0),
+            memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_adc_block_kernel, seg=seg, group=group,
+                          lut_bf16=lut_bf16),
+        out_shape=jax.ShapeDtypeStruct((bw, seg // LANES, LANES),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_idx, lens, lut_idx,
+      *([luts] * group), *([codes_tiled] * group))
+    return out.reshape(bw, seg)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("windows", "seg", "group", "k", "use_approx",
+                     "recall_target", "interpret", "lut_bf16", "select_l1"),
+)
+def scan_lists_seg_block(
+    codes_tiled: jax.Array,  # (n_tiles, m, seg) uint8
+    ids: jax.Array,          # (n_tiles * seg,) int32 — tiled id layout
+    list_start: jax.Array,   # (nlist,) int32 — multiples of seg
+    list_len: jax.Array,     # (nlist,) int32
+    luts: jax.Array,         # (b, nprobe, ksub, m)
+    list_ids: jax.Array,     # (b, nprobe)
+    *,
+    windows: int,
+    seg: int,
+    group: int = 8,
+    k: int,
+    use_approx: bool = True,
+    recall_target: float = 0.99,
+    interpret: bool = False,
+    lut_bf16: bool = False,
+    select_l1: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Tiled-layout segmented scan + selection (drop-in for
+    ``scan_lists_seg_multi`` given a tile-aligned packing)."""
+    b = luts.shape[0]
+    windows = -(-windows // group) * group
+    starts, lens, probe, _valid = expand_windows(
+        list_ids, list_start, list_len, windows=windows, seg=seg)
+    luts_k, lut_idx = prepare_luts(luts, probe, lut_bf16=lut_bf16)
+    dists = adc_scan_tiles(
+        codes_tiled, (starts // seg).reshape(-1), lens.reshape(-1),
+        lut_idx, luts_k, seg=seg, group=group, interpret=interpret,
+        lut_bf16=lut_bf16)
+    flat = dists.reshape(b, windows * seg)
+    best_d, pos = select_topk(
+        flat, k, use_approx=use_approx, recall_target=recall_target,
+        l1=select_l1)
+    win = pos // seg
+    off = pos % seg
+    row = jnp.take_along_axis(starts, win, axis=1) + off
+    best_i = ids[row]
+    best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)
+    return best_d, best_i

@@ -22,6 +22,7 @@ from chamjax.ops.coarse import select_probes
 from chamjax.ops.lut import build_luts
 from chamjax.ops.scan_pallas import scan_lists_pallas
 from chamjax.ops.scan_seg import scan_lists_seg
+from chamjax.ops.scan_seg_block import scan_lists_seg_block
 from chamjax.ops.scan_seg_multi import scan_lists_seg_multi
 from chamjax.ops.scan_xla import scan_lists_xla
 
@@ -32,6 +33,13 @@ class DeviceIVF(NamedTuple):
     ``codes_t``/``ids`` carry ``SEG`` extra padding rows so the segmented
     kernel's fixed-size window DMAs may overread past the last list
     (results there are masked by the per-window length).
+
+    ``codes_tiled`` (optional, ``from_packed(tile_seg=...)``): the same
+    codes seg-TILED as ``(n_tiles, m, seg)`` with every list starting on
+    a tile boundary — the layout of the BlockSpec-pipelined scan
+    (``ops/scan_seg_block.py``).  When present, ``ids``/``list_start``
+    are in the tile-aligned coordinate system (shared by the flat twin,
+    which is repacked to the same offsets so every backend agrees).
     """
 
     centroids: jax.Array     # (nlist, d) f32
@@ -41,22 +49,55 @@ class DeviceIVF(NamedTuple):
     list_start: jax.Array    # (nlist,) int32
     list_len: jax.Array      # (nlist,) int32
     opq_R: Optional[jax.Array] = None  # (d, d) f32 or None
+    codes_tiled: Optional[jax.Array] = None   # (n_tiles, m, seg) uint8
 
     @staticmethod
-    def from_packed(index: PackedIVF, device=None) -> "DeviceIVF":
+    def from_packed(index: PackedIVF, device=None,
+                    tile_seg: int = 0) -> "DeviceIVF":
         from chamjax.ops.scan_seg import MAX_SEG
         put = functools.partial(jax.device_put, device=device)
-        codes_t = np.ascontiguousarray(index.codes.T)
-        codes_t = np.pad(codes_t, ((0, 0), (0, MAX_SEG)))
-        ids = np.pad(index.ids, (0, MAX_SEG), constant_values=-1)
+        codes_tiled = None
+        if tile_seg:
+            # Re-pack every list onto tile_seg boundaries (host-side, one
+            # pass) so both layouts share one coordinate system.
+            seg = int(tile_seg)
+            lens = np.asarray(index.list_len, np.int64)
+            tiles_per = np.maximum(1, -(-lens // seg))
+            new_start = (np.concatenate(
+                [[0], np.cumsum(tiles_per)[:-1]]) * seg).astype(np.int64)
+            n = int(tiles_per.sum()) * seg
+            codes_flat = np.zeros((n + MAX_SEG, index.codes.shape[1]),
+                                  np.uint8)
+            ids_new = np.full(n + MAX_SEG, -1, np.int32)
+            old_start = np.asarray(index.list_start, np.int64)
+            for li in range(lens.shape[0]):
+                ln = int(lens[li])
+                if ln == 0:
+                    continue
+                so, sn = int(old_start[li]), int(new_start[li])
+                codes_flat[sn:sn + ln] = index.codes[so:so + ln]
+                ids_new[sn:sn + ln] = index.ids[so:so + ln]
+            codes_t = np.ascontiguousarray(codes_flat.T)
+            ids = ids_new
+            list_start = new_start.astype(np.int32)
+            codes_tiled = np.ascontiguousarray(
+                codes_flat[:n].reshape(-1, seg, index.codes.shape[1])
+                .transpose(0, 2, 1))
+        else:
+            codes_t = np.ascontiguousarray(index.codes.T)
+            codes_t = np.pad(codes_t, ((0, 0), (0, MAX_SEG)))
+            ids = np.pad(index.ids, (0, MAX_SEG), constant_values=-1)
+            list_start = index.list_start
         return DeviceIVF(
             centroids=put(index.centroids),
             codebooks=put(index.codebooks),
             codes_t=put(codes_t),
             ids=put(ids),
-            list_start=put(index.list_start),
+            list_start=put(list_start),
             list_len=put(index.list_len),
             opq_R=put(index.opq_R) if index.opq_R is not None else None,
+            codes_tiled=(put(codes_tiled) if codes_tiled is not None
+                         else None),
         )
 
 
@@ -68,6 +109,16 @@ def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
     # (tests / debugging) — backend choice stays explicit.
     interpret = interpret or jax.default_backend() != "tpu"
     if backend == "seg":
+        if (index.codes_tiled is not None
+                and index.codes_tiled.shape[2] == seg and not lane_l1):
+            return scan_lists_seg_block(
+                index.codes_tiled, index.ids, index.list_start,
+                index.list_len, luts, list_ids,
+                windows=windows, seg=seg, group=max(group, 1), k=k,
+                use_approx=use_approx, recall_target=recall_target,
+                interpret=interpret, lut_bf16=lut_bf16,
+                select_l1=select_l1,
+            )
         if group > 1:
             return scan_lists_seg_multi(
                 index.codes_t, index.ids, index.list_start, index.list_len,
@@ -317,7 +368,6 @@ class IVFSearcher:
         self.packed = index
         self.cfg = index.cfg
         self.scfg = search_cfg
-        self.dev = DeviceIVF.from_packed(index, device=device)
         self.backend = search_cfg.backend
         self.tile = search_cfg.tile
         if self.backend in ("pallas", "seg") and index.cfg.nbits != 8:
@@ -329,6 +379,11 @@ class IVFSearcher:
         # interpret mode lets the kernel run on CPU (tests / debugging)
         self.interpret = jax.default_backend() != "tpu"
         self.seg = search_cfg.seg or self._auto_seg()
+        # seg-tiled twin for the BlockSpec-pipelined scan (scan_seg_block)
+        self.dev = DeviceIVF.from_packed(
+            index, device=device,
+            tile_seg=(self.seg if search_cfg.tiled
+                      and self.backend == "seg" else 0))
         # multi-window steps amortize per-step machinery; 8 is the sweet
         # spot measured on v5e (scan_seg_multi.py)
         self.group = search_cfg.seg_group

@@ -302,3 +302,73 @@ def test_scan_xla_short_tail_list_no_foreign_rows():
     got = set(i[0][i[0] >= 0].tolist())
     assert got == {100, 101, 102, 103}, got        # no foreign rows
     np.testing.assert_allclose(d[0][:4], 4.0)      # m * lut[2]
+
+
+# ---------------------------------------------------------------------------
+# BlockSpec-pipelined tiled scan (ops/scan_seg_block.py, round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_tiled_searcher_matches_flat_and_xla():
+    from chamjax.config import IndexConfig, SearchConfig
+    from chamjax.data import synthetic_dataset
+    from chamjax.index import build_ivfpq
+    from chamjax.searcher import IVFSearcher
+    import dataclasses
+
+    ds = synthetic_dataset(nb=12000, nq=16, nt=6000, d=32, seed=7,
+                           n_clusters=32)
+    idx = build_ivfpq(ds.xb, IndexConfig(dim=32, nlist=32, m=8, list_pad=64),
+                      xt=ds.xt, kmeans_iters=4, pq_iters=4)
+    # lut_bf16 off: the equality claim is about the fetch path; the packed
+    # LUT's ~0.2% entry rounding is gated elsewhere
+    base = SearchConfig(nprobe=8, k=10, use_approx_topk=False,
+                        coarse_cand=0, lut_bf16=False)
+    s_tiled = IVFSearcher(idx, base)                       # tiled default ON
+    assert s_tiled.dev.codes_tiled is not None
+    assert s_tiled.dev.codes_tiled.shape[1:] == (8, s_tiled.seg)
+    s_flat = IVFSearcher(idx, dataclasses.replace(base, tiled=False))
+    assert s_flat.dev.codes_tiled is None
+    s_xla = IVFSearcher(idx, dataclasses.replace(base, backend="xla"))
+
+    d_t, i_t = s_tiled.search(ds.xq)
+    d_f, i_f = s_flat.search(ds.xq)
+    d_x, i_x = s_xla.search(ds.xq)
+    np.testing.assert_allclose(d_t, d_f, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(d_t, d_x, rtol=1e-4, atol=1e-4)
+    for a, b, da, db in ((i_t, i_f, d_t, d_f), (i_t, i_x, d_t, d_x)):
+        agree = a == b
+        close = np.abs(da - db) < 1e-4     # id ties among equal distances
+        assert np.all(agree | close)
+
+
+def test_tiled_repack_coordinates():
+    """The tiled repack must keep every (list, row) pair intact: flat twin
+    and tiled twin carry the same codes at the shared offsets."""
+    from chamjax.config import IndexConfig
+    from chamjax.data import synthetic_dataset
+    from chamjax.index import build_ivfpq
+    from chamjax.searcher import DeviceIVF
+
+    ds = synthetic_dataset(nb=3000, nq=4, nt=2000, d=16, seed=9,
+                           n_clusters=16)
+    idx = build_ivfpq(ds.xb, IndexConfig(dim=16, nlist=16, m=4, list_pad=64),
+                      xt=ds.xt, kmeans_iters=3, pq_iters=3)
+    seg = 128
+    dev = DeviceIVF.from_packed(idx, tile_seg=seg)
+    starts = np.asarray(dev.list_start)
+    assert np.all(starts % seg == 0)
+    codes_t = np.asarray(dev.codes_t)
+    tiled = np.asarray(dev.codes_tiled)      # (n_tiles, m, seg)
+    ids_dev = np.asarray(dev.ids)
+    for li in range(16):
+        ln = int(idx.list_len[li])
+        so, sn = int(idx.list_start[li]), int(starts[li])
+        np.testing.assert_array_equal(
+            ids_dev[sn:sn + ln], idx.ids[so:so + ln])
+        np.testing.assert_array_equal(
+            codes_t[:, sn:sn + ln], idx.codes[so:so + ln].T)
+        for r in range(0, ln, 37):
+            t, off = (sn + r) // seg, (sn + r) % seg
+            np.testing.assert_array_equal(tiled[t, :, off],
+                                          idx.codes[so + r])
