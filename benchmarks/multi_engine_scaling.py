@@ -71,12 +71,15 @@ def _engine_proc(index_path: str, host: str, port: int, batch: int,
 
 
 def _coord_proc(host: str, port: int, batch: int, dim: int, k: int,
-                engine_addrs, total: int) -> None:
-    from chamjax.retrieval.coordinator import RetrieveCoordinator
+                engine_addrs, total: int, relay: str = "python") -> None:
+    from chamjax.retrieval.coordinator import (
+        NativeCoordinator, RetrieveCoordinator,
+    )
 
-    co = RetrieveCoordinator(host, port, n_clients=1, batch_size=batch,
-                             dim=dim, k=k, engine_addrs=engine_addrs,
-                             queries_per_client=total)
+    cls = NativeCoordinator if relay == "native" else RetrieveCoordinator
+    co = cls(host, port, n_clients=1, batch_size=batch,
+             dim=dim, k=k, engine_addrs=engine_addrs,
+             queries_per_client=total)
     co.start()
 
 
@@ -122,6 +125,10 @@ def main() -> None:
                          "chip+core across engines, so real-search engines "
                          "contend; sleeps overlap and expose the "
                          "coordinator's scaling)")
+    ap.add_argument("--relay", nargs="+", default=["python"],
+                    choices=["python", "native"],
+                    help="coordinator data plane(s) to A/B: the Python "
+                         "poll loop vs the C++ epoll relay (chamnet)")
     ap.add_argument("--host", default="127.0.0.1")
     args = ap.parse_args()
 
@@ -171,7 +178,8 @@ def main() -> None:
 
     rows = []
     port = base_port
-    for n_eng in args.engines:
+    runs = [(n, r) for n in args.engines for r in args.relay]
+    for n_eng, relay in runs:
         eng_addrs = [(args.host, port + 1 + e) for e in range(n_eng)]
         engines = []
         for _, (h, p) in enumerate(eng_addrs):
@@ -182,7 +190,8 @@ def main() -> None:
             engines.append(pr)
         coord = mp.Process(target=_coord_proc,
                            args=(args.host, port, args.batch, dim, args.k,
-                                 eng_addrs, total + n_eng), daemon=True)
+                                 eng_addrs, total + n_eng, relay),
+                           daemon=True)
         coord.start()
 
         cli = _connect_client(args.host, port, args.batch, dim, args.k,
@@ -247,7 +256,8 @@ def main() -> None:
             if len(used_a) == len(meas):
                 break
         r10 = float(np.mean(matched))
-        row = {"engines": n_eng, "QPS": round(qps, 1), "R@10": round(r10, 4),
+        row = {"engines": n_eng, "relay": relay,
+               "QPS": round(qps, 1), "R@10": round(r10, 4),
                "in_order_frac": round(in_order / len(meas), 3),
                "batch": args.batch, "window": args.window,
                "nprobe": args.nprobe, "delay_ms": args.delay_ms}
