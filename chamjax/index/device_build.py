@@ -23,6 +23,8 @@ Search-time ranking math stays ``precision=HIGHEST`` throughout
 from __future__ import annotations
 
 import functools
+import os
+import time
 import warnings
 from typing import Callable, Optional, Tuple
 
@@ -670,6 +672,26 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
     tail = n - n_use
 
     if cfg.balanced:
+        # Stage profiling (VERDICT r3 #9): CHAMJAX_BUILD_PROFILE=1 syncs
+        # the device after each stage (one-element pull — program order ⇒
+        # the pull lands after all prior work, the only honest sync under
+        # the axon tunnel) and reports per-stage seconds in the stats
+        # dict.  Unprofiled builds never sync (stages overlap as usual).
+        prof = os.environ.get("CHAMJAX_BUILD_PROFILE", "0") == "1"
+        stage_s = {"candidates": 0.0, "rebalance": 0.0, "encode": 0.0}
+
+        def _sync(arr):
+            if prof:
+                np.asarray(arr.ravel()[0])
+
+        _t_stage = time.perf_counter()
+
+        def _lap(name, arr):
+            nonlocal _t_stage
+            _sync(arr)
+            stage_s[name] += time.perf_counter() - _t_stage
+            _t_stage = time.perf_counter()
+
         # Two-pass balanced build: pass 1 streams the corpus into a
         # top-``cand`` candidate table (cells + exact d²), the parallel
         # eviction rounds rebalance it under the cap, pass 2 re-streams to
@@ -718,6 +740,7 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
             cand_t = jnp.concatenate(cands) if len(cands) > 1 else cands[0]
             cd_t = jnp.concatenate(cds) if len(cds) > 1 else cds[0]
             del cands, cds
+            _lap("candidates", cand_t)
             rows_done += int(cand_t.shape[0])
             budget = int(np.ceil(cap_list * rows_done / n))
             cap_arr = jnp.maximum(jnp.minimum(budget, cap_list) - used, 0)
@@ -725,6 +748,7 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
                 cand_t, cd_t, cap_arr, hard=cfg.balance_hard,
                 verbose=verbose, return_stats=True)
             del cand_t, cd_t
+            _lap("rebalance", a_part)
             assignment.append(a_part)
             n_stragglers += strag
             if len(groups) > 1:
@@ -747,8 +771,14 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
                 draw(n_use, tail), assignment[n_use:], cent, cbooks,
                 block=tail, by_residual=cfg.by_residual))
         codes = jnp.concatenate(codes) if len(codes) > 1 else codes[0]
-        return cent, cbooks, opq_R, assignment, codes, \
-            {"stragglers": n_stragglers, "cap": cap_list}
+        _lap("encode", codes)
+        stats = {"stragglers": n_stragglers, "cap": cap_list}
+        if prof:
+            stats["stage_s"] = {k: round(v, 2) for k, v in stage_s.items()}
+            if verbose:
+                print(f"[build-dev] stage profile: {stats['stage_s']}",
+                      flush=True)
+        return cent, cbooks, opq_R, assignment, codes, stats
 
     # streamed assign + encode; the non-block-aligned tail runs as one
     # extra small-shape call (one extra compile, zero dropped rows)
