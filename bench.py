@@ -94,6 +94,18 @@ def _recall_matrix(ds, idx, dev, gt, base_kw, nprobe, k, ivfpq_search,
                                lut_bf16=True), oracle, 0.002)
     gate("seg_f32_g1", r10_of(use_approx=False, coarse_approx=False,
                               lut_bf16=False, group=1), oracle, 0.002)
+    # with the tiled layout resident, the seg rows above exercise the
+    # BlockSpec-pipelined kernel (scan_seg_block); this row pins the
+    # manual-DMA multi-window kernel on a FLAT twin of the same index
+    if dev.codes_tiled is not None:
+        dev_flat = DeviceIVF.from_packed(idx)
+        _d, i_fl = ivfpq_search(dev_flat, q, **{**base_kw,
+                                                "use_approx": False,
+                                                "coarse_approx": False,
+                                                "lut_bf16": False})
+        gate("seg_flat_dma_g8", recall_at_k(np.asarray(i_fl), gt, 10),
+             oracle, 0.002)
+        del dev_flat
     scan_len = 4096
     gate("pallas_padded", r10_of(backend="pallas", scan_len=scan_len,
                                  use_approx=False, coarse_approx=False),
