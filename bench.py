@@ -338,7 +338,9 @@ def main() -> None:
               backend="seg",
               coarse_approx=os.environ.get("CHAMJAX_COARSE_APPROX",
                                            "1") == "1",
-              lut_bf16=os.environ.get("CHAMJAX_LUT_BF16", "1") == "1")
+              lut_bf16=os.environ.get("CHAMJAX_LUT_BF16", "1") == "1",
+              select_l1=int(os.environ.get("CHAMJAX_SELECT_L1", "0")),
+              lane_l1=os.environ.get("CHAMJAX_LANE_L1", "0") == "1")
 
     # quality gate: recall@10 on 256 held-out queries
     d_r, i_r = ivfpq_search(dev, jnp.asarray(ds.xq[:256]), **kw)

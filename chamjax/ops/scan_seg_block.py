@@ -43,7 +43,8 @@ LANES = 128
 
 
 def _adc_block_kernel(tiles_ref, lens_ref, lutidx_ref, *rest,
-                      seg: int, group: int, lut_bf16: bool):
+                      seg: int, group: int, lut_bf16: bool,
+                      lane_l1: bool = False):
     lut_refs = rest[:group]
     code_refs = rest[group:2 * group]
     out_ref = rest[2 * group]
@@ -62,21 +63,46 @@ def _adc_block_kernel(tiles_ref, lens_ref, lutidx_ref, *rest,
         @pl.when(ln > 0)
         def _(j=j, ln=ln, lut_lo=lut_lo, lut_hi=lut_hi, lut_p=lut_p):
             codes = code_refs[j][0].astype(jnp.int32)      # (m, seg)
-            for t in range(seg // LANES):
-                cc = codes[:, t * LANES:(t + 1) * LANES]
-                dist = _adc_tile(lut_lo, lut_hi, lut_p, cc, lut_bf16)
-                pos = t * LANES + jax.lax.broadcasted_iota(
-                    jnp.int32, (LANES,), 0)
-                out_ref[j, t, :] = jnp.where(pos < ln, dist, jnp.inf)
+            if lane_l1:
+                # in-kernel per-(window, lane) L1 min + winning tile —
+                # the FPGA's per-PE L1 queue next to the ADC PEs
+                # (hierarchical_priority_queue.hpp), as in
+                # scan_seg_multi.py but on the pipelined fetch path
+                best = jnp.full((LANES,), jnp.inf, jnp.float32)
+                best_t = jnp.zeros((LANES,), jnp.int32)
+                for t in range(seg // LANES):
+                    cc = codes[:, t * LANES:(t + 1) * LANES]
+                    dist = _adc_tile(lut_lo, lut_hi, lut_p, cc, lut_bf16)
+                    pos = t * LANES + jax.lax.broadcasted_iota(
+                        jnp.int32, (LANES,), 0)
+                    dist = jnp.where(pos < ln, dist, jnp.inf)
+                    take = dist < best
+                    best = jnp.where(take, dist, best)
+                    best_t = jnp.where(take, t, best_t)
+                out_ref[j, 0, :] = best
+                out_ref[j, 1, :] = jax.lax.bitcast_convert_type(
+                    best_t, jnp.float32)
+            else:
+                for t in range(seg // LANES):
+                    cc = codes[:, t * LANES:(t + 1) * LANES]
+                    dist = _adc_tile(lut_lo, lut_hi, lut_p, cc, lut_bf16)
+                    pos = t * LANES + jax.lax.broadcasted_iota(
+                        jnp.int32, (LANES,), 0)
+                    out_ref[j, t, :] = jnp.where(pos < ln, dist, jnp.inf)
 
         @pl.when(ln <= 0)
         def _(j=j):
-            out_ref[j] = jnp.full((seg // LANES, LANES), jnp.inf,
-                                  jnp.float32)
+            if lane_l1:
+                out_ref[j, 0, :] = jnp.full((LANES,), jnp.inf, jnp.float32)
+                out_ref[j, 1, :] = jnp.zeros((LANES,), jnp.float32)
+            else:
+                out_ref[j] = jnp.full((seg // LANES, LANES), jnp.inf,
+                                      jnp.float32)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("seg", "group", "interpret", "lut_bf16"))
+                   static_argnames=("seg", "group", "interpret", "lut_bf16",
+                                    "lane_l1"))
 def adc_scan_tiles(
     codes_tiled: jax.Array,  # (n_tiles, m, seg) uint8 — tile-major
     tile_idx: jax.Array,     # (bW,) int32 — tile row per window
@@ -88,8 +114,11 @@ def adc_scan_tiles(
     group: int = 8,
     interpret: bool = False,
     lut_bf16: bool = False,
+    lane_l1: bool = False,
 ) -> jax.Array:
-    """Returns ``dists (bW, seg) float32`` (+inf on padding/skips)."""
+    """Returns ``dists (bW, seg) float32`` (+inf on padding/skips), or —
+    with ``lane_l1`` — ``(bW, 2, 128)``: per-lane min + winning tile
+    index (bitcast int32)."""
     bw = tile_idx.shape[0]
     _n_tiles, m, seg_t = codes_tiled.shape
     _n_lut, _m2, ksub = luts.shape
@@ -97,6 +126,7 @@ def adc_scan_tiles(
     assert ksub == (128 if lut_bf16 else 256)
     assert seg % LANES == 0
     assert bw % group == 0, (bw, group)
+    out_rows = 2 if lane_l1 else seg // LANES
 
     def lut_spec(j):
         return pl.BlockSpec(
@@ -118,26 +148,29 @@ def adc_scan_tiles(
         in_specs=[lut_spec(j) for j in range(group)]
         + [code_spec(j) for j in range(group)],
         out_specs=pl.BlockSpec(
-            (group, seg // LANES, LANES),
+            (group, out_rows, LANES),
             lambda i, tiles, lens, lutidx: (i, 0, 0),
             memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(_adc_block_kernel, seg=seg, group=group,
-                          lut_bf16=lut_bf16),
-        out_shape=jax.ShapeDtypeStruct((bw, seg // LANES, LANES),
+                          lut_bf16=lut_bf16, lane_l1=lane_l1),
+        out_shape=jax.ShapeDtypeStruct((bw, out_rows, LANES),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_idx, lens, lut_idx,
       *([luts] * group), *([codes_tiled] * group))
+    if lane_l1:
+        return out
     return out.reshape(bw, seg)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("windows", "seg", "group", "k", "use_approx",
-                     "recall_target", "interpret", "lut_bf16", "select_l1"),
+                     "recall_target", "interpret", "lut_bf16", "select_l1",
+                     "lane_l1"),
 )
 def scan_lists_seg_block(
     codes_tiled: jax.Array,  # (n_tiles, m, seg) uint8
@@ -156,6 +189,7 @@ def scan_lists_seg_block(
     interpret: bool = False,
     lut_bf16: bool = False,
     select_l1: int = 0,
+    lane_l1: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Tiled-layout segmented scan + selection (drop-in for
     ``scan_lists_seg_multi`` given a tile-aligned packing)."""
@@ -167,7 +201,22 @@ def scan_lists_seg_block(
     dists = adc_scan_tiles(
         codes_tiled, (starts // seg).reshape(-1), lens.reshape(-1),
         lut_idx, luts_k, seg=seg, group=group, interpret=interpret,
-        lut_bf16=lut_bf16)
+        lut_bf16=lut_bf16, lane_l1=lane_l1)
+    if lane_l1:
+        flat = dists[:, 0, :].reshape(b, windows * LANES)
+        tile_idx = jax.lax.bitcast_convert_type(
+            dists[:, 1, :], jnp.int32).reshape(b, windows * LANES)
+        best_d, pos = select_topk(
+            flat, k, use_approx=use_approx, recall_target=recall_target,
+            l1=select_l1)
+        win = pos // LANES
+        lane = pos % LANES
+        t_sel = jnp.take_along_axis(tile_idx, pos, axis=1)
+        row = (jnp.take_along_axis(starts, win, axis=1)
+               + t_sel * LANES + lane)
+        best_i = ids[row]
+        best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)
+        return best_d, best_i
     flat = dists.reshape(b, windows * seg)
     best_d, pos = select_topk(
         flat, k, use_approx=use_approx, recall_target=recall_target,

@@ -110,14 +110,14 @@ def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
     interpret = interpret or jax.default_backend() != "tpu"
     if backend == "seg":
         if (index.codes_tiled is not None
-                and index.codes_tiled.shape[2] == seg and not lane_l1):
+                and index.codes_tiled.shape[2] == seg):
             return scan_lists_seg_block(
                 index.codes_tiled, index.ids, index.list_start,
                 index.list_len, luts, list_ids,
                 windows=windows, seg=seg, group=max(group, 1), k=k,
                 use_approx=use_approx, recall_target=recall_target,
                 interpret=interpret, lut_bf16=lut_bf16,
-                select_l1=select_l1,
+                select_l1=select_l1, lane_l1=lane_l1,
             )
         if group > 1:
             return scan_lists_seg_multi(

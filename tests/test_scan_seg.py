@@ -372,3 +372,31 @@ def test_tiled_repack_coordinates():
             t, off = (sn + r) // seg, (sn + r) % seg
             np.testing.assert_array_equal(tiled[t, :, off],
                                           idx.codes[so + r])
+
+
+def test_tiled_lane_l1_recall_close():
+    """Block-kernel lane-L1: per-(window,lane) min reduction keeps recall
+    within its collision bound on a small corpus."""
+    from chamjax.config import IndexConfig, SearchConfig
+    from chamjax.data import synthetic_dataset
+    from chamjax.data.ground_truth import compute_ground_truth
+    from chamjax.eval import recall_at_k
+    from chamjax.index import build_ivfpq
+    from chamjax.searcher import IVFSearcher
+    import dataclasses
+
+    ds = synthetic_dataset(nb=12000, nq=32, nt=6000, d=32, seed=7,
+                           n_clusters=32)
+    idx = build_ivfpq(ds.xb, IndexConfig(dim=32, nlist=32, m=8, list_pad=64),
+                      xt=ds.xt, kmeans_iters=4, pq_iters=4)
+    gt, _ = compute_ground_truth(ds.xb, ds.xq, k=10)
+    base = SearchConfig(nprobe=8, k=10, use_approx_topk=False,
+                        coarse_cand=0, lut_bf16=False)
+    s_plain = IVFSearcher(idx, base)
+    s_l1 = IVFSearcher(idx, dataclasses.replace(base, lane_l1=True))
+    assert s_l1.dev.codes_tiled is not None
+    _d, i_p = s_plain.search(ds.xq)
+    _d, i_l = s_l1.search(ds.xq)
+    r_p = recall_at_k(i_p, gt, 10)
+    r_l = recall_at_k(i_l, gt, 10)
+    assert r_l >= r_p - 0.05, (r_l, r_p)
