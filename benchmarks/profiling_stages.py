@@ -108,6 +108,9 @@ def main() -> None:
                     help="also time the full path with hierarchical "
                          "oversized-L1 selection at this L1 length "
                          "(SearchConfig.select_l1)")
+    ap.add_argument("--tiled", type=int, default=1,
+                    help="1 = seg-tiled codes + BlockSpec-pipelined scan "
+                         "(scan_seg_block); 0 = manual-DMA multi kernel")
     ap.add_argument("--out", default="results/profiling_stages.pkl")
     args = ap.parse_args()
 
@@ -124,17 +127,30 @@ def main() -> None:
         n_pad = args.nlist * Lpad + MAX_SEG
         key = jax.random.PRNGKey(0)
         ks = jax.random.split(key, 4)
+        if args.tiled:
+            # synthetic tiled twin: lists padded to seg boundaries
+            Lpad = -(-L // args.seg) * args.seg
+            n_pad = args.nlist * Lpad + MAX_SEG
+            codes_t = jax.random.randint(ks[2], (args.m, n_pad), 0, 256,
+                                         jnp.uint8)
+            codes_tiled = (codes_t[:, :args.nlist * Lpad]
+                           .reshape(args.m, -1, args.seg)
+                           .transpose(1, 0, 2))
+        else:
+            codes_t = jax.random.randint(ks[2], (args.m, n_pad), 0, 256,
+                                         jnp.uint8)
+            codes_tiled = None
         dev = _DIVF(
             centroids=jax.random.normal(ks[0], (args.nlist, args.d),
                                         jnp.float32),
             codebooks=jax.random.normal(
                 ks[1], (args.m, 256, args.d // args.m), jnp.float32),
-            codes_t=jax.random.randint(ks[2], (args.m, n_pad), 0, 256,
-                                       jnp.uint8),
+            codes_t=codes_t,
             ids=jnp.arange(n_pad, dtype=jnp.int32),
             list_start=jnp.arange(args.nlist, dtype=jnp.int32) * Lpad,
             list_len=jnp.full((args.nlist,), L, jnp.int32),
             opq_R=None,
+            codes_tiled=codes_tiled,
         )
         ds = synthetic_dataset(nb=1, nq=8192, nt=1, d=args.d, seed=42,
                                n_clusters=64, parts=("xq",), to_host=False)
@@ -168,7 +184,8 @@ def main() -> None:
                 list_pad=128),
                 xt=ds.xt, kmeans_iters=10, pq_iters=10)
             idx.save(cache)
-        dev = DeviceIVF.from_packed(idx)
+        dev = DeviceIVF.from_packed(
+            idx, tile_seg=args.seg if args.tiled else 0)
         lens = idx.list_len.astype(np.float64)
     store = ResultStore(args.out, load=True, overwrite=True)
 
