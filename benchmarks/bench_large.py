@@ -88,6 +88,9 @@ def main() -> None:
     ap.add_argument("--lane-l1", type=int, default=0,
                     help="in-kernel per-(window,lane) L1 min reduction; "
                          "2 = within-process OFF/ON A/B per nprobe point")
+    ap.add_argument("--tiled", type=int, default=1,
+                    help="1 = retile on device for the BlockSpec-pipelined "
+                         "scan; 0 = flat manual-DMA kernel"),
     ap.add_argument("--select-l1", type=int, default=0,
                     help=">k: hierarchical oversized-L1 selection "
                          "(ops/topk.py) instead of aggregated approx_min_k")
@@ -176,6 +179,14 @@ def main() -> None:
     note(f"ground truth in {time.time() - t0:.1f}s")
 
     seg = args.seg or auto_seg(lens)
+    if args.tiled:
+        # device-side repack onto seg boundaries → BlockSpec-pipelined
+        # scan (ops/scan_seg_block.py); transient ~3x codes HBM
+        from chamjax.searcher import retile_device_ivf
+        t0 = time.time()
+        dev = retile_device_ivf(dev, seg, lens)
+        jax.block_until_ready(dev.codes_tiled)
+        note(f"retiled to seg={seg} in {time.time() - t0:.1f}s")
     results = []
     # --lane-l1 2: within-process A/B — measure each nprobe point with the
     # in-kernel lane-L1 reduction OFF then ON against the SAME built index

@@ -101,6 +101,59 @@ class DeviceIVF(NamedTuple):
         )
 
 
+@functools.partial(jax.jit, static_argnames=("seg", "cap_new"))
+def _retile_core(codes_t, ids, list_start, list_len, *, seg: int,
+                 cap_new: int):
+    """Device-side repack of a flat CSR layout onto ``seg`` boundaries.
+
+    Same boundary-mark construction as ``device_build._pack_layout_core``
+    (multiple zero-width starts collapse via cumsum); everything stays on
+    device — at 100M+ scale nothing corpus-sized may cross the host link.
+    """
+    nlist = list_len.shape[0]
+    eff = list_len.astype(jnp.int32)
+    padded = jnp.maximum(((eff + seg - 1) // seg) * seg, seg)
+    new_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(padded)[:-1].astype(jnp.int32)])
+    mark = jnp.zeros((cap_new,), jnp.int32).at[new_start].add(1)
+    list_of = jnp.minimum(jnp.cumsum(mark) - 1, nlist - 1)
+    offset = jnp.arange(cap_new, dtype=jnp.int32) - new_start[list_of]
+    valid = offset < eff[list_of]
+    src = jnp.clip(list_start[list_of] + offset, 0, codes_t.shape[1] - 1)
+    ids_new = jnp.where(valid, ids[src], jnp.int32(-1))
+    codes_new = jnp.take(codes_t, src, axis=1)
+    m = codes_t.shape[0]
+    n_tiles = (cap_new - (cap_new % seg)) // seg
+    codes_tiled = (codes_new[:, : n_tiles * seg]
+                   .reshape(m, n_tiles, seg).transpose(1, 0, 2))
+    return codes_new, ids_new, new_start, codes_tiled
+
+
+def retile_device_ivf(dev: DeviceIVF, seg: int,
+                      list_len_host: Optional[np.ndarray] = None
+                      ) -> DeviceIVF:
+    """Re-pack a device-resident index onto ``seg`` tile boundaries and
+    attach the ``codes_tiled`` twin (the BlockSpec-pipelined scan's
+    layout) — the post-build path for ``build_ivfpq_device`` indexes whose
+    ``seg`` is auto-sized from the built list-length distribution.
+
+    Pulls only the (nlist,) length table to size the static capacity;
+    codes/ids are re-gathered on device (transient ~3× codes HBM).
+    """
+    from chamjax.ops.scan_seg import MAX_SEG
+    ll = (np.asarray(dev.list_len) if list_len_host is None
+          else np.asarray(list_len_host))
+    padded = (np.maximum(np.ceil(ll / seg), 1) * seg).astype(np.int64)
+    cap_new = int(padded.sum()) + max(MAX_SEG, seg)
+    cap_new = -(-cap_new // seg) * seg
+    codes_new, ids_new, new_start, codes_tiled = _retile_core(
+        dev.codes_t, dev.ids, dev.list_start, dev.list_len,
+        seg=seg, cap_new=cap_new)
+    return dev._replace(codes_t=codes_new, ids=ids_new,
+                        list_start=new_start, codes_tiled=codes_tiled)
+
+
 def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
                    windows, seg, group, probe_chunk, use_approx,
                    recall_target, backend, tile, interpret,

@@ -400,3 +400,34 @@ def test_tiled_lane_l1_recall_close():
     r_p = recall_at_k(i_p, gt, 10)
     r_l = recall_at_k(i_l, gt, 10)
     assert r_l >= r_p - 0.05, (r_l, r_p)
+
+
+def test_retile_device_ivf_matches_flat():
+    """Device-side retiling must agree with the host-side tiled repack:
+    same search results as the flat index, tiled twin attached."""
+    from chamjax.config import IndexConfig, SearchConfig
+    from chamjax.data import synthetic_dataset
+    from chamjax.index import build_ivfpq
+    from chamjax.searcher import (
+        DeviceIVF, IVFSearcher, ivfpq_search, retile_device_ivf,
+    )
+    import dataclasses
+
+    ds = synthetic_dataset(nb=12000, nq=16, nt=6000, d=32, seed=7,
+                           n_clusters=32)
+    idx = build_ivfpq(ds.xb, IndexConfig(dim=32, nlist=32, m=8, list_pad=64),
+                      xt=ds.xt, kmeans_iters=4, pq_iters=4)
+    seg = 128
+    dev_flat = DeviceIVF.from_packed(idx)
+    dev_ret = retile_device_ivf(dev_flat, seg)
+    assert dev_ret.codes_tiled is not None
+    assert np.all(np.asarray(dev_ret.list_start) % seg == 0)
+    kw = dict(nprobe=8, k=10, windows=32, seg=seg, group=8,
+              use_approx=False, coarse_cand=0, interpret=True)
+    d_f, i_f = ivfpq_search(dev_flat, jnp.asarray(ds.xq), **kw)
+    d_r, i_r = ivfpq_search(dev_ret, jnp.asarray(ds.xq), **kw)
+    np.testing.assert_allclose(np.asarray(d_r), np.asarray(d_f),
+                               rtol=1e-5, atol=1e-5)
+    agree = np.asarray(i_r) == np.asarray(i_f)
+    close = np.abs(np.asarray(d_r) - np.asarray(d_f)) < 1e-4
+    assert np.all(agree | close)
