@@ -95,6 +95,9 @@ def main() -> None:
                          "'OPQ16,IVF...,PQ16'); queries are rotated inside "
                          "ivfpq_search, ground truth stays in raw space")
     ap.add_argument("--recall-target", type=float, default=0.99)
+    ap.add_argument("--tiled", type=int, default=1,
+                    help="1 = per-shard device retile for the BlockSpec-"
+                         "pipelined scan; 0 = flat manual-DMA kernel"),
     ap.add_argument("--coarse-cand", type=int, default=-1,
                     help="SearchConfig.coarse_cand semantics "
                          "(-1 auto, 0 exact full-sort, >0 explicit)")
@@ -222,9 +225,18 @@ def main() -> None:
             chunk=args.chunk, block=args.block,
             quantizers=(cent, cbooks, opq_R), verbose=False)
         jax.block_until_ready(dev.codes_t)
+        lens = info["list_len"]
+        if args.tiled:
+            from chamjax.searcher import retile_device_ivf
+            # pin the tile seg at shard 0 so it matches seg_w's choice on
+            # every shard (a mismatch silently falls back to the flat
+            # kernel) and compiled programs reuse across shards
+            if "tile" not in seg_w:
+                seg_w["tile"] = args.seg or auto_seg(lens)
+            dev = retile_device_ivf(dev, seg_w["tile"], lens)
+            jax.block_until_ready(dev.codes_tiled)
         b_s = time.time() - t0
         build_s_total += b_s
-        lens = info["list_len"]
         note(f"shard {s}: built {args.shard_rows} rows in {b_s:.1f}s; "
              f"list p50/p99/max="
              f"{np.percentile(lens, [50, 99, 100]).astype(int).tolist()}")
@@ -239,7 +251,7 @@ def main() -> None:
 
         for np_ in nprobes:
             if np_ not in seg_w:
-                seg0 = args.seg or auto_seg(lens)
+                seg0 = seg_w.get("tile") or args.seg or auto_seg(lens)
                 W0 = auto_windows(lens, seg0, np_)
                 W0 += (-W0) % args.group
                 seg_w[np_] = (seg0, W0)
