@@ -682,7 +682,10 @@ def _train_encode_stream(draw, n, cfg, xt, *, kmeans_iters, pq_iters, seed,
 
         def _sync(arr):
             if prof:
-                np.asarray(arr.ravel()[0])
+                # index, don't ravel: ravel of a (n, cand) T(8,128)-tiled
+                # array compiles a full padded relayout copy (measured
+                # 16 GB HLO temp at 33M rows — an instant OOM)
+                np.asarray(arr[(0,) * arr.ndim])
 
         _t_stage = time.perf_counter()
 
