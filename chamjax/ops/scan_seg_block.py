@@ -60,44 +60,37 @@ def _adc_block_kernel(tiles_ref, lens_ref, lutidx_ref, *rest,
             lut_hi = lut[:, LANES:]
             lut_p = None
 
-        @pl.when(ln > 0)
-        def _(j=j, ln=ln, lut_lo=lut_lo, lut_hi=lut_hi, lut_p=lut_p):
-            codes = code_refs[j][0].astype(jnp.int32)      # (m, seg)
-            if lane_l1:
-                # in-kernel per-(window, lane) L1 min + winning tile —
-                # the FPGA's per-PE L1 queue next to the ADC PEs
-                # (hierarchical_priority_queue.hpp), as in
-                # scan_seg_multi.py but on the pipelined fetch path
-                best = jnp.full((LANES,), jnp.inf, jnp.float32)
-                best_t = jnp.zeros((LANES,), jnp.int32)
-                for t in range(seg // LANES):
-                    cc = codes[:, t * LANES:(t + 1) * LANES]
-                    dist = _adc_tile(lut_lo, lut_hi, lut_p, cc, lut_bf16)
-                    pos = t * LANES + jax.lax.broadcasted_iota(
-                        jnp.int32, (LANES,), 0)
-                    dist = jnp.where(pos < ln, dist, jnp.inf)
-                    take = dist < best
-                    best = jnp.where(take, dist, best)
-                    best_t = jnp.where(take, t, best_t)
-                out_ref[j, 0, :] = best
-                out_ref[j, 1, :] = jax.lax.bitcast_convert_type(
-                    best_t, jnp.float32)
-            else:
-                for t in range(seg // LANES):
-                    cc = codes[:, t * LANES:(t + 1) * LANES]
-                    dist = _adc_tile(lut_lo, lut_hi, lut_p, cc, lut_bf16)
-                    pos = t * LANES + jax.lax.broadcasted_iota(
-                        jnp.int32, (LANES,), 0)
-                    out_ref[j, t, :] = jnp.where(pos < ln, dist, jnp.inf)
-
-        @pl.when(ln <= 0)
-        def _(j=j):
-            if lane_l1:
-                out_ref[j, 0, :] = jnp.full((LANES,), jnp.inf, jnp.float32)
-                out_ref[j, 1, :] = jnp.zeros((LANES,), jnp.float32)
-            else:
-                out_ref[j] = jnp.full((seg // LANES, LANES), jnp.inf,
-                                      jnp.float32)
+        # no ln-conditional branches: the ``pos < ln`` mask already writes
+        # all-inf for empty/padding windows (ln == 0 masks every lane), so
+        # the body runs unconditionally — two fewer when-blocks of
+        # per-window control overhead than the manual-DMA kernel
+        codes = code_refs[j][0].astype(jnp.int32)          # (m, seg)
+        if lane_l1:
+            # in-kernel per-(window, lane) L1 min + winning tile — the
+            # FPGA's per-PE L1 queue next to the ADC PEs
+            # (hierarchical_priority_queue.hpp), as in scan_seg_multi.py
+            # but on the pipelined fetch path
+            best = jnp.full((LANES,), jnp.inf, jnp.float32)
+            best_t = jnp.zeros((LANES,), jnp.int32)
+            for t in range(seg // LANES):
+                cc = codes[:, t * LANES:(t + 1) * LANES]
+                dist = _adc_tile(lut_lo, lut_hi, lut_p, cc, lut_bf16)
+                pos = t * LANES + jax.lax.broadcasted_iota(
+                    jnp.int32, (LANES,), 0)
+                dist = jnp.where(pos < ln, dist, jnp.inf)
+                take = dist < best
+                best = jnp.where(take, dist, best)
+                best_t = jnp.where(take, t, best_t)
+            out_ref[j, 0, :] = best
+            out_ref[j, 1, :] = jax.lax.bitcast_convert_type(
+                best_t, jnp.float32)
+        else:
+            for t in range(seg // LANES):
+                cc = codes[:, t * LANES:(t + 1) * LANES]
+                dist = _adc_tile(lut_lo, lut_hi, lut_p, cc, lut_bf16)
+                pos = t * LANES + jax.lax.broadcasted_iota(
+                    jnp.int32, (LANES,), 0)
+                out_ref[j, t, :] = jnp.where(pos < ln, dist, jnp.inf)
 
 
 @functools.partial(jax.jit,
