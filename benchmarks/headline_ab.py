@@ -20,7 +20,6 @@ import argparse
 import functools
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -29,28 +28,31 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
-    "prod": dict(lut_bf16=True),                      # bench.py default
-    "f32": dict(lut_bf16=False),
-    "bf16_lane": dict(lut_bf16=True, lane_l1=True),
-    "f32_lane": dict(lut_bf16=False, lane_l1=True),
-    "bf16_rt99": dict(lut_bf16=True, recall_target=0.99),
-    "f32_exact_sel": dict(lut_bf16=False, use_approx=False),
-    # group sweep: windows per grid step amortize the per-window fixed
-    # cost (~2k row-equivalents, RESULTS.md cost model) that dominates the
-    # scan at seg=512 full-window builds
-    "g4": dict(lut_bf16=True, group=4),
-    "g16": dict(lut_bf16=True, group=16),
-    "g32": dict(lut_bf16=True, group=32),
-    # seg=1024 merges each query's probes into fewer, larger windows
-    # (more padding, fewer fixed costs); W recomputed per variant
-    "seg1024": dict(lut_bf16=True, seg=1024),
-    "seg1024_g16": dict(lut_bf16=True, seg=1024, group=16),
+    # _dev: which device twin the variant runs on — "tiled" (seg-tiled
+    # BlockSpec-pipelined scan, the production default) or "flat" (manual
+    # -DMA multi-window kernel)
+    "prod": dict(lut_bf16=True, _dev="tiled"),        # bench.py default
+    "flat": dict(lut_bf16=True, _dev="flat"),
+    "f32": dict(lut_bf16=False, _dev="tiled"),
+    "lane": dict(lut_bf16=True, lane_l1=True, _dev="tiled"),
+    "flat_lane": dict(lut_bf16=True, lane_l1=True, _dev="flat"),
+    "sel512": dict(lut_bf16=True, select_l1=512, _dev="tiled"),
+    "sel1024": dict(lut_bf16=True, select_l1=1024, _dev="tiled"),
+    "rt99": dict(lut_bf16=True, recall_target=0.99, _dev="tiled"),
+    "exact_sel": dict(lut_bf16=True, use_approx=False, _dev="tiled"),
+    # group sweep on the pipelined kernel
+    "g4": dict(lut_bf16=True, group=4, _dev="tiled"),
+    "g16": dict(lut_bf16=True, group=16, _dev="tiled"),
+    "g32": dict(lut_bf16=True, group=32, _dev="tiled"),
+    # seg=1024: fewer, larger windows (tiled twin retiled to match)
+    "seg1024": dict(lut_bf16=True, seg=1024, _dev="tiled1024"),
+    "flat_seg1024": dict(lut_bf16=True, seg=1024, _dev="flat"),
 }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variants", default="prod,f32,bf16_lane,f32_lane")
+    ap.add_argument("--variants", default="prod,flat,lane,sel512,g16")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--steps", type=int, default=48,
                     help="long-chain length (short chain is 8)")
@@ -73,14 +75,11 @@ def main() -> None:
     nb, d, nlist, m = 1_000_000, 128, 4096, 16
     batch, nprobe, k, seg, group = 128, 32, 100, 512, 8
 
-    # the bench cache and the profiler cache hold the SAME artifact (xb's
-    # PRNG stream is nq-independent; identical build params) — reuse either
+    # v8 = the round-3 OPQ + hard-cap flagship artifact (bench.py key)
     nq_bench = batch * 65 + 256
-    bench_cache = (f"/tmp/chamjax_bench_idx_v7_{nb}_{d}_{nlist}_{m}"
+    bench_cache = (f"/tmp/chamjax_bench_idx_v8_{nb}_{d}_{nlist}_{m}"
                    f"_{nq_bench}.npz")
-    prof_cache = f"/tmp/chamjax_prof_idx_v7_{nb}_{d}_{nlist}_{m}.npz"
-    cache = next((c for c in (bench_cache, prof_cache) if os.path.exists(c)),
-                 bench_cache)
+    cache = bench_cache
     cold = not os.path.exists(cache)
     ds = synthetic_dataset_device(
         nb=nb, nq=nq_bench, nt=100_000, d=d, seed=42, n_clusters=4096,
@@ -88,15 +87,18 @@ def main() -> None:
         to_host=False)
     if cold:
         idx = build_ivfpq(ds.xb, IndexConfig(
-            dim=d, nlist=nlist, m=m, list_pad=128, balanced=True,
+            dim=d, nlist=nlist, m=m, list_pad=128, opq=True, balanced=True,
             balance_hard=True, balance_factor=seg * nlist / nb),
             xt=ds.xt, kmeans_iters=10, pq_iters=10)
         idx.save(cache)
     else:
         idx = PackedIVF.load(cache)
-    if not os.path.exists(bench_cache):       # warm the driver's bench run
-        shutil.copyfile(cache, bench_cache)
-    dev = DeviceIVF.from_packed(idx)
+    devs = {
+        "flat": DeviceIVF.from_packed(idx),
+        "tiled": DeviceIVF.from_packed(idx, tile_seg=seg),
+        "tiled1024": DeviceIVF.from_packed(idx, tile_seg=1024),
+    }
+    dev = devs["tiled"]
     W = auto_windows(idx.list_len, seg, nprobe)
 
     gt_cache = bench_cache.replace(".npz", "_gt.npy")
@@ -113,10 +115,12 @@ def main() -> None:
     qgate = jnp.asarray(ds.xq[:256])
     q0 = jnp.asarray(ds.xq[256:256 + batch])
 
-    runners, r10s, kws = {}, {}, {}
+    runners, r10s, kws, dev_of = {}, {}, {}, {}
     for name in names:
         kw = dict(base)
         kw.update(VARIANTS[name])
+        dev_v = devs[kw.pop("_dev", "tiled")]
+        dev_of[name] = dev_v
         if kw["seg"] != seg:
             kw["windows"] = auto_windows(idx.list_len, kw["seg"], nprobe)
         if kw["windows"] % kw["group"]:
@@ -132,10 +136,10 @@ def main() -> None:
                 return dd[0, 0] * 0.0
             return jax.lax.fori_loop(0, steps, body, jnp.float32(0.0))
 
-        _d, i_r = ivfpq_search(dev, qgate, **kw)
+        _d, i_r = ivfpq_search(dev_v, qgate, **kw)
         r10s[name] = recall_at_k(np.asarray(i_r), gt, 10)
         for s in (8, args.steps):
-            np.asarray(chain(dev, q0, s))              # compile + warm
+            np.asarray(chain(dev_v, q0, s))            # compile + warm
         runners[name] = chain
         kws[name] = kw
         print(f"[ab] compiled {name} (R@10 {r10s[name]:.4f})",
@@ -146,7 +150,7 @@ def main() -> None:
         for name in names:                       # interleave: shared drift
             for s in (8, args.steps):
                 t0 = time.perf_counter()
-                np.asarray(runners[name](dev, q0, s))
+                np.asarray(runners[name](dev_of[name], q0, s))
                 ts[name][s].append(time.perf_counter() - t0)
 
     for name in names:
