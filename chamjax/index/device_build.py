@@ -303,30 +303,53 @@ def _topc_blocked(x: jax.Array, cent: jax.Array, block: int, c: int):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _rebalance_round(r: jax.Array, cand: jax.Array, cd: jax.Array,
                      cap: jax.Array):
-    """One keep-cap-best eviction round.
+    """One keep-cap-best eviction round with τ-threshold skipping.
 
     Every point claims its rank-``r`` candidate cell; each cell keeps its
-    ``cap`` nearest claimants (one global (cell, dist) sort), the rest bump
-    ``r`` to their next candidate.  Returns ``(r', moved, overflow)`` —
-    ``moved`` is this round's bump count (0 ⇒ fixpoint), ``overflow`` the
-    claimants still beyond some cell's cap (stragglers when ``moved`` hits
-    0: they exhausted their candidate list).
+    ``cap`` nearest claimants (one global (cell, dist) sort).  Evicted
+    points jump to their first LATER candidate whose cell could still
+    accept them: the sort also yields each cell's current cap-th-best
+    distance τ, and since kept members never leave a cell, τ only
+    *tightens* in later rounds — a candidate with ``d > τ`` now is
+    rejected forever, so skipping it is exact (same deferred-acceptance
+    fixpoint, far fewer rounds).  The pre-τ version bumped ``r`` by one
+    per round and needed ~30 full-table sorts at 33M rows (the profiled
+    92% of balanced-build time); τ-skipping converges in a handful.
+
+    Returns ``(r', moved, overflow)`` — ``moved`` is this round's bump
+    count (0 ⇒ fixpoint), ``overflow`` the claimants still beyond some
+    cell's cap (stragglers when ``moved`` hits 0: they exhausted their
+    candidate list).
     """
     n, c = cand.shape
+    nlist = cap.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     a = jnp.take_along_axis(cand, r[:, None], axis=1)[:, 0]
     d = jnp.take_along_axis(cd, r[:, None], axis=1)[:, 0]
-    sa, _sd, sidx = jax.lax.sort((a, d, iota), num_keys=2)
+    sa, sd, sidx = jax.lax.sort((a, d, iota), num_keys=2)
     # position within the cell's sorted run: iota - (run start), run starts
     # where the sorted cell id changes (cummax of the boundary positions)
     boundary = jnp.concatenate(
         [jnp.ones((1,), bool), sa[1:] != sa[:-1]])
     run_start = jax.lax.cummax(jnp.where(boundary, iota, 0))
-    evict_sorted = (iota - run_start) >= cap[sa]
+    pos_in_run = iota - run_start
+    evict_sorted = pos_in_run >= cap[sa]
     evict = jnp.zeros((n,), bool).at[sidx].set(evict_sorted)
+    # τ per cell: the cap-th best claimed distance (inf = under-full cell
+    # accepts anything; cap==0 cells reject everything)
+    is_tau = pos_in_run == cap[sa] - 1
+    tau = jnp.full((nlist,), jnp.inf, cd.dtype).at[sa].min(
+        jnp.where(is_tau, sd, jnp.inf))
+    tau = jnp.where(cap <= 0, -jnp.inf, tau)
     can_move = evict & (r < c - 1)
-    return (r + can_move.astype(r.dtype), jnp.sum(can_move),
-            jnp.sum(evict))
+    # first later candidate that τ does not certainly reject
+    jidx = jnp.arange(c, dtype=jnp.int32)
+    ok = (cd <= tau[cand]) & (jidx[None, :] > r[:, None])
+    has = jnp.any(ok, axis=1)
+    first_ok = jnp.argmax(ok, axis=1).astype(r.dtype)
+    r_new = jnp.where(can_move,
+                      jnp.where(has, first_ok, jnp.int32(c - 1)), r)
+    return (r_new, jnp.sum(can_move & (r_new != r)), jnp.sum(evict))
 
 
 def rebalance_assignment_device(

@@ -465,3 +465,53 @@ def test_rebalance_device_per_cell_caps(rng):
     assert counts.sum() == n
     assert counts[0] == 0          # zero-cap cell stays empty
     assert (counts <= caps).all(), counts
+
+
+def test_rebalance_tau_skip_matches_one_step_reference():
+    """τ-threshold skipping must reach the same deferred-acceptance
+    fixpoint as the one-step-per-round reference (strict preferences via
+    the iota tiebreak make the stable matching unique)."""
+    import jax.numpy as jnp
+    from chamjax.index.device_build import rebalance_assignment_device
+
+    rng = np.random.default_rng(5)
+    n, nlist, c = 5000, 32, 6
+    cd_full = rng.random((n, nlist)).astype(np.float32)
+    cand = np.argsort(cd_full, axis=1)[:, :c].astype(np.int32)
+    cd = np.take_along_axis(cd_full, cand, axis=1)
+    cap = int(np.ceil(n / nlist * 1.1))
+
+    a_new = np.asarray(rebalance_assignment_device(
+        jnp.asarray(cand), jnp.asarray(cd), cap, nlist=nlist, hard=True,
+        warn=False))
+
+    # reference: literal one-step-per-round eviction loop in numpy
+    r = np.zeros(n, np.int64)
+    for _ in range(200):
+        a = cand[np.arange(n), r]
+        d = cd[np.arange(n), r]
+        order = np.lexsort((np.arange(n), d, a))
+        sa = a[order]
+        pos = np.arange(n) - np.maximum.accumulate(
+            np.where(np.r_[True, sa[1:] != sa[:-1]], np.arange(n), 0))
+        evict = np.zeros(n, bool)
+        evict[order] = pos >= cap
+        can = evict & (r < c - 1)
+        if not can.any():
+            break
+        r[can] += 1
+    a_ref = cand[np.arange(n), r]
+    evict_final = np.zeros(n, bool)
+    # stragglers revert to nearest in the device version; mirror that
+    a = cand[np.arange(n), r]
+    d = cd[np.arange(n), r]
+    order = np.lexsort((np.arange(n), d, a))
+    sa = a[order]
+    pos = np.arange(n) - np.maximum.accumulate(
+        np.where(np.r_[True, sa[1:] != sa[:-1]], np.arange(n), 0))
+    evict_final[order] = pos >= cap
+    a_ref = np.where(evict_final, cand[:, 0], a_ref)
+
+    np.testing.assert_array_equal(a_new, a_ref)
+    counts = np.bincount(a_new, minlength=nlist)
+    assert counts.max() <= cap or evict_final.any()
