@@ -106,25 +106,32 @@ def _retile_core(codes_t, ids, list_start, list_len, *, seg: int,
                  cap_new: int):
     """Device-side repack of a flat CSR layout onto ``seg`` boundaries.
 
-    Same boundary-mark construction as ``device_build._pack_layout_core``
-    (multiple zero-width starts collapse via cumsum); everything stays on
-    device — at 100M+ scale nothing corpus-sized may cross the host link.
+    The boundary-mark construction (``device_build._pack_layout_core``)
+    runs at TILE granularity — every new-layout tile belongs to exactly
+    one list, so the scatter/cumsum tables are ``cap_new/seg`` long, not
+    ``cap_new`` (a corpus-length scatter+cummax graph SIGKILLed the
+    remote compile helper at 33M rows).  Per-element work is then two
+    small-table gathers.  Everything stays on device — at 100M+ scale
+    nothing corpus-sized may cross the host link.
     """
     nlist = list_len.shape[0]
     eff = list_len.astype(jnp.int32)
-    padded = jnp.maximum(((eff + seg - 1) // seg) * seg, seg)
-    new_start = jnp.concatenate(
+    tiles_per = jnp.maximum((eff + seg - 1) // seg, 1)
+    tile_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(padded)[:-1].astype(jnp.int32)])
-    mark = jnp.zeros((cap_new,), jnp.int32).at[new_start].add(1)
-    list_of = jnp.minimum(jnp.cumsum(mark) - 1, nlist - 1)
-    offset = jnp.arange(cap_new, dtype=jnp.int32) - new_start[list_of]
-    valid = offset < eff[list_of]
+         jnp.cumsum(tiles_per)[:-1].astype(jnp.int32)])
+    new_start = tile_start * seg
+    n_tiles = cap_new // seg
+    mark = jnp.zeros((n_tiles,), jnp.int32).at[tile_start].add(1)
+    list_of_tile = jnp.minimum(jnp.cumsum(mark) - 1, nlist - 1)
+    iota = jnp.arange(cap_new, dtype=jnp.int32)
+    list_of = list_of_tile[jnp.minimum(iota // seg, n_tiles - 1)]
+    offset = iota - new_start[list_of]
+    valid = (offset >= 0) & (offset < eff[list_of])
     src = jnp.clip(list_start[list_of] + offset, 0, codes_t.shape[1] - 1)
     ids_new = jnp.where(valid, ids[src], jnp.int32(-1))
     codes_new = jnp.take(codes_t, src, axis=1)
     m = codes_t.shape[0]
-    n_tiles = (cap_new - (cap_new % seg)) // seg
     codes_tiled = (codes_new[:, : n_tiles * seg]
                    .reshape(m, n_tiles, seg).transpose(1, 0, 2))
     return codes_new, ids_new, new_start, codes_tiled
