@@ -278,15 +278,22 @@ class HostStreamedSearcher:
         plan = self._plan(batches[0])
         slab = self._stage(np.asarray(plan[0]), np.asarray(plan[1]))
         for i in range(len(batches)):
-            next_plan = (self._plan(batches[i + 1])
-                         if i + 1 < len(batches) else None)
+            # pull batch i+1's window table BEFORE dispatching scan i: a
+            # pull issued after the scan dispatch queues behind the
+            # scan's multi-MiB slab upload on serialized links (measured
+            # 1.5× slower through the axon tunnel); pulled first it costs
+            # one small round-trip and the gather below still overlaps
+            # the scan
+            next_windows = None
+            if i + 1 < len(batches):
+                next_plan = self._plan(batches[i + 1])
+                next_windows = (np.asarray(next_plan[0]),
+                                np.asarray(next_plan[1]))
             starts, lens, probe, list_ids, q_rot = plan
             outs.append(self._scan(slab[0], slab[1], lens, probe,
                                    list_ids, q_rot, k))
-            if next_plan is not None:
-                # pull only the window table (small); the host gather
-                # below overlaps the scan just dispatched above
-                slab = self._stage(np.asarray(next_plan[0]),
-                                   np.asarray(next_plan[1]))
+            if next_windows is not None:
+                # host gather overlaps the scan dispatched above
+                slab = self._stage(*next_windows)
                 plan = next_plan
         return [(np.asarray(d), np.asarray(i, np.int64)) for d, i in outs]
