@@ -342,11 +342,16 @@ def _rebalance_round(r: jax.Array, cand: jax.Array, cd: jax.Array,
         jnp.where(is_tau, sd, jnp.inf))
     tau = jnp.where(cap <= 0, -jnp.inf, tau)
     can_move = evict & (r < c - 1)
-    # first later candidate that τ does not certainly reject
-    jidx = jnp.arange(c, dtype=jnp.int32)
-    ok = (cd <= tau[cand]) & (jidx[None, :] > r[:, None])
-    has = jnp.any(ok, axis=1)
-    first_ok = jnp.argmax(ok, axis=1).astype(r.dtype)
+    # first later candidate that τ does not certainly reject — computed
+    # with (n,)-shaped ops only: an (n, c) f32 temporary inside jit is
+    # laid out T(8,128) (minor dim 8 → 128 lanes, 16× padding) and OOMed
+    # HBM at 33M rows
+    first_ok = jnp.full((n,), c - 1, jnp.int32)
+    has = jnp.zeros((n,), bool)
+    for j in range(c - 1, 0, -1):      # keep the LOWEST qualifying j
+        okj = (cd[:, j] <= tau[cand[:, j]]) & (j > r)
+        first_ok = jnp.where(okj, jnp.int32(j), first_ok)
+        has = has | okj
     r_new = jnp.where(can_move,
                       jnp.where(has, first_ok, jnp.int32(c - 1)), r)
     return (r_new, jnp.sum(can_move & (r_new != r)), jnp.sum(evict))
