@@ -401,13 +401,20 @@ def rebalance_assignment_device(
         cap = jnp.asarray(cap, jnp.int32)
     r = jnp.zeros((n,), jnp.int32)
     overflow = 0
+    # tail cutoff: each round costs a full (n, 3)-array device sort (the
+    # dominant build primitive); once movers fall below ~1e-5·n the round
+    # moves a few hundred points for the same sort — stop and let the
+    # soft fallback settle them at their nearest cell (cap exceedance
+    # ≤ the cutoff, far below the straggler allowance).  thr=0 at small n
+    # keeps test-scale runs exact.
+    thr = int(n * 1e-5)
     for rnd in range(max_rounds):
         r, moved, overflow = _rebalance_round(r, cand, cd, cap)
         moved, overflow = int(moved), int(overflow)
         if verbose:
             print(f"[rebalance] round {rnd}: moved {moved} "
                   f"overflow {overflow}", flush=True)
-        if moved == 0:
+        if moved == 0 or (moved < thr and rnd >= 2):
             break
     a = jnp.take_along_axis(cand, r[:, None], axis=1)[:, 0]
     if overflow:
