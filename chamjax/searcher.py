@@ -124,16 +124,21 @@ def _retile_core(codes_t, ids, list_start, list_len, *, seg: int,
     n_tiles = cap_new // seg
     mark = jnp.zeros((n_tiles,), jnp.int32).at[tile_start].add(1)
     list_of_tile = jnp.minimum(jnp.cumsum(mark) - 1, nlist - 1)
-    iota = jnp.arange(cap_new, dtype=jnp.int32)
-    list_of = list_of_tile[jnp.minimum(iota // seg, n_tiles - 1)]
-    offset = iota - new_start[list_of]
-    valid = (offset >= 0) & (offset < eff[list_of])
-    src = jnp.clip(list_start[list_of] + offset, 0, codes_t.shape[1] - 1)
-    ids_new = jnp.where(valid, ids[src], jnp.int32(-1))
-    codes_new = jnp.take(codes_t, src, axis=1)
+    # all corpus-sized work in (n_tiles, seg) shape with data-dependent
+    # values: a corpus-length constant iota chain was constant-folded by
+    # the XLA compiler into hundreds of MB of host buffers and OOM-killed
+    # the remote compile helper
+    t_iota = jnp.arange(n_tiles, dtype=jnp.int32)
+    base = t_iota * seg - new_start[list_of_tile]       # (T,) offset base
+    off2d = base[:, None] + jnp.arange(seg, dtype=jnp.int32)[None, :]
+    eff_t = eff[list_of_tile]
+    valid2d = (off2d >= 0) & (off2d < eff_t[:, None])
+    src2d = jnp.clip(list_start[list_of_tile][:, None] + off2d,
+                     0, codes_t.shape[1] - 1)
+    ids_new = jnp.where(valid2d, ids[src2d], jnp.int32(-1)).reshape(-1)
     m = codes_t.shape[0]
-    codes_tiled = (codes_new[:, : n_tiles * seg]
-                   .reshape(m, n_tiles, seg).transpose(1, 0, 2))
+    codes_new = jnp.take(codes_t, src2d.reshape(-1), axis=1)
+    codes_tiled = (codes_new.reshape(m, n_tiles, seg).transpose(1, 0, 2))
     return codes_new, ids_new, new_start, codes_tiled
 
 
