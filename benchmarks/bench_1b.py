@@ -220,21 +220,19 @@ def main() -> None:
             return draw_b(_row0 + a, c)
 
         t0 = time.time()
+        # tiled: tile-aligned pack at build time (pre-estimated seg; the
+        # post-build device retile's fresh gather compile OOM-kills the
+        # remote compile helper at shard scale)
+        if args.tiled and "tile" not in seg_w:
+            seg_w["tile"] = args.seg or auto_seg(
+                np.full(cfg.nlist, max(args.shard_rows // cfg.nlist, 1)))
         dev, info = build_ivfpq_device(
             draw_shard, args.shard_rows, cfg, None,
             chunk=args.chunk, block=args.block,
-            quantizers=(cent, cbooks, opq_R), verbose=False)
+            quantizers=(cent, cbooks, opq_R), verbose=False,
+            tile_seg=seg_w.get("tile", 0) if args.tiled else 0)
         jax.block_until_ready(dev.codes_t)
         lens = info["list_len"]
-        if args.tiled:
-            from chamjax.searcher import retile_device_ivf
-            # pin the tile seg at shard 0 so it matches seg_w's choice on
-            # every shard (a mismatch silently falls back to the flat
-            # kernel) and compiled programs reuse across shards
-            if "tile" not in seg_w:
-                seg_w["tile"] = args.seg or auto_seg(lens)
-            dev = retile_device_ivf(dev, seg_w["tile"], lens)
-            jax.block_until_ready(dev.codes_tiled)
         b_s = time.time() - t0
         build_s_total += b_s
         note(f"shard {s}: built {args.shard_rows} rows in {b_s:.1f}s; "

@@ -161,10 +161,16 @@ def main() -> None:
         xt_box[0] = None
         return v
 
+    # tiled: pack tile-aligned AT BUILD TIME (tile seg pre-estimated from
+    # the expected mean list length — the post-build device retile's fresh
+    # gather compile OOM-kills the remote compile helper at 100M shapes)
+    seg_est = args.seg or auto_seg(
+        np.full(args.nlist, max(nb // args.nlist, 1)))
     dev, info = build_ivfpq_device(
         draw_b, nb, cfg, xt_lazy, kmeans_iters=args.kmeans_iters,
         pq_iters=args.pq_iters, seed=args.seed, chunk=args.chunk,
-        block=args.block, verbose=True)
+        block=args.block, verbose=True,
+        tile_seg=seg_est if args.tiled else 0)
     jax.block_until_ready(dev.codes_t)
     build_s = time.time() - t0
     lens = info["list_len"]
@@ -178,15 +184,7 @@ def main() -> None:
         draw_b, nb, xq[: args.nq_gt], k=10, chunk=args.chunk, block=GEN)
     note(f"ground truth in {time.time() - t0:.1f}s")
 
-    seg = args.seg or auto_seg(lens)
-    if args.tiled:
-        # device-side repack onto seg boundaries → BlockSpec-pipelined
-        # scan (ops/scan_seg_block.py); transient ~3x codes HBM
-        from chamjax.searcher import retile_device_ivf
-        t0 = time.time()
-        dev = retile_device_ivf(dev, seg, lens)
-        jax.block_until_ready(dev.codes_tiled)
-        note(f"retiled to seg={seg} in {time.time() - t0:.1f}s")
+    seg = seg_est if args.tiled else (args.seg or auto_seg(lens))
     results = []
     # --lane-l1 2: within-process A/B — measure each nprobe point with the
     # in-kernel lane-L1 reduction OFF then ON against the SAME built index

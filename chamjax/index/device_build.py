@@ -858,6 +858,7 @@ def build_ivfpq_device(
     tail_pad: Optional[int] = None,
     verbose: bool = False,
     quantizers=None,
+    tile_seg: int = 0,
 ):
     """Train + populate an IVF-PQ index without ever materializing the
     corpus (neither on host nor fully in HBM).
@@ -880,6 +881,16 @@ def build_ivfpq_device(
     from chamjax.ops.scan_seg import MAX_SEG
     from chamjax.searcher import DeviceIVF
 
+    if tile_seg:
+        # tile-aligned pack: list_pad = lcm(list_pad, tile_seg) puts every
+        # list on a tile boundary, so the seg-tiled twin for the
+        # BlockSpec-pipelined scan is ONE reshape+transpose of codes_t —
+        # no corpus-sized gather (whose fresh compile OOM-killed the
+        # remote compile helper; see searcher.retile_device_ivf notes)
+        import dataclasses
+        import math
+        cfg = dataclasses.replace(
+            cfg, list_pad=math.lcm(max(cfg.list_pad, 1), tile_seg))
     if tail_pad is None:
         tail_pad = 8192
     cent, cbooks, opq_R, assignment, codes, binfo = _train_encode_stream(
@@ -906,9 +917,15 @@ def build_ivfpq_device(
         print(f"[build-dev] packed cap={cap} "
               f"({cap / max(n_use, 1):.3f}x)", flush=True)
 
+    codes_tiled = None
+    if tile_seg:
+        cap_t = -(-cap // tile_seg) * tile_seg     # ≤ cap + MAX_SEG tail
+        codes_tiled = (codes_t[:, :cap_t]
+                       .reshape(codes_t.shape[0], cap_t // tile_seg,
+                                tile_seg).transpose(1, 0, 2))
     dev = DeviceIVF(centroids=cent, codebooks=cbooks, codes_t=codes_t,
                     ids=ids, list_start=list_start, list_len=list_len,
-                    opq_R=opq_R)
+                    opq_R=opq_R, codes_tiled=codes_tiled)
     info = {
         "list_len": np.asarray(list_len),
         "list_start": np.asarray(list_start),

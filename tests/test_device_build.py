@@ -515,3 +515,41 @@ def test_rebalance_tau_skip_matches_one_step_reference():
     np.testing.assert_array_equal(a_new, a_ref)
     counts = np.bincount(a_new, minlength=nlist)
     assert counts.max() <= cap or evict_final.any()
+
+
+def test_build_tile_seg_attaches_tiled_twin():
+    """build_ivfpq_device(tile_seg=...): tile-aligned pack + codes_tiled,
+    search results equal the untiled build."""
+    import jax.numpy as jnp
+    from chamjax.index.device_build import build_ivfpq_device
+    from chamjax.searcher import ivfpq_search
+
+    rng = np.random.default_rng(7)
+    n, d, nlist, seg = 6000, 16, 16, 128
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xt = jnp.asarray(xb[:3000])
+
+    def draw(s, c):
+        return jnp.asarray(xb[s:s + c])
+
+    cfg = IndexConfig(dim=d, nlist=nlist, m=4, list_pad=64)
+    dev_t, info_t = build_ivfpq_device(draw, n, cfg, xt, kmeans_iters=3,
+                                       pq_iters=3, tile_seg=seg,
+                                       chunk=2048, block=256)
+    dev_f, info_f = build_ivfpq_device(draw, n, cfg, xt, kmeans_iters=3,
+                                       pq_iters=3, chunk=2048, block=256)
+    assert dev_t.codes_tiled is not None
+    assert dev_t.codes_tiled.shape[1:] == (4, seg)
+    assert np.all(np.asarray(dev_t.list_start) % seg == 0)
+    np.testing.assert_array_equal(info_t["list_len"], info_f["list_len"])
+
+    q = jnp.asarray(xb[:8])
+    kw = dict(nprobe=8, k=10, windows=32, seg=seg, group=8,
+              use_approx=False, coarse_cand=0, interpret=True)
+    d_t, i_t = ivfpq_search(dev_t, q, **kw)
+    d_f, i_f = ivfpq_search(dev_f, q, **kw)
+    np.testing.assert_allclose(np.asarray(d_t), np.asarray(d_f),
+                               rtol=1e-5, atol=1e-5)
+    agree = np.asarray(i_t) == np.asarray(i_f)
+    close = np.abs(np.asarray(d_t) - np.asarray(d_f)) < 1e-4
+    assert np.all(agree | close)
