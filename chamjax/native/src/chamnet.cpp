@@ -96,6 +96,20 @@ int connect_to(const char* host, int port) {
   return fd;
 }
 
+// Engines bind their listen socket only after accelerator init (minutes
+// through the remote tunnel) — retry like the Python coordinator does
+// (service-mesh contract: connects retried for up to ~10 min).
+int connect_to_retry(const char* host, int port, int deadline_s) {
+  const int sleep_us = 500 * 1000;
+  long long tries = static_cast<long long>(deadline_s) * 2 + 1;
+  for (long long i = 0; i < tries; ++i) {
+    int fd = connect_to(host, port);
+    if (fd >= 0) return fd;
+    usleep(sleep_us);
+  }
+  return -1;
+}
+
 // FIFO of origin-client ids per engine (reference query_gpu_ids).
 struct EngineState {
   int fd = -1;
@@ -143,8 +157,8 @@ long long cham_coordinator_run(const char* host, int port, int n_clients,
       size_t colon = item.rfind(':');
       if (colon == std::string::npos) continue;
       EngineState es;
-      es.fd = connect_to(item.substr(0, colon).c_str(),
-                         std::stoi(item.substr(colon + 1)));
+      es.fd = connect_to_retry(item.substr(0, colon).c_str(),
+                               std::stoi(item.substr(colon + 1)), 900);
       if (es.fd < 0) {
         for (auto& e : engines) close(e.fd);
         return -2;
