@@ -92,19 +92,25 @@ def _recall_matrix(ds, idx, dev, gt, base_kw, nprobe, k, ivfpq_search,
                               lut_bf16=False), oracle, 0.002)
     gate("seg_bf16_g8", r10_of(use_approx=False, coarse_approx=False,
                                lut_bf16=True), oracle, 0.002)
-    gate("seg_f32_g1", r10_of(use_approx=False, coarse_approx=False,
-                              lut_bf16=False, group=1), oracle, 0.002)
+    # with a tiled twin resident _dispatch_scan routes group=1 to the
+    # block kernel too — name the row for what it actually gates
+    gate("seg_f32_g1_block" if dev.codes_tiled is not None else
+         "seg_f32_g1",
+         r10_of(use_approx=False, coarse_approx=False,
+                lut_bf16=False, group=1), oracle, 0.002)
     # with the tiled layout resident, the seg rows above exercise the
-    # BlockSpec-pipelined kernel (scan_seg_block); this row pins the
-    # manual-DMA multi-window kernel on a FLAT twin of the same index
+    # BlockSpec-pipelined kernel (scan_seg_block); these rows pin the
+    # manual-DMA kernels on a FLAT twin of the same index (g8 → the
+    # multi-window kernel, g1 → scan_seg.py's single-window kernel)
     if dev.codes_tiled is not None:
         dev_flat = DeviceIVF.from_packed(idx)
-        _d, i_fl = ivfpq_search(dev_flat, q, **{**base_kw,
-                                                "use_approx": False,
-                                                "coarse_approx": False,
-                                                "lut_bf16": False})
-        gate("seg_flat_dma_g8", recall_at_k(np.asarray(i_fl), gt, 10),
-             oracle, 0.002)
+        for g, nm in ((8, "seg_flat_dma_g8"), (1, "seg_flat_dma_g1")):
+            _d, i_fl = ivfpq_search(dev_flat, q, **{**base_kw,
+                                                    "use_approx": False,
+                                                    "coarse_approx": False,
+                                                    "lut_bf16": False,
+                                                    "group": g})
+            gate(nm, recall_at_k(np.asarray(i_fl), gt, 10), oracle, 0.002)
         del dev_flat
     scan_len = 4096
     gate("pallas_padded", r10_of(backend="pallas", scan_len=scan_len,

@@ -11,6 +11,7 @@ seed instead of shipping billion-scale files.
 from __future__ import annotations
 
 import os
+import warnings
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -402,7 +403,8 @@ def _load_gt_file(path: str) -> np.ndarray:
 
 def load_real_dataset(spec: str, max_nb: Optional[int] = None,
                       max_nq: Optional[int] = None,
-                      name: str = "real") -> Dataset:
+                      name: str = "real",
+                      max_materialize_bytes: int = 16 << 30) -> Dataset:
     """Resolve a dataset spec to on-disk files.
 
     ``spec`` is either
@@ -416,8 +418,15 @@ def load_real_dataset(spec: str, max_nb: Optional[int] = None,
     Missing ``learn`` falls back to a base prefix; missing ``query`` raises
     (a benchmark without queries is meaningless); missing ``gt`` returns
     ``gt=None`` (callers compute exact GT).  Vectors load lazily via mmap
-    where the format allows, so a 1B-file spec doesn't pull bytes until
-    sliced."""
+    where the format allows; the base is converted to a contiguous float32
+    array only when that expansion fits ``max_materialize_bytes`` (default
+    16 GiB) — above it ``xb`` stays the on-disk-dtype mmap view (e.g.
+    uint8 for bvecs) and callers must slice/stream it themselves
+    (``build_ivfpq_device``'s draw function, ``index/ondisk.py``), or pass
+    ``max_nb`` to bound the load.  A file-supplied ground truth is dropped
+    (``gt=None`` → callers recompute exact GT) whenever ``max_nb``
+    truncates the base, since the file's neighbor ids reference rows that
+    no longer exist in the truncated corpus."""
     import glob as _glob
 
     paths = {}
@@ -447,6 +456,7 @@ def load_real_dataset(spec: str, max_nb: Optional[int] = None,
         raise FileNotFoundError(f"no query vectors found in spec {spec!r}")
 
     xb = _load_vec_file(paths["base"])
+    full_rows = xb.shape[0]
     if max_nb:
         xb = xb[:max_nb]
     xq = _load_vec_file(paths["query"])
@@ -457,7 +467,19 @@ def load_real_dataset(spec: str, max_nb: Optional[int] = None,
     else:
         xt = xb[: max(1, min(len(xb), 100_000))]
     gt = _load_gt_file(paths["gt"]) if "gt" in paths else None
-    xb = np.ascontiguousarray(xb, np.float32)
+    if gt is not None and max_nb and max_nb < full_rows:
+        # the file's neighbor ids may point past the truncated corpus —
+        # recomputed exact GT is the only honest recall anchor here
+        warnings.warn(
+            f"max_nb={max_nb} truncates the base ({full_rows} rows); "
+            "dropping the file ground truth (callers recompute exact GT)",
+            stacklevel=2)
+        gt = None
+    f32_bytes = int(xb.shape[0]) * int(xb.shape[1]) * 4
+    if f32_bytes <= max_materialize_bytes:
+        xb = np.ascontiguousarray(xb, np.float32)
+    # else: keep the mmap view — a 1B bvecs base would expand 128 GB u8 →
+    # 512 GB f32 and OOM the host; stream/slice at use sites instead
     xq = np.ascontiguousarray(xq, np.float32)
     xt = np.ascontiguousarray(xt, np.float32)
     return Dataset(name=name, xb=xb, xq=xq, xt=xt, gt=gt)

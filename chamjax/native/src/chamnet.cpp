@@ -22,6 +22,7 @@
 #include <string>
 #include <sys/epoll.h>
 #include <sys/socket.h>
+#include <time.h>
 #include <unistd.h>
 #include <vector>
 
@@ -98,16 +99,23 @@ int connect_to(const char* host, int port) {
 
 // Engines bind their listen socket only after accelerator init (minutes
 // through the remote tunnel) — retry like the Python coordinator does
-// (service-mesh contract: connects retried for up to ~10 min).
+// (service-mesh contract: connects retried until deadline_s of wall
+// clock). The deadline is checked against elapsed TIME, not attempt
+// count: a dropped SYN (filtering firewall) blocks each connect() for
+// the kernel's ~2-min TCP timeout, which an attempt-counted loop would
+// stretch to hours.
 int connect_to_retry(const char* host, int port, int deadline_s) {
   const int sleep_us = 500 * 1000;
-  long long tries = static_cast<long long>(deadline_s) * 2 + 1;
-  for (long long i = 0; i < tries; ++i) {
+  timespec t0{};
+  clock_gettime(CLOCK_MONOTONIC, &t0);
+  for (;;) {
     int fd = connect_to(host, port);
     if (fd >= 0) return fd;
+    timespec now{};
+    clock_gettime(CLOCK_MONOTONIC, &now);
+    if (now.tv_sec - t0.tv_sec >= deadline_s) return -1;
     usleep(sleep_us);
   }
-  return -1;
 }
 
 // FIFO of origin-client ids per engine (reference query_gpu_ids).

@@ -65,14 +65,19 @@ def shard_kv_cache(cache: KVCache, mesh: Mesh, dp_axis: str = "dp",
 
 
 def shard_llama_params(params: dict, mesh: Mesh,
-                       tp_axis: str = "tp") -> dict:
+                       tp_axis: str = "tp",
+                       kv_heads: int = 0) -> dict:
     """Megatron-style placement for the llama stack
     (``models/llama.py::init_llama``): Q/K/V and FFN-in (w1/w3) column-
     sharded over ``tp_axis``, O and FFN-out (w2) row-sharded, norms and
     embeddings replicated.  XLA/GSPMD inserts the two per-layer
     all-reduces over ICI; GQA K/V projections whose head count doesn't
     divide tp stay replicated (uneven tiles would cost more than the
-    sharding saves)."""
+    sharding saves).  ``kv_heads`` (0 = infer from the wk/wq width ratio)
+    gates that decision on the HEAD count, mirroring ``shard_kv_cache`` —
+    testing the flattened ``kv_heads·head_dim`` dim would happily split a
+    single head's projection across chips (e.g. kv_heads=1, head_dim
+    divisible by tp)."""
     tp = mesh.shape.get(tp_axis, 1)
 
     def put(x, spec):
@@ -87,11 +92,26 @@ def shard_llama_params(params: dict, mesh: Mesh,
         return put(x, P(None, ax, None))
 
     lp = params["layers"]
+    q_out, kv_out = lp["wq"].shape[-1], lp["wk"].shape[-1]
+
+    def col_kv(x):  # K/V: shard only when whole heads land per chip
+        if kv_heads:
+            ok = kv_heads % max(tp, 1) == 0
+        elif kv_out == q_out:
+            # MHA (kv_heads == heads): same placement as wq
+            ok = x.shape[-1] % max(tp, 1) == 0
+        else:
+            # GQA with unknown head count: replicate — the flattened-dim
+            # test would split a single head's projection across chips
+            ok = False
+        return put(x, P(None, None, tp_axis if ok else None))
+
     return {
         "embed": put(params["embed"], P()),
         "layers": {
             "ln1": put(lp["ln1"], P(None, None)),
-            "wq": col(lp["wq"]), "wk": col(lp["wk"]), "wv": col(lp["wv"]),
+            "wq": col(lp["wq"]), "wk": col_kv(lp["wk"]),
+            "wv": col_kv(lp["wv"]),
             "wo": row(lp["wo"]),
             "ln2": put(lp["ln2"], P(None, None)),
             "w1": col(lp["w1"]), "w3": col(lp["w3"]), "w2": row(lp["w2"]),

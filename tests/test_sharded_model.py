@@ -100,7 +100,7 @@ def test_tp_llama_step_matches_unsharded():
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     mesh = _mesh()
-    sp = shard_llama_params(params, mesh)
+    sp = shard_llama_params(params, mesh, kv_heads=cfg.kv_heads)
     scache = shard_kv_cache(init_llama_kv_cache(cfg, b), mesh)
     tok = jnp.full((b,), 5, jnp.int32)
     for step in range(3):
@@ -122,6 +122,24 @@ def test_tp_gqa_kv_cache_replicates_odd_heads():
     scache = shard_kv_cache(init_llama_kv_cache(cfg, 4), mesh)
     spec = scache.k.sharding.spec
     assert spec[3] is None
+
+
+def test_tp_gqa_kv_proj_replicates_odd_heads():
+    # kv_heads=1 with a tp-divisible head_dim: the flattened wk/wv output
+    # dim IS divisible by tp, but column-sharding it would split the single
+    # KV head's projection mid-head — the placement must mirror
+    # shard_kv_cache and replicate (ADVICE r3)
+    cfg = _dec_cfg(model_type="llama", kv_heads=1)
+    params = init_llama(jax.random.PRNGKey(0), cfg)
+    mesh = _mesh()
+    sp = shard_llama_params(params, mesh, kv_heads=cfg.kv_heads)
+    for w in ("wk", "wv"):
+        assert sp["layers"][w].sharding.spec[-1] is None, w
+    # q heads divide tp → wq stays column-sharded
+    assert sp["layers"]["wq"].sharding.spec[-1] == "tp"
+    # unknown kv_heads + differing widths (GQA detected) also replicates
+    sp2 = shard_llama_params(params, mesh)
+    assert sp2["layers"]["wk"].sharding.spec[-1] is None
 
 
 def test_tp_ralm_decoder_multistep_on_mesh():
