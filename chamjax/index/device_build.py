@@ -1008,6 +1008,7 @@ def build_ivfpq_device_sharded(
     cand: int = 8,
     tail_pad: int = 8192,
     verbose: bool = False,
+    tile_seg: int = 0,
 ):
     """Streamed build directly into the mesh-sharded layout.
 
@@ -1019,12 +1020,22 @@ def build_ivfpq_device_sharded(
     List→shard assignment is the same longest-first greedy row balance as
     the host ``shard_index``; the only host round-trip is the (nlist,)
     length table used to size the static shard capacity.
+
+    ``tile_seg`` > 0 packs every list on ``tile_seg`` boundaries and emits
+    the seg-tiled ``codes_tiled`` layout for the BlockSpec-pipelined scan
+    (the flat ``codes_t`` twin is dropped — one resident layout per shard,
+    like the single-chip ``build_ivfpq_device(tile_seg=)`` path).
     """
     from chamjax.ops.scan_seg import MAX_SEG
     from chamjax.parallel.sharded_search import ShardedIVF
 
     assert not cfg.opq, "sharded streamed build: OPQ not plumbed through " \
                         "sharded_search; rotate queries externally"
+    if tile_seg:
+        import dataclasses
+        import math
+        cfg = dataclasses.replace(
+            cfg, list_pad=math.lcm(max(cfg.list_pad, 1), tile_seg))
     cent, cbooks, _opq_R, assignment, codes, binfo = _train_encode_stream(
         draw, n, cfg, xt, kmeans_iters=kmeans_iters, pq_iters=pq_iters,
         seed=seed, chunk=chunk, block=block, cand=cand, verbose=verbose)
@@ -1048,6 +1059,8 @@ def build_ivfpq_device_sharded(
         owner[l] = s
         loads[s] += int(padded[l])
     cap = int(loads.max()) + tail_pad
+    if tile_seg:
+        cap = -(-cap // tile_seg) * tile_seg
     if verbose:
         print(f"[build-dev] shard loads rows={loads.tolist()} cap={cap}",
               flush=True)
@@ -1065,7 +1078,15 @@ def build_ivfpq_device_sharded(
         g_ids = jnp.concatenate(
             [g_ids, jnp.full((MAX_SEG,), -1, jnp.int32)])
         ids_s.append(g_ids)
-        codes_s.append(_pack_codes_t(codes, g_ids))
+        packed_t = _pack_codes_t(codes, g_ids)
+        if tile_seg:
+            # list_pad is a tile_seg multiple and cap is tile-rounded, so
+            # the seg-tiled twin is ONE reshape+transpose (no gather)
+            m = packed_t.shape[0]
+            packed_t = (packed_t[:, :cap]
+                        .reshape(m, cap // tile_seg, tile_seg)
+                        .transpose(1, 0, 2))
+        codes_s.append(packed_t)
         starts_s.append(st)
         lens_s.append(ln)
     del codes, order
@@ -1073,10 +1094,11 @@ def build_ivfpq_device_sharded(
     sharded = ShardedIVF(
         centroids=cent,
         codebooks=cbooks,
-        codes_t=jnp.stack(codes_s),
+        codes_t=None if tile_seg else jnp.stack(codes_s),
         ids=jnp.stack(ids_s),
         list_start=jnp.stack(starts_s),
         list_len=jnp.stack(lens_s),
+        codes_tiled=jnp.stack(codes_s) if tile_seg else None,
     )
     info = {
         "list_len": ll,

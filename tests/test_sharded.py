@@ -134,6 +134,114 @@ def test_sharded_2d_data_and_lists(setup):
     assert np.all(agree | close)
 
 
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_tiled_matches_single_device(setup, n_shards):
+    """The tile-aligned shard layout must dispatch the seg backend to the
+    BlockSpec-pipelined kernel (scan_seg_block) and agree with the
+    single-device search — the production one-kernel-everywhere path
+    (VERDICT r3 #2)."""
+    ds, idx = setup
+    mesh = make_mesh((("lists", n_shards),),
+                     devices=jax.devices()[:n_shards])
+    sh_t = shard_index(idx, n_shards, tile_seg=256)
+    assert sh_t.codes_t is None and sh_t.codes_tiled is not None
+    assert sh_t.codes_tiled.shape[1:] == (sh_t.codes_tiled.shape[1], 8, 256)
+    # tile coordinates: every list starts on a tile boundary
+    assert np.all(np.asarray(sh_t.list_start) % 256 == 0)
+    sh_t = place_sharded(sh_t, mesh)
+    d_sh, i_sh = sharded_search(
+        sh_t, jnp.asarray(ds.xq[:8]), mesh=mesh, nprobe=8, k=10,
+        windows=32, seg=256, group=4, use_approx=False, backend="seg",
+        interpret=True, lut_bf16=True)
+    single = IVFSearcher(idx, SearchConfig(nprobe=8, k=10, backend="seg",
+                                           use_approx_topk=False))
+    d_ref, i_ref = single.search(ds.xq[:8])
+    np.testing.assert_allclose(np.asarray(d_sh), d_ref, rtol=1e-4, atol=1e-3)
+    agree = np.asarray(i_sh) == i_ref
+    close = np.abs(np.asarray(d_sh) - d_ref) < 1e-2
+    assert np.all(agree | close)
+
+
+def test_sharded_2d_tiled_production_layout(setup):
+    """The v5e-16 serving layout (north-star config #3): 2-D mesh
+    (data × lists), tiled kernel, packed-bf16 LUTs, hierarchical L1
+    selection — must match the single-device exact search."""
+    from chamjax.parallel.sharded_search import sharded_search_2d
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    ds, idx = setup
+    mesh = make_mesh((("data", 2), ("lists", 4)), devices=jax.devices()[:8])
+    sh = place_sharded(shard_index(idx, 4, tile_seg=256), mesh)
+    q = jax.device_put(jnp.asarray(ds.xq[:8]),
+                       NamedSharding(mesh, P("data")))
+    d_sh, i_sh = sharded_search_2d(
+        sh, q, mesh=mesh, nprobe=8, k=10, windows=32, seg=256, group=4,
+        use_approx=True, backend="seg", interpret=True, lut_bf16=True,
+        select_l1=256)
+    single = IVFSearcher(idx, SearchConfig(nprobe=8, k=10, backend="seg",
+                                           use_approx_topk=False))
+    d_ref, i_ref = single.search(ds.xq[:8])
+    # approx+L1 selection on CPU interpret is exact at these shapes
+    np.testing.assert_allclose(np.asarray(d_sh), d_ref, rtol=1e-4, atol=1e-3)
+    agree = np.asarray(i_sh) == i_ref
+    close = np.abs(np.asarray(d_sh) - d_ref) < 1e-2
+    assert np.all(agree | close)
+
+
+def test_sharded_2d_coarse_is_batch_sharded(setup):
+    """Coarse scan + LUTs are computed ONCE outside shard_map (VERDICT r3
+    #5): in the 2-D layout the compiled per-device program must run the
+    coarse matmul on its b/dp batch shard, never on the full replicated
+    batch (which would redo it lists× across the mesh)."""
+    from chamjax.parallel.sharded_search import sharded_search_2d
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    ds, idx = setup
+    mesh = make_mesh((("data", 2), ("lists", 4)), devices=jax.devices()[:8])
+    sh = place_sharded(shard_index(idx, 4, tile_seg=256), mesh)
+    q = jax.device_put(jnp.asarray(ds.xq[:8]),
+                       NamedSharding(mesh, P("data")))
+    lowered = sharded_search_2d.lower(
+        sh, q, mesh=mesh, nprobe=8, k=10, windows=32, seg=256, group=4,
+        use_approx=False, backend="seg", interpret=True, lut_bf16=True)
+    txt = lowered.compile().as_text()
+    # per-device coarse dot: (b/dp=4, d) × (d, nlist=64).  A full-batch
+    # replicated coarse would emit an f32[8,64] dot instead.
+    bad = [ln for ln in txt.splitlines()
+           if "dot(" in ln and "f32[8,64]" in ln]
+    assert not bad, f"coarse matmul runs on the full batch: {bad[:2]}"
+    good = [ln for ln in txt.splitlines()
+            if "dot(" in ln and "f32[4,64]" in ln]
+    assert good, "no batch-sharded coarse dot found in compiled HLO"
+
+
+def test_sharded_device_build_tiled(setup):
+    """build_ivfpq_device_sharded(tile_seg=...) emits tile-aligned shards
+    that search correctly through the block kernel."""
+    from chamjax.index import build_ivfpq_device_sharded
+    ds, _ = setup
+    xb = jnp.asarray(ds.xb[:8192])
+    cfg = IndexConfig(dim=32, nlist=16, m=8, list_pad=64)
+    mesh = make_mesh((("lists", 2),), devices=jax.devices()[:2])
+    sh, info = build_ivfpq_device_sharded(
+        lambda s, c: xb[s:s + c], 8192, cfg, jnp.asarray(ds.xt[:4000]), 2,
+        kmeans_iters=2, pq_iters=2, chunk=4096, block=256, tile_seg=256)
+    assert sh.codes_t is None and sh.codes_tiled is not None
+    assert sh.codes_tiled.shape[0] == 2
+    assert sh.codes_tiled.shape[2:] == (8, 256)
+    assert np.all(np.asarray(sh.list_start) % 256 == 0)
+    # every id present exactly once across shards
+    all_ids = np.asarray(sh.ids).ravel()
+    valid = np.sort(all_ids[all_ids >= 0])
+    np.testing.assert_array_equal(valid, np.arange(8192))
+    sh = place_sharded(sh, mesh)
+    d_sh, i_sh = sharded_search(
+        sh, jnp.asarray(ds.xq[:4]), mesh=mesh, nprobe=4, k=5,
+        windows=16, seg=256, group=2, use_approx=False, backend="seg",
+        interpret=True)
+    assert d_sh.shape == (4, 5)
+    assert np.all(np.isfinite(np.asarray(d_sh)))
+    assert np.all(np.asarray(i_sh) >= 0)
+
+
 def test_shard_index_many_empty_lists():
     """Empty lists cost one list_pad slot in the pack loop — the load
     accounting must count them identically, or a shard collecting many
