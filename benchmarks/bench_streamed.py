@@ -75,7 +75,8 @@ def main() -> None:
     b = args.batch
     m = cfg.m
     seg, W = st.seg, st.windows
-    slab_bytes = b * W * seg * (m + 4)
+    # codes only: the round-4 position protocol never stages/uploads ids
+    slab_bytes = b * W * seg * m
     print(f"[streamed] seg={seg} W={W} slab={slab_bytes / 2**20:.1f} MiB "
           f"per batch{b} ({slab_bytes / b / 2**20:.2f} MiB/query)",
           file=sys.stderr, flush=True)

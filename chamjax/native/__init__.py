@@ -99,6 +99,12 @@ def load() -> ctypes.CDLL:
                 ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
                 ctypes.c_void_p,
             ]
+            lib.cham_gather_codes.restype = ctypes.c_longlong
+            lib.cham_gather_codes.argtypes = [
+                ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_longlong, ctypes.c_void_p,
+            ]
             lib.cham_ivfpq_create.restype = ctypes.c_longlong
             lib.cham_ivfpq_create.argtypes = [
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_longlong,
@@ -201,6 +207,33 @@ def gather_windows(codes, ids, starts, lens, seg: int):
     if rc < 0:
         raise RuntimeError(f"cham_gather_windows failed: code {rc}")
     return slab_c, slab_i
+
+
+def gather_codes(codes, starts, lens, seg: int):
+    """Codes-only native slab gather: the streamed tier's host half after
+    the round-4 positions-protocol change (device returns top-k positions;
+    ids never cross the link — ``src/gather.cpp::cham_gather_codes``).
+    Returns ``slab_codes (bw, seg, m) u8`` with tail rows zero-filled."""
+    import numpy as np
+
+    lib = load()
+    codes = np.ascontiguousarray(codes, np.uint8)
+    starts = np.ascontiguousarray(starts, np.int32).reshape(-1)
+    lens = np.ascontiguousarray(lens, np.int32).reshape(-1)
+    n_pad, m = codes.shape
+    assert starts.shape == lens.shape
+    bw = starts.size
+    slab_c = np.empty((bw, seg, m), np.uint8)
+    rc = lib.cham_gather_codes(
+        codes.ctypes.data_as(ctypes.c_void_p),
+        n_pad, m, seg,
+        starts.ctypes.data_as(ctypes.c_void_p),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        bw,
+        slab_c.ctypes.data_as(ctypes.c_void_p))
+    if rc < 0:
+        raise RuntimeError(f"cham_gather_codes failed: code {rc}")
+    return slab_c
 
 
 class NativeIVFPQ:

@@ -65,4 +65,39 @@ long long cham_gather_windows(const uint8_t* codes, const int32_t* ids,
   return total;
 }
 
+// Codes-only variant: the round-4 streamed tier never uploads id slabs —
+// the device returns top-k POSITIONS into the staged slab and the host
+// maps them back through its own (any-dtype, possibly int64/memmap) id
+// array, so ids never cross the link and no int32 shadow copy exists.
+long long cham_gather_codes(const uint8_t* codes, long long n_pad, int m,
+                            int seg, const int32_t* starts,
+                            const int32_t* lens, long long bw,
+                            uint8_t* slab_codes) {
+  if (!codes || !starts || !lens || !slab_codes ||
+      n_pad < 0 || m <= 0 || seg <= 0 || bw < 0) {
+    return -1;
+  }
+  const size_t row_bytes = static_cast<size_t>(m);
+  const size_t win_bytes = static_cast<size_t>(seg) * row_bytes;
+  long long total = 0;
+  for (long long w = 0; w < bw; ++w) {
+    uint8_t* out_c = slab_codes + static_cast<size_t>(w) * win_bytes;
+    const long long ln = lens[w];
+    const long long s = starts[w];
+    long long rows = 0;
+    if (ln > 0 && s >= 0 && s < n_pad) {
+      rows = n_pad - s;
+      if (rows > seg) rows = seg;
+      std::memcpy(out_c, codes + static_cast<size_t>(s) * row_bytes,
+                  static_cast<size_t>(rows) * row_bytes);
+      total += rows;
+    }
+    if (rows < seg) {
+      std::memset(out_c + static_cast<size_t>(rows) * row_bytes, 0,
+                  static_cast<size_t>(seg - rows) * row_bytes);
+    }
+  }
+  return total;
+}
+
 }  // extern "C"

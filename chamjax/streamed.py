@@ -9,18 +9,33 @@ the packed code/id arrays stay in **host RAM** (or an on-disk memmap,
 slabs*:
 
     coarse scan (device) → expand windows (device) → pull (starts,lens)
-    → host gathers the probed ``(bW, seg)`` code/id slabs → device_put
+    → host gathers the probed ``(bW, seg)`` code slabs → device_put
     → segmented ADC kernel over the staged slab → top-k (device)
+    → host maps top-k POSITIONS back to ids
 
-Capacity: 1B × PQ16 = 16 GB codes + 4 GB int32 ids — far beyond one
+Ids never cross the host↔device link (round 4): the device scan returns
+top-k *positions* into the staged slab; the host maps ``pos → window →
+global row → id`` against its own resident id array — which may be
+int64 or a read-only memmap with no shadow copy (the old design staged
+(bW, seg) int32 id slabs: +4 bytes/row of upload AND a full int32 copy
+of 1B int64 ids = +4 GB host RAM).
+
+Capacity: 1B × PQ16 = 16 GB codes + 4-8 GB ids — far beyond one
 v5e's 16 GB HBM but trivially host-RAM-resident.  Per-batch traffic is
-``bW·seg·(m+4)`` bytes (e.g. b=128, nprobe=32, 1B/65536 lists ⇒ ~1 GB
+``bW·seg·m`` bytes (e.g. b=128, nprobe=32, 1B/65536 lists ⇒ ~0.8 GB
 per batch at seg=2048): on a real PCIe host this is the design's
-bandwidth ceiling (~2.5-6k QPS at Gen4 ×16); through the axon tunnel
+bandwidth ceiling (~3-7k QPS at Gen4 ×16); through the axon tunnel
 (~2 MB/s) it measures the tunnel, not the design — see RESULTS.md for
 both numbers.  The scale-out answer is mesh sharding
 (``parallel/sharded_search.py``); this tier is the single-chip capacity
 answer.
+
+The device scan runs the BlockSpec-pipelined kernel by default
+(``SearchConfig.tiled``): each staged window IS one ``(m, seg)`` tile,
+so the slab in tile-major form feeds ``adc_scan_tiles`` with
+``tile_idx = arange(bW)`` — the same production kernel as the resident
+and mesh tiers (one-kernel-everywhere).  ``tiled=False`` falls back to
+the manual-DMA multi-window kernel.
 """
 
 from __future__ import annotations
@@ -37,6 +52,7 @@ from chamjax.index.ivf import PackedIVF
 from chamjax.ops.coarse import select_probes
 from chamjax.ops.lut import build_luts
 from chamjax.ops.scan_seg import expand_windows
+from chamjax.ops.scan_seg_block import adc_scan_tiles
 from chamjax.ops.scan_seg_multi import adc_scan_segments_multi
 from chamjax.ops.topk import select_topk
 from chamjax.searcher import auto_seg, auto_windows, resolve_coarse_cand
@@ -80,11 +96,10 @@ def plan_windows(
     jax.jit,
     static_argnames=("nprobe", "k", "seg", "group", "use_approx",
                      "recall_target", "interpret", "by_residual",
-                     "lut_bf16", "select_l1"),
+                     "lut_bf16", "select_l1", "tiled"),
 )
 def scan_staged(
     slab_codes: jax.Array,       # (bW, seg, m) uint8 — staged windows
-    slab_ids: jax.Array,         # (bW, seg) int32
     lens: jax.Array,             # (b, W) int32
     probe: jax.Array,            # (b, W) int32
     list_ids: jax.Array,         # (b, nprobe) int32
@@ -102,33 +117,44 @@ def scan_staged(
     by_residual: bool = True,
     lut_bf16: bool = False,
     select_l1: int = 0,
+    tiled: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Device phase 2: ADC over the staged slab + selection.
 
-    The staged slab becomes a *virtual* packed array: window w's rows
-    live at columns ``[w·seg, (w+1)·seg)`` of ``codes_t``, so the
-    production multi-window kernel runs unchanged with
-    ``starts = iota·seg``."""
+    Returns ``(best_d (b, k) f32, pos (b, k) i32)`` where ``pos`` indexes
+    the per-query ``W·seg`` virtual candidate row space (window-major) —
+    the host maps positions back to ids (padding slots carry +inf
+    distance; the host masks them to -1).
+
+    ``tiled``: each staged window is one ``(m, seg)`` tile, so the slab
+    transposed tile-major feeds the BlockSpec-pipelined production kernel
+    (``adc_scan_tiles``, tile_idx = iota) — the ``scan_lists_seg_block``
+    path of the resident tier, minus the tile indirection.  ``False``
+    reshapes to a virtual flat packed array for the manual-DMA kernel."""
     b, W = lens.shape
     bw = b * W
     m = slab_codes.shape[-1]
     luts = build_luts(q_rot, centroids, codebooks, list_ids,
                       by_residual=by_residual)       # (b, nprobe, 256, m)
-    codes_t = slab_codes.transpose(2, 0, 1).reshape(m, bw * seg)
     from chamjax.ops.scan_seg import MAX_SEG, prepare_luts
-    codes_t = jnp.pad(codes_t, ((0, 0), (0, MAX_SEG)))
-    v_starts = (jnp.arange(bw, dtype=jnp.int32) * seg)
     luts_k, lut_idx = prepare_luts(luts, probe, lut_bf16=lut_bf16)
-    dists = adc_scan_segments_multi(
-        codes_t, v_starts, lens.reshape(-1), lut_idx, luts_k,
-        seg=seg, group=group, interpret=interpret, lut_bf16=lut_bf16)
+    if tiled:
+        tiles = slab_codes.transpose(0, 2, 1)        # (bW, m, seg)
+        dists = adc_scan_tiles(
+            tiles, jnp.arange(bw, dtype=jnp.int32), lens.reshape(-1),
+            lut_idx, luts_k, seg=seg, group=group, interpret=interpret,
+            lut_bf16=lut_bf16)
+    else:
+        codes_t = slab_codes.transpose(2, 0, 1).reshape(m, bw * seg)
+        codes_t = jnp.pad(codes_t, ((0, 0), (0, MAX_SEG)))
+        v_starts = (jnp.arange(bw, dtype=jnp.int32) * seg)
+        dists = adc_scan_segments_multi(
+            codes_t, v_starts, lens.reshape(-1), lut_idx, luts_k,
+            seg=seg, group=group, interpret=interpret, lut_bf16=lut_bf16)
     flat = dists.reshape(b, W * seg)
     best_d, pos = select_topk(flat, k, use_approx=use_approx,
                               recall_target=recall_target, l1=select_l1)
-    best_i = jnp.take_along_axis(
-        slab_ids.reshape(b, W * seg), pos, axis=1)
-    best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)
-    return best_d, best_i
+    return best_d, pos.astype(jnp.int32)
 
 
 class HostStreamedSearcher:
@@ -136,7 +162,10 @@ class HostStreamedSearcher:
 
     ``packed.codes``/``packed.ids`` may be plain arrays or read-only
     memmaps (``load_ondisk``) — nothing corpus-sized is ever uploaded
-    whole; only the per-batch probed windows cross the host↔device link.
+    whole; only the per-batch probed code windows cross the host↔device
+    link.  ``packed.ids`` keeps its dtype (int32/int64): the position
+    protocol (see module docstring) means ids are only ever touched by
+    the final ``(b, k)`` host lookup.
     """
 
     def __init__(self, packed: PackedIVF, scfg: SearchConfig,
@@ -164,6 +193,7 @@ class HostStreamedSearcher:
             packed.list_len, self.seg, scfg.nprobe)
         self.group = max(1, scfg.seg_group)   # 0/neg = no grouping
         self.windows += (-self.windows) % self.group
+        self.tiled = bool(scfg.tiled)
         put = functools.partial(jax.device_put, device=device)
         self.centroids = put(jnp.asarray(packed.centroids, jnp.float32))
         self.codebooks = put(jnp.asarray(packed.codebooks, jnp.float32))
@@ -175,14 +205,13 @@ class HostStreamedSearcher:
         # codes stay (n_pad, m) row-major: a window slab is a contiguous
         # row range — one memcpy per window on the host gather
         self.codes = packed.codes
-        self.ids = packed.ids
+        self.ids = packed.ids          # original dtype, never copied
         self.n_pad = packed.codes.shape[0]
         # native slab gather runs at memcpy speed (the Python loop pays
         # ~5 us of interpreter overhead per 32 KB window — it, not the
         # memory system, bounds the measured gather bandwidth)
         from chamjax import native
         self._native = native.available()
-        self._ids_i32 = None
 
     def warm(self, chunk_rows: int = 1 << 20) -> None:
         """Touch the code/id arrays sequentially to populate the page
@@ -199,22 +228,16 @@ class HostStreamedSearcher:
             acc += int(self.ids[s:e:1024].sum())
         self._warmed = acc  # keep the dependency alive
 
-    def _stage(self, starts: np.ndarray, lens: np.ndarray):
-        """Host gather of the probed windows (the PQ-code streamer's host
-        half).  Returns ``(slab_codes (bW, seg, m) u8, slab_ids (bW, seg)
-        i32)``."""
+    def _stage(self, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """Host gather of the probed code windows (the PQ-code streamer's
+        host half).  Returns ``slab_codes (bW, seg, m) u8``."""
         if self._native:
             from chamjax import native
-            if self._ids_i32 is None:   # one-time dtype normalization
-                self._ids_i32 = (self.ids if self.ids.dtype == np.int32
-                                 else np.asarray(self.ids, np.int32))
-            return native.gather_windows(
-                self.codes, self._ids_i32, starts, lens, self.seg)
+            return native.gather_codes(self.codes, starts, lens, self.seg)
         bw = starts.size
         seg = self.seg
         m = self.cfg.m
         slab_c = np.zeros((bw, seg, m), np.uint8)
-        slab_i = np.full((bw, seg), -1, np.int32)
         flat_s = starts.reshape(-1)
         flat_l = lens.reshape(-1)
         for w in range(bw):
@@ -224,8 +247,7 @@ class HostStreamedSearcher:
             s = int(flat_s[w])
             e = min(s + seg, self.n_pad)
             slab_c[w, : e - s] = self.codes[s:e]
-            slab_i[w, : e - s] = self.ids[s:e]
-        return slab_c, slab_i
+        return slab_c
 
     def _plan(self, queries: np.ndarray):
         q = jnp.asarray(queries, jnp.float32)
@@ -237,23 +259,39 @@ class HostStreamedSearcher:
                 self.scfg.nprobe),
             use_approx=self.scfg.coarse_approx and not self.interpret)
 
-    def _scan(self, slab_c, slab_i, lens, probe, list_ids, q_rot, k: int):
+    def _scan(self, slab_c, lens, probe, list_ids, q_rot, k: int):
         return scan_staged(
-            jnp.asarray(slab_c), jnp.asarray(slab_i), lens, probe,
+            jnp.asarray(slab_c), lens, probe,
             list_ids, q_rot, self.centroids, self.codebooks,
             nprobe=self.scfg.nprobe, k=k, seg=self.seg, group=self.group,
             use_approx=self.scfg.use_approx_topk,
             recall_target=self.scfg.approx_recall_target,
             interpret=self.interpret, by_residual=self.cfg.by_residual,
-            lut_bf16=self.scfg.lut_bf16, select_l1=self.scfg.select_l1)
+            lut_bf16=self.scfg.lut_bf16, select_l1=self.scfg.select_l1,
+            tiled=self.tiled)
+
+    def _map_ids(self, d: np.ndarray, pos: np.ndarray,
+                 starts: np.ndarray) -> np.ndarray:
+        """Host side of the position protocol: ``pos`` (b, k) indexes the
+        per-query window-major candidate space; map through the window
+        table to global rows and look ids up in their native dtype."""
+        win = pos // self.seg
+        off = pos % self.seg
+        rows = np.take_along_axis(starts.astype(np.int64), win, axis=1) + off
+        rows = np.clip(rows, 0, self.n_pad - 1)
+        ids = np.asarray(self.ids[rows.reshape(-1)], np.int64)
+        ids = ids.reshape(pos.shape)
+        return np.where(np.isfinite(d), ids, -1)
 
     def search(self, queries: np.ndarray, k: Optional[int] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
         k = k or self.scfg.k
         starts, lens, probe, list_ids, q_rot = self._plan(queries)
-        slab_c, slab_i = self._stage(np.asarray(starts), np.asarray(lens))
-        d, i = self._scan(slab_c, slab_i, lens, probe, list_ids, q_rot, k)
-        return np.asarray(d), np.asarray(i, np.int64)
+        starts_h = np.asarray(starts)
+        slab_c = self._stage(starts_h, np.asarray(lens))
+        d, pos = self._scan(slab_c, lens, probe, list_ids, q_rot, k)
+        d = np.asarray(d)
+        return d, self._map_ids(d, np.asarray(pos), starts_h)
 
     def search_pipelined(self, batches, k: Optional[int] = None):
         """Double-buffered serving over a stream of query batches: batch
@@ -276,7 +314,8 @@ class HostStreamedSearcher:
             return []
         outs = []
         plan = self._plan(batches[0])
-        slab = self._stage(np.asarray(plan[0]), np.asarray(plan[1]))
+        starts_h = np.asarray(plan[0])
+        slab = self._stage(starts_h, np.asarray(plan[1]))
         for i in range(len(batches)):
             # pull batch i+1's window table BEFORE dispatching scan i: a
             # pull issued after the scan dispatch queues behind the
@@ -289,11 +328,16 @@ class HostStreamedSearcher:
                 next_plan = self._plan(batches[i + 1])
                 next_windows = (np.asarray(next_plan[0]),
                                 np.asarray(next_plan[1]))
-            starts, lens, probe, list_ids, q_rot = plan
-            outs.append(self._scan(slab[0], slab[1], lens, probe,
-                                   list_ids, q_rot, k))
+            _starts, lens, probe, list_ids, q_rot = plan
+            outs.append((self._scan(slab, lens, probe, list_ids, q_rot, k),
+                         starts_h))
             if next_windows is not None:
                 # host gather overlaps the scan dispatched above
+                starts_h = next_windows[0]
                 slab = self._stage(*next_windows)
                 plan = next_plan
-        return [(np.asarray(d), np.asarray(i, np.int64)) for d, i in outs]
+        res = []
+        for (d, pos), st_h in outs:
+            d = np.asarray(d)
+            res.append((d, self._map_ids(d, np.asarray(pos), st_h)))
+        return res

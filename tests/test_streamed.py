@@ -115,6 +115,66 @@ def test_native_gather_matches_python(index):
     np.testing.assert_array_equal(slab_i_n, slab_i_p)
 
 
+def test_native_gather_codes_matches_python(index):
+    """Codes-only native gather (the position-protocol stager) must match
+    the full gather's code half exactly."""
+    from chamjax import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    seg = 64
+    n_pad = index.codes.shape[0]
+    rng = np.random.default_rng(7)
+    starts = rng.integers(0, n_pad, size=23, dtype=np.int32)
+    starts[0] = n_pad - seg // 2
+    lens = rng.integers(-5, seg + 20, size=23, dtype=np.int32)
+    lens[1] = 0
+    slab_c = native.gather_codes(index.codes, starts, lens, seg)
+    ref_c, _ref_i = native.gather_windows(
+        index.codes, np.asarray(index.ids, np.int32), starts, lens, seg)
+    np.testing.assert_array_equal(slab_c, ref_c)
+
+
+def test_streamed_int64_ids_no_copy(ds, index):
+    """An int64-id packed index must search correctly WITHOUT an int32
+    shadow copy of the id array (ADVICE/VERDICT r3: at 1B that copy was a
+    silent +4 GB host-RAM spike).  The position protocol keeps the
+    original array as the only id storage."""
+    import dataclasses
+    ids64 = np.asarray(index.ids, np.int64)
+    idx64 = dataclasses.replace(index, ids=ids64)
+    scfg = SearchConfig(nprobe=8, k=10, use_approx_topk=False)
+    st = HostStreamedSearcher(idx64, scfg)
+    # the searcher must hold the original int64 array itself
+    assert st.ids is ids64
+    assert not any(isinstance(v, np.ndarray) and v is not ids64
+                   and v.dtype == np.int32 and v.shape == ids64.shape
+                   for v in vars(st).values()), "int32 shadow copy found"
+    d_s, i_s = st.search(ds.xq)
+    assert i_s.dtype == np.int64
+    res = IVFSearcher(index, scfg)
+    d_r, i_r = res.search(ds.xq)
+    np.testing.assert_allclose(d_s, d_r, rtol=1e-4, atol=1e-4)
+    agree = i_s == i_r
+    close = np.abs(d_s - d_r) < 1e-4
+    assert np.all(agree | close)
+
+
+def test_streamed_tiled_matches_flat(ds, index):
+    """The BlockSpec-pipelined staged path (tiled=True, production
+    default) must equal the manual-DMA staged path bit-for-bit — same
+    windows, same LUTs, only the fetch machinery differs."""
+    kw = dict(nprobe=8, k=10, use_approx_topk=False)
+    d_t, i_t = HostStreamedSearcher(
+        index, SearchConfig(tiled=True, **kw)).search(ds.xq)
+    d_f, i_f = HostStreamedSearcher(
+        index, SearchConfig(tiled=False, **kw)).search(ds.xq)
+    np.testing.assert_allclose(d_t, d_f, rtol=1e-5, atol=1e-5)
+    agree = i_t == i_f
+    close = np.abs(d_t - d_f) < 1e-4
+    assert np.all(agree | close)
+
+
 def test_streamed_warm(ds, index):
     st = HostStreamedSearcher(index, SearchConfig(nprobe=8, k=10,
                                                   use_approx_topk=False))
