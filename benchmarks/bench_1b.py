@@ -105,6 +105,14 @@ def main() -> None:
                     help="> 0: balanced-Lloyd global training + hard-capped "
                          "per-shard rebalance at cap = "
                          "ceil(shard_rows/nlist * BALANCE)")
+    ap.add_argument("--hard", action="store_true",
+                    help="hard-mode corpus (chamjax/data/hard.py): "
+                         "non-saturating nprobe→recall, Zipf mass, "
+                         "jittered-row queries (pair with --n-clusters "
+                         "well above --nlist)")
+    ap.add_argument("--hard-jitter", type=float, default=0.35)
+    ap.add_argument("--zipf-a", type=float, default=1.05)
+    ap.add_argument("--center-scale", type=float, default=1.25)
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
@@ -112,53 +120,69 @@ def main() -> None:
 
     d = args.d
     nb_total = args.shards * args.shard_rows
-    rank = max(4, d // 4)
-    key = jax.random.PRNGKey(args.seed)
-    k_c, k_p = jax.random.split(key)
-    centers = jax.random.normal(k_c, (args.n_clusters, d), jnp.float32) * 4.0
-    proj = jax.random.normal(k_p, (rank, d), jnp.float32) / np.sqrt(rank)
-    if args.spectrum_tau > 0:
-        lam = jnp.exp(-jnp.arange(rank, dtype=jnp.float32)
-                      / args.spectrum_tau)
-        lam = lam * jnp.sqrt(rank / jnp.sum(lam * lam))
-        proj = proj * lam[:, None]
-
     GEN = 1 << 20
-
-    # centers/proj are jit ARGUMENTS, not closures: at n_clusters=262144
-    # the (n_clusters, d) table is 134 MB and a closed-over constant would
-    # exceed the remote compile service's ~100 MB request cap (RESULTS.md,
-    # environment findings)
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def _gen_impl(k, cents, pr, n):
-        k1, k2, k3 = jax.random.split(k, 3)
-        asg = jax.random.randint(k1, (n,), 0, cents.shape[0])
-        z = jax.random.normal(k2, (n, rank), jnp.float32)
-        noise = jax.random.normal(k3, (n, d), jnp.float32) * 0.05
-        return cents[asg] + jnp.dot(z, pr) + noise
-
-    def _gen(k, n):
-        return _gen_impl(k, centers, proj, n)
-
-    def draw_global(salt):
-        base = jax.random.fold_in(key, salt)
-
-        def draw(s, c):
-            assert s % GEN == 0 and c % GEN == 0, (s, c)
-            parts = [_gen(jax.random.fold_in(base, s + i), GEN)
-                     for i in range(0, c, GEN)]
-            return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-        return draw
-
-    draw_b = draw_global(1)
     assert args.shard_rows % GEN == 0 and args.chunk % GEN == 0
-
     nt_req = args.nt or min(max(2_000_000, 32 * args.nlist), 8_388_608)
     nt = (nt_req // args.block) * args.block
-    xt = jnp.concatenate(
-        [_gen(jax.random.fold_in(jax.random.fold_in(key, 2), i), GEN)
-         for i in range(0, nt + GEN - 1, GEN)])[:nt]
-    xq = _gen(jax.random.fold_in(key, 3), GEN)[: args.nq_gt]
+
+    if args.hard:
+        from chamjax.data.hard import make_hard_corpus
+        hc = make_hard_corpus(
+            d=d, n_clusters=args.n_clusters, seed=args.seed,
+            zipf_a=args.zipf_a, center_scale=args.center_scale,
+            spectrum_tau=args.spectrum_tau)
+        draw_b = hc.draw_base
+        xt = jnp.concatenate(
+            [hc.draw_train(i, GEN)
+             for i in range(0, nt + GEN - 1, GEN)])[:nt]
+        xq = hc.queries(args.nq_gt, jitter=args.hard_jitter)
+        note(f"HARD corpus: n_clusters={args.n_clusters} "
+             f"zipf_a={args.zipf_a} center_scale={args.center_scale} "
+             f"jitter={args.hard_jitter}")
+    else:
+        rank = max(4, d // 4)
+        key = jax.random.PRNGKey(args.seed)
+        k_c, k_p = jax.random.split(key)
+        centers = jax.random.normal(k_c, (args.n_clusters, d),
+                                    jnp.float32) * 4.0
+        proj = jax.random.normal(k_p, (rank, d), jnp.float32) / np.sqrt(rank)
+        if args.spectrum_tau > 0:
+            lam = jnp.exp(-jnp.arange(rank, dtype=jnp.float32)
+                          / args.spectrum_tau)
+            lam = lam * jnp.sqrt(rank / jnp.sum(lam * lam))
+            proj = proj * lam[:, None]
+
+        # centers/proj are jit ARGUMENTS, not closures: at n_clusters=262144
+        # the (n_clusters, d) table is 134 MB and a closed-over constant
+        # would exceed the remote compile service's ~100 MB request cap
+        # (RESULTS.md, environment findings)
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def _gen_impl(k, cents, pr, n):
+            k1, k2, k3 = jax.random.split(k, 3)
+            asg = jax.random.randint(k1, (n,), 0, cents.shape[0])
+            z = jax.random.normal(k2, (n, rank), jnp.float32)
+            noise = jax.random.normal(k3, (n, d), jnp.float32) * 0.05
+            return cents[asg] + jnp.dot(z, pr) + noise
+
+        def _gen(k, n):
+            return _gen_impl(k, centers, proj, n)
+
+        def draw_global(salt):
+            base = jax.random.fold_in(key, salt)
+
+            def draw(s, c):
+                assert s % GEN == 0 and c % GEN == 0, (s, c)
+                parts = [_gen(jax.random.fold_in(base, s + i), GEN)
+                         for i in range(0, c, GEN)]
+                return (parts[0] if len(parts) == 1
+                        else jnp.concatenate(parts))
+            return draw
+
+        draw_b = draw_global(1)
+        xt = jnp.concatenate(
+            [_gen(jax.random.fold_in(jax.random.fold_in(key, 2), i), GEN)
+             for i in range(0, nt + GEN - 1, GEN)])[:nt]
+        xq = _gen(jax.random.fold_in(key, 3), GEN)[: args.nq_gt]
     note(f"train sample {xt.shape}, queries {xq.shape}")
 
     # -------- global quantizers: trained ONCE, shared by all shards ------
@@ -306,6 +330,7 @@ def main() -> None:
         ms_sum = sum(shard_ms[np_])
         res = {
             "nb": nb_total, "shards": args.shards, "nprobe": np_,
+            "hard": bool(args.hard),
             "k": args.k, "batch": args.batch, "opq": args.opq,
             "spectrum_tau": args.spectrum_tau,
             "R@1": round(float(r1), 4), "R@10": round(float(r10), 4),

