@@ -110,7 +110,8 @@ def main() -> None:
                          "non-saturating nprobe→recall, Zipf mass, "
                          "jittered-row queries (pair with --n-clusters "
                          "well above --nlist)")
-    ap.add_argument("--hard-jitter", type=float, default=0.35)
+    ap.add_argument("--hard-jitter", type=float, default=-1.0,
+                    help="<0: independent query draws (SIFT-like); >=0: jittered corpus rows")
     ap.add_argument("--zipf-a", type=float, default=1.05)
     ap.add_argument("--center-scale", type=float, default=1.25)
     args = ap.parse_args()

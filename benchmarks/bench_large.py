@@ -101,7 +101,8 @@ def main() -> None:
                          "nprobe→recall curve tracks the SIFT100M Faiss "
                          "anchors instead of saturating (pair with e.g. "
                          "--n-clusters 262144)")
-    ap.add_argument("--hard-jitter", type=float, default=0.35)
+    ap.add_argument("--hard-jitter", type=float, default=-1.0,
+                    help="<0: independent query draws (SIFT-like); >=0: jittered corpus rows")
     ap.add_argument("--zipf-a", type=float, default=1.05)
     ap.add_argument("--center-scale", type=float, default=1.25)
     args = ap.parse_args()

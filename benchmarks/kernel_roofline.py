@@ -61,11 +61,13 @@ def main() -> None:
     import jax.numpy as jnp
 
     from chamjax.ops.scan_seg import pack_luts_bf16
+    from chamjax.ops.scan_seg_block import adc_scan_tiles
     from chamjax.ops.scan_seg_multi import adc_scan_segments_multi
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=16_000_000,
-                    help="code rows in the slab (16M x m16 = 256 MB)")
+                    help="code rows in the slab (16M x m16 = 256 MB); use "
+                         "~134M for the per-chip 1B-shard working set")
     ap.add_argument("--m", type=int, default=16)
     ap.add_argument("--bw", type=int, default=4096,
                     help="windows per call (b*W)")
@@ -73,7 +75,11 @@ def main() -> None:
     ap.add_argument("--segs", type=int, nargs="+", default=[1024, 2048])
     ap.add_argument("--groups", type=int, nargs="+", default=[8])
     ap.add_argument("--variants", nargs="+",
-                    default=["seg_f32", "seg_bf16"])
+                    default=["seg_f32", "seg_bf16", "block_f32",
+                             "block_bf16"],
+                    help="seg_* = manual-DMA multi-window kernel; block_* "
+                         "= BlockSpec-pipelined tiled kernel "
+                         "(scan_seg_block, the production scan)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -95,21 +101,42 @@ def main() -> None:
                   * 128)
         lens = jnp.full((bw,), seg, jnp.int32)
         total_rows = bw * seg
+        # seg-tiled twin for the block variants: same bytes, tile-major
+        # layout; random TILE indices span the full slab (no cache help)
+        n_tiles = n // seg
+        needs_block = any(v.startswith("block") for v in args.variants)
+        codes_tiled = (codes_t[:, : n_tiles * seg]
+                       .reshape(m, n_tiles, seg).transpose(1, 0, 2)
+                       if needs_block else None)
+        tile_idx = jax.random.randint(k4, (bw,), 0, n_tiles, jnp.int32)
         for group in args.groups:
             for variant in args.variants:
                 lut_bf16 = variant.endswith("bf16")
                 lt = luts_p if lut_bf16 else luts
 
-                def step(acc, codes_t, starts, lens, lut_idx, lt,
-                         seg=seg, group=group, lut_bf16=lut_bf16):
-                    iacc = jnp.int32(acc)   # real data dep, zero at runtime
-                    out = adc_scan_segments_multi(
-                        codes_t, starts ^ iacc, lens, lut_idx ^ iacc, lt,
-                        seg=seg, group=group, lut_bf16=lut_bf16)
-                    return out.reshape(-1)[0] * 0.0 + acc
+                if variant.startswith("block"):
+                    def step(acc, codes_tiled, tile_idx, lens, lut_idx, lt,
+                             seg=seg, group=group, lut_bf16=lut_bf16):
+                        iacc = jnp.int32(acc)
+                        out = adc_scan_tiles(
+                            codes_tiled, tile_idx ^ iacc, lens,
+                            lut_idx ^ iacc, lt, seg=seg, group=group,
+                            lut_bf16=lut_bf16)
+                        return out.reshape(-1)[0] * 0.0 + acc
 
-                ms = chained_ms(step,
-                                (codes_t, starts, lens, lut_idx, lt))
+                    ms = chained_ms(step, (codes_tiled, tile_idx, lens,
+                                           lut_idx, lt))
+                else:
+                    def step(acc, codes_t, starts, lens, lut_idx, lt,
+                             seg=seg, group=group, lut_bf16=lut_bf16):
+                        iacc = jnp.int32(acc)   # real data dep, 0 at runtime
+                        out = adc_scan_segments_multi(
+                            codes_t, starts ^ iacc, lens, lut_idx ^ iacc,
+                            lt, seg=seg, group=group, lut_bf16=lut_bf16)
+                        return out.reshape(-1)[0] * 0.0 + acc
+
+                    ms = chained_ms(step,
+                                    (codes_t, starts, lens, lut_idx, lt))
                 grows = total_rows / ms / 1e6
                 gbs = grows * m
                 rows.append(dict(variant=variant, seg=seg, group=group,
@@ -117,6 +144,7 @@ def main() -> None:
                                  code_gbs=round(gbs, 1),
                                  pct_hbm=round(100 * gbs / HBM_GBPS, 1)))
                 print(json.dumps(rows[-1]), flush=True)
+        del codes_tiled
     best = max(rows, key=lambda r: r["grows"])
     print("BEST:", json.dumps(best), flush=True)
 

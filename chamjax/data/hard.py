@@ -127,11 +127,20 @@ def make_hard_corpus(
     draw_base = make_draw(1)
     draw_train = make_draw(2)
 
-    def queries(nq: int, jitter: float = 0.35, salt: int = 3):
-        """Perturbed corpus rows: source rows are spread over the first
-        GEN corpus rows (assignment is iid so this is unbiased); jitter is
-        in units of the ~1-per-dim within-cluster std."""
+    def queries(nq: int, jitter: float = -1.0, salt: int = 3):
+        """Query set.
+
+        ``jitter < 0`` (default): INDEPENDENT draws from the same density
+        (a fresh salted stream) — how SIFT/Deep query sets relate to
+        their corpora; the query-to-NN distance is then the natural NN
+        spacing, which is what makes coarse-probe margins thin and the
+        nprobe→recall curve honest.  ``jitter >= 0``: perturbed corpus
+        rows (source rows spread over the first GEN corpus rows), jitter
+        in units of the ~1-per-dim within-cluster std — the re-finding
+        regime (dedup, near-duplicate search)."""
         assert nq <= GEN
+        if jitter < 0:
+            return make_draw(3 + salt)(0, GEN)[:nq]
         kq = jax.random.fold_in(key, salt)
         k_i, k_e = jax.random.split(kq)
         src = draw_base(0, GEN)

@@ -65,16 +65,26 @@ def _doc_text(d) -> str:
 
 
 def training_pairs(queries: Dict[str, str], qrels: Dict[str, Dict[str, int]],
-                   corpus: Dict[str, Dict[str, str]]
+                   corpus: Dict[str, Dict[str, str]],
+                   min_score: int = 0,
                    ) -> List[Tuple[str, str]]:
     """(query text, positive doc text) pairs from BEIR-format qrels — the
-    input shape of the reference's ``TrainRetriever`` dataloader."""
+    input shape of the reference's ``TrainRetriever`` dataloader.
+
+    ``min_score``: with graded qrels, train on positives of at least this
+    grade.  0 keeps every judged-positive doc (binary datasets); on
+    graded corpora pass the top grade — InfoNCE pulls every "positive"
+    onto the query, so grade-1 (topically related) positives teach the
+    encoder topic-level geometry and dilute the fine-grained ranking the
+    top grades define (MS-MARCO practice: train on THE relevant passage,
+    not the related pool)."""
     pairs = []
+    floor = max(min_score, 1)
     for qid, rel in qrels.items():
         if qid not in queries:
             continue
         for did, score in rel.items():
-            if score > 0 and did in corpus:
+            if score >= floor and did in corpus:
                 pairs.append((queries[qid], _doc_text(corpus[did])))
     return pairs
 
@@ -174,6 +184,30 @@ class JaxDualEncoder:
 
     def encode_corpus(self, docs, batch_size: int = 0, **kw) -> np.ndarray:
         return self._embed_texts([_doc_text(d) for d in docs], "d")
+
+
+class DualEncoderTokenAdapter:
+    """Token-level view of a trained :class:`JaxDualEncoder` for the
+    late-interaction reranker (``rerank.MaxSimReranker``).
+
+    The dual encoder's shared hashed embedding table is where surface-form
+    associations are learned (both towers read it); exposing normalized
+    per-token rows of that table gives MaxSim a *trained* token space —
+    fine-grained concept matching that the pooled sentence vector blurs,
+    and that the hermetic hashing token encoder (pure lexical) cannot
+    provide.  Reference analogue: ColBERT reranking over a trained
+    checkpoint (``beir/beir/reranking/models``)."""
+
+    def __init__(self, dual: "JaxDualEncoder", max_tokens: int = 48):
+        self.dual = dual
+        self.max_tokens = max_tokens
+
+    def encode_tokens(self, texts: Sequence[str]):
+        ids, mask = _batch_ids(list(texts), self.dual.vocab,
+                               self.max_tokens)
+        e = self.dual.params["embed"][ids]               # (n, L, emb)
+        e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-9)
+        return np.asarray(e, np.float32), np.asarray(mask, np.float32)
 
 
 class JaxSparseEncoder:
