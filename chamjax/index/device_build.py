@@ -1029,14 +1029,12 @@ def build_ivfpq_device_sharded(
     from chamjax.ops.scan_seg import MAX_SEG
     from chamjax.parallel.sharded_search import ShardedIVF
 
-    assert not cfg.opq, "sharded streamed build: OPQ not plumbed through " \
-                        "sharded_search; rotate queries externally"
     if tile_seg:
         import dataclasses
         import math
         cfg = dataclasses.replace(
             cfg, list_pad=math.lcm(max(cfg.list_pad, 1), tile_seg))
-    cent, cbooks, _opq_R, assignment, codes, binfo = _train_encode_stream(
+    cent, cbooks, opq_R, assignment, codes, binfo = _train_encode_stream(
         draw, n, cfg, xt, kmeans_iters=kmeans_iters, pq_iters=pq_iters,
         seed=seed, chunk=chunk, block=block, cand=cand, verbose=verbose)
 
@@ -1099,6 +1097,7 @@ def build_ivfpq_device_sharded(
         list_start=jnp.stack(starts_s),
         list_len=jnp.stack(lens_s),
         codes_tiled=jnp.stack(codes_s) if tile_seg else None,
+        opq_R=opq_R,
     )
     info = {
         "list_len": ll,

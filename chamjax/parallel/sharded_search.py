@@ -68,6 +68,7 @@ class ShardedIVF(NamedTuple):
     list_start: jax.Array    # (S, nlist) — full table, 0 for foreign lists
     list_len: jax.Array      # (S, nlist) — 0 for foreign lists
     codes_tiled: Optional[jax.Array] = None   # (S, n_tiles, m, seg)
+    opq_R: Optional[jax.Array] = None         # (d, d) — replicated
 
 
 def shard_index(index: PackedIVF, n_shards: int, tail_pad: int = 8192,
@@ -134,6 +135,8 @@ def shard_index(index: PackedIVF, n_shards: int, tail_pad: int = 8192,
         list_len=jnp.asarray(list_len),
         codes_tiled=(jnp.asarray(codes_tiled)
                      if codes_tiled is not None else None),
+        opq_R=(jnp.asarray(index.opq_R)
+               if index.opq_R is not None else None),
     )
 
 
@@ -171,6 +174,7 @@ def place_sharded(sh: ShardedIVF, mesh: Mesh, axis: str = "lists"
         list_len=put(sh.list_len, P(axis)),
         codes_tiled=(put(sh.codes_tiled, P(axis))
                      if sh.codes_tiled is not None else None),
+        opq_R=(put(sh.opq_R, P()) if sh.opq_R is not None else None),
     )
 
 
@@ -210,6 +214,10 @@ def _search_impl(
     # (each device computes only its own queries' probes — no per-shard
     # replicated redo).  1-D layout: replicated compute, one logical op.
     q = jax.lax.with_sharding_constraint(queries, NamedSharding(mesh, bspec))
+    if sh.opq_R is not None:
+        # OPQ rotation (centroids/codebooks live in rotated space); the
+        # ground truth / caller space stays unrotated — ivfpq_search parity
+        q = jnp.dot(q, sh.opq_R, precision=jax.lax.Precision.HIGHEST)
     list_ids, _ = select_probes(q, sh.centroids, nprobe,
                                 coarse_cand=coarse_cand)
     luts = build_luts(q, sh.centroids, sh.codebooks, list_ids,

@@ -242,6 +242,52 @@ def test_sharded_device_build_tiled(setup):
     assert np.all(np.asarray(i_sh) >= 0)
 
 
+def test_sharded_opq_matches_single_device(setup):
+    """OPQ plumbed through the mesh tier (round 4): shard_index carries
+    the rotation, sharded_search rotates queries before the coarse scan —
+    results must match the single-device OPQ searcher."""
+    ds, _ = setup
+    cfg = IndexConfig(dim=32, nlist=64, m=8, list_pad=128, opq=True)
+    idx = build_ivfpq(ds.xb, cfg, xt=ds.xt, kmeans_iters=4, pq_iters=4)
+    assert idx.opq_R is not None
+    mesh = make_mesh((("lists", 2),), devices=jax.devices()[:2])
+    sh = place_sharded(shard_index(idx, 2, tile_seg=256), mesh)
+    assert sh.opq_R is not None
+    d_sh, i_sh = sharded_search(
+        sh, jnp.asarray(ds.xq[:8]), mesh=mesh, nprobe=8, k=10,
+        windows=32, seg=256, group=4, use_approx=False, backend="seg",
+        interpret=True, lut_bf16=True)
+    single = IVFSearcher(idx, SearchConfig(nprobe=8, k=10, backend="seg",
+                                           use_approx_topk=False))
+    d_ref, i_ref = single.search(ds.xq[:8])
+    np.testing.assert_allclose(np.asarray(d_sh), d_ref, rtol=1e-4, atol=1e-3)
+    agree = np.asarray(i_sh) == i_ref
+    close = np.abs(np.asarray(d_sh) - d_ref) < 1e-2
+    assert np.all(agree | close)
+
+
+def test_sharded_device_build_opq(setup):
+    """build_ivfpq_device_sharded with cfg.opq trains a global rotation
+    and returns it on the ShardedIVF (the assert that forbade this is
+    gone)."""
+    from chamjax.index import build_ivfpq_device_sharded
+    ds, _ = setup
+    xb = jnp.asarray(ds.xb[:8192])
+    cfg = IndexConfig(dim=32, nlist=16, m=8, list_pad=64, opq=True)
+    mesh = make_mesh((("lists", 2),), devices=jax.devices()[:2])
+    sh, info = build_ivfpq_device_sharded(
+        lambda s, c: xb[s:s + c], 8192, cfg, jnp.asarray(ds.xt[:4000]), 2,
+        kmeans_iters=2, pq_iters=2, chunk=4096, block=256, tile_seg=256)
+    assert sh.opq_R is not None and sh.opq_R.shape == (32, 32)
+    sh = place_sharded(sh, mesh)
+    d_sh, i_sh = sharded_search(
+        sh, jnp.asarray(ds.xq[:4]), mesh=mesh, nprobe=4, k=5,
+        windows=16, seg=256, group=2, use_approx=False, backend="seg",
+        interpret=True)
+    assert np.all(np.isfinite(np.asarray(d_sh)))
+    assert np.all(np.asarray(i_sh) >= 0)
+
+
 def test_shard_index_many_empty_lists():
     """Empty lists cost one list_pad slot in the pack loop — the load
     accounting must count them identically, or a shard collecting many
