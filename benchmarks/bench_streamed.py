@@ -53,6 +53,13 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--n_batches", type=int, default=8)
     ap.add_argument("--index_dir", default="data/indexes")
+    ap.add_argument("--ondisk", action="store_true",
+                    help="serve from an on-disk memmap index "
+                         "(populate_on_disk/load_ondisk) instead of RAM — "
+                         "measures warm() and the memmap gather path")
+    ap.add_argument("--ab-tiled", action="store_true",
+                    help="within-process A/B: staged scan with the "
+                         "BlockSpec tiled kernel vs the manual-DMA kernel")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
@@ -69,9 +76,27 @@ def main() -> None:
         packed.save(cache)
     gt, _ = compute_ground_truth(ds.xb, ds.xq[:256], k=10)
 
+    warm_s = None
+    if args.ondisk:
+        from chamjax.index.factory import TrainedQuantizers
+        from chamjax.index.ondisk import load_ondisk, populate_on_disk
+        od_dir = os.path.join(args.index_dir,
+                              f"{args.dbname}_ondisk_{cfg.key.replace(',', '_')}")
+        if not os.path.exists(os.path.join(od_dir, "meta.json")):
+            trained = TrainedQuantizers(
+                cfg=packed.cfg, centroids=packed.centroids,
+                codebooks=packed.codebooks, opq_R=packed.opq_R)
+            populate_on_disk(ds.xb, trained, od_dir)
+        packed = load_ondisk(od_dir)
+        assert isinstance(packed.codes, np.memmap)
+        print(f"[streamed] ondisk memmap index at {od_dir}",
+              file=sys.stderr, flush=True)
+
     scfg = SearchConfig(nprobe=args.nprobe, k=args.k)
     st = HostStreamedSearcher(packed, scfg)
+    t0 = time.perf_counter()
     st.warm()      # prefault codes/ids (cold random reads ~0.3 GiB/s here)
+    warm_s = time.perf_counter() - t0
     b = args.batch
     m = cfg.m
     seg, W = st.seg, st.windows
@@ -134,8 +159,30 @@ def main() -> None:
         "e2e_qps_pipelined": round(b / pipe_s, 1),
         "R@10_pipelined": round(r10_pipe, 4),
         "design_ceiling_qps_pcie": round(ceiling_qps, 1),
+        "ondisk": bool(args.ondisk),
+        "warm_s": round(warm_s, 2),
     }
     print(json.dumps(out), flush=True)
+
+    if args.ab_tiled:
+        # within-process A/B (cross-run deltas are contention-bound on
+        # this tunnel): same packed index, same batches, staged scan via
+        # the BlockSpec tiled kernel vs the manual-DMA multi-window kernel
+        import dataclasses
+        res = {}
+        for tiled in (True, False):
+            sti = HostStreamedSearcher(
+                packed, dataclasses.replace(scfg, tiled=tiled))
+            sti.search(qs[:b])                       # compile + warm
+            t0 = time.perf_counter()
+            for qb in batches:
+                sti.search(qb)
+            res[tiled] = (time.perf_counter() - t0) / args.n_batches
+        ab = {"ab": "staged_tiled_vs_dma",
+              "tiled_ms": round(res[True] * 1e3, 1),
+              "dma_ms": round(res[False] * 1e3, 1),
+              "tiled_speedup": round(res[False] / res[True], 3)}
+        print(json.dumps(ab), flush=True)
 
 
 if __name__ == "__main__":
