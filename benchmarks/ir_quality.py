@@ -112,6 +112,10 @@ def main() -> None:
         # over the full judged pool — see training_pairs(min_score=)
         pairs = (training_pairs(tq, tqr, corpus, min_score=2) * 2
                  + training_pairs(tq, tqr, corpus))
+        if len(pairs) > 800_000:      # tokenization is the bottleneck
+            import random
+            random.Random(0).shuffle(pairs)
+            pairs = pairs[:800_000]
         note(f"training dual encoder on {len(pairs)} pairs")
         trained_enc.fit(pairs, steps=args.train_steps, batch=128, lr=3e-3,
                         verbose=False)
