@@ -44,6 +44,8 @@ def main() -> None:
     ap.add_argument("--n-queries", type=int, default=300)
     ap.add_argument("--n-train", type=int, default=1500)
     ap.add_argument("--train-steps", type=int, default=4000)
+    ap.add_argument("--max-len", type=int, default=48,
+                    help="encoder token window (docs are ~50 tokens)")
     ap.add_argument("--data-dir", default="data/beir_synth")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--methods", nargs="+",
@@ -107,7 +109,8 @@ def main() -> None:
         run("dense_hash", DenseRetrievalExactSearch(HashingEncoder(dim=256)))
     if ("dense_trained" in args.methods or "ivfpq_trained" in args.methods
             or "rerank" in args.methods):
-        trained_enc = JaxDualEncoder(vocab=32768, dim=192, emb_dim=128)
+        trained_enc = JaxDualEncoder(vocab=32768, dim=192, emb_dim=128,
+                                     max_len=args.max_len)
         # graded supervision: upweight the top grade (entity-level) 2×
         # over the full judged pool — see training_pairs(min_score=)
         pairs = (training_pairs(tq, tqr, corpus, min_score=2) * 2
