@@ -27,6 +27,12 @@ if "--xla_force_host_platform_device_count" not in os.environ.get(
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8"
                                ).strip()
+# 8 virtual device threads time-slice ONE core here; the interpret-mode
+# scan legs can arrive at the merge all_gather minutes apart, far past
+# XLA:CPU's default 40 s rendezvous terminate timeout
+os.environ["XLA_FLAGS"] += (
+    " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
 
 import numpy as np
 
@@ -64,7 +70,9 @@ def main() -> None:
     # production balancer equalizes rows the same way)
     lists_per_shard = nlist // n_devices
     rows_per_list = rows_per_shard // lists_per_shard          # 16384
-    n_pad_sh = rows_per_shard + 8192
+    seg = 2048                        # production tile size at this scale
+    n_pad_sh = rows_per_shard + 8192  # multiple of seg (2^27 + 4 tiles)
+    assert n_pad_sh % seg == 0 and rows_per_list % seg == 0
     note(f"shard shape: {lists_per_shard} lists x {rows_per_list} rows "
          f"= {rows_per_shard} rows ({rows_per_shard * m / 2**30:.2f} GiB "
          f"codes + {rows_per_shard * 4 / 2**30:.2f} GiB ids per shard)")
@@ -82,33 +90,46 @@ def main() -> None:
     # of paying PCG64 generation for 17 GiB (measured ~5 MB/s/core here).
     block = rng.integers(0, 256, 16 << 20, dtype=np.uint8)
     reps = -(-(n_devices * m * n_pad_sh) // block.size)
-    codes_t = np.tile(block, reps)[:n_devices * m * n_pad_sh].reshape(
-        n_devices, m, n_pad_sh)
+    # seg-TILED production layout (round 4): (S, n_tiles, m, seg) — the
+    # BlockSpec-pipelined kernel's memory image, list starts on tile
+    # boundaries by construction above
+    codes_tiled = np.tile(block, reps)[:n_devices * m * n_pad_sh].reshape(
+        n_devices, n_pad_sh // seg, m, seg)
     idblk = rng.integers(0, 1 << 30, 4 << 20, dtype=np.int32)
     reps = -(-(n_devices * n_pad_sh) // idblk.size)
     ids = np.tile(idblk, reps)[:n_devices * n_pad_sh].reshape(
         n_devices, n_pad_sh)
     centroids = rng.standard_normal((nlist, d)).astype(np.float32)
     codebooks = rng.standard_normal((m, 256, d // m)).astype(np.float32)
-    note(f"host arrays ready ({codes_t.nbytes / 2**30:.1f} GiB codes)")
+    note(f"host arrays ready ({codes_tiled.nbytes / 2**30:.1f} GiB codes, "
+         "tiled layout)")
 
     sh = place_sharded(
         ShardedIVF(centroids=jnp.asarray(centroids),
                    codebooks=jnp.asarray(codebooks),
-                   codes_t=jnp.asarray(codes_t),
+                   codes_t=None,
                    ids=jnp.asarray(ids),
                    list_start=jnp.asarray(list_start),
-                   list_len=jnp.asarray(list_len)),
+                   list_len=jnp.asarray(list_len),
+                   codes_tiled=jnp.asarray(codes_tiled)),
         mesh)
-    del codes_t, ids
+    del codes_tiled, ids
     note("placed on 8-device mesh")
 
-    b, nprobe, k = 4, 8, 100
+    # b/nprobe sized so each virtual device's interpret-mode scan clears
+    # XLA:CPU's hard 40 s collective-rendezvous timeout on this 1-vCPU
+    # host (8 device threads time-slice one core); the deliverable is the
+    # PROGRAM at deployment shapes, not query throughput
+    b, nprobe, k = 2, 2, 100
     q = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
     t0 = time.time()
     dists, idx = sharded_search(
         sh, q, mesh=mesh, nprobe=nprobe, k=k,
-        windows=nprobe * (rows_per_list // 2048 + 1), seg=2048, group=8,
+        # group=1 ON THIS CPU DRYRUN ONLY: the block kernel passes the
+        # codes operand once per group slot; the TPU aliases them (the
+        # 134M-shard bench_1b runs fit 16 GB HBM), but XLA:CPU interpret
+        # materializes per-operand copies — group=8 OOMed at 8 x 16 GiB.
+        windows=nprobe * (rows_per_list // seg + 1), seg=seg, group=1,
         use_approx=False, backend="seg", interpret=True, lut_bf16=True)
     jax.block_until_ready((dists, idx))
     wall = time.time() - t0
@@ -116,7 +137,7 @@ def main() -> None:
           and bool(jnp.isfinite(dists).all())
           and bool((jnp.diff(dists, axis=1) >= -1e-3).all()))
     print(json.dumps({
-        "dryrun": "sharded_1b_mesh", "devices": n_devices,
+        "dryrun": "sharded_1b_mesh_tiled", "devices": n_devices,
         "rows_total": n_devices * rows_per_shard, "nlist": nlist,
         "per_shard_gib": round(rows_per_shard * (m + 4) / 2**30, 2),
         "step_wall_s": round(wall, 1), "ok": ok}), flush=True)
