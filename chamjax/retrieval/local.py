@@ -142,6 +142,77 @@ class DeviceRetriever(BaseRetriever):
         return RetrievalResult(ids=i, dists=d)
 
 
+class MeshRetriever(BaseRetriever):
+    """Multi-chip retriever over a mesh-sharded index — the serving-class
+    face of ``parallel/sharded_search``.
+
+    Holds a placed :class:`~chamjax.parallel.sharded_search.ShardedIVF`
+    (inverted lists over the ``lists`` axis, optionally batch-parallel
+    over a data axis) and exposes the same retriever contract as
+    ``LocalRetriever``/``DeviceRetriever`` including the fused
+    ``retrieve_device`` path — so the RALM/tik-tok loops serve from a
+    v5e-pod-scale index with zero code changes (reference analogue:
+    the coordinator+multi-FPGA tier behind ``ExternalRetriever``,
+    collapsed into one jitted mesh program)."""
+
+    def __init__(self, sh, mesh, list_len: np.ndarray,
+                 search_cfg: Optional[SearchConfig] = None,
+                 axis: str = "lists", batch_axis: Optional[str] = None):
+        import jax
+        from chamjax.searcher import auto_seg, auto_windows
+        self.sh = sh
+        self.mesh = mesh
+        self.axis = axis
+        self.batch_axis = batch_axis
+        self.list_len = np.asarray(list_len)
+        self.scfg = search_cfg or SearchConfig()
+        self.seg = (self.scfg.seg
+                    or (int(sh.codes_tiled.shape[-1])
+                        if sh.codes_tiled is not None
+                        else auto_seg(self.list_len)))
+        self.windows = self.scfg.scan_windows or auto_windows(
+            self.list_len, self.seg, self.scfg.nprobe)
+        self.group = max(1, self.scfg.seg_group)
+        self.windows += (-self.windows) % self.group
+        self.interpret = jax.default_backend() != "tpu"
+
+    def _search(self, q, nprobe, k):
+        from chamjax.parallel.sharded_search import (
+            sharded_search, sharded_search_2d,
+        )
+        from chamjax.searcher import auto_windows, resolve_coarse_cand
+        np_ = nprobe or self.scfg.nprobe
+        W = (self.windows if np_ == self.scfg.nprobe
+             else auto_windows(self.list_len, self.seg, np_))
+        W += (-W) % self.group
+        kw = dict(mesh=self.mesh, axis=self.axis, nprobe=np_,
+                  k=k or self.scfg.k, windows=W, seg=self.seg,
+                  group=self.group, use_approx=self.scfg.use_approx_topk,
+                  backend="seg", interpret=self.interpret,
+                  lut_bf16=self.scfg.lut_bf16,
+                  select_l1=self.scfg.select_l1,
+                  lane_l1=self.scfg.lane_l1,
+                  coarse_cand=resolve_coarse_cand(
+                      self.scfg.coarse_cand, self.sh.centroids.shape[0],
+                      np_))
+        if self.batch_axis:
+            return sharded_search_2d(self.sh, q,
+                                     batch_axis=self.batch_axis, **kw)
+        return sharded_search(self.sh, q, **kw)
+
+    def retrieve(self, queries: np.ndarray, nprobe: int, k: int
+                 ) -> RetrievalResult:
+        import jax.numpy as jnp
+        d, i = self._search(jnp.asarray(queries, jnp.float32), nprobe, k)
+        return RetrievalResult(ids=np.asarray(i, np.int64),
+                               dists=np.asarray(d))
+
+    def retrieve_device(self, queries, nprobe: int, k: int
+                        ) -> RetrievalResult:
+        d, i = self._search(queries, nprobe, k)
+        return RetrievalResult(ids=i, dists=d)
+
+
 class NativeCPURetriever(BaseRetriever):
     """Serving-grade host (C++) engine behind the retriever contract —
     the reference's ``FaissServer`` cpu mode (``LocalFaissRetriever``
