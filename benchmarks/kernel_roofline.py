@@ -111,18 +111,22 @@ def main() -> None:
         tile_idx = jax.random.randint(k4, (bw,), 0, n_tiles, jnp.int32)
         for group in args.groups:
             for variant in args.variants:
-                lut_bf16 = variant.endswith("bf16")
+                lut_bf16 = "bf16" in variant
                 lt = luts_p if lut_bf16 else luts
 
                 if variant.startswith("block"):
+                    dist_bf16 = variant.endswith("bf16d")
+
                     def step(acc, codes_tiled, tile_idx, lens, lut_idx, lt,
-                             seg=seg, group=group, lut_bf16=lut_bf16):
+                             seg=seg, group=group, lut_bf16=lut_bf16,
+                             dist_bf16=dist_bf16):
                         iacc = jnp.int32(acc)
                         out = adc_scan_tiles(
                             codes_tiled, tile_idx ^ iacc, lens,
                             lut_idx ^ iacc, lt, seg=seg, group=group,
-                            lut_bf16=lut_bf16)
-                        return out.reshape(-1)[0] * 0.0 + acc
+                            lut_bf16=lut_bf16, dist_bf16=dist_bf16)
+                        return (out.reshape(-1)[0].astype(jnp.float32)
+                                * 0.0 + acc)
 
                     ms = chained_ms(step, (codes_tiled, tile_idx, lens,
                                            lut_idx, lt))

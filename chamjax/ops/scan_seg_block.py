@@ -44,7 +44,7 @@ LANES = 128
 
 def _adc_block_kernel(tiles_ref, lens_ref, lutidx_ref, *rest,
                       seg: int, group: int, lut_bf16: bool,
-                      lane_l1: bool = False):
+                      lane_l1: bool = False, dist_bf16: bool = False):
     lut_refs = rest[:group]
     code_refs = rest[group:2 * group]
     out_ref = rest[2 * group]
@@ -90,12 +90,17 @@ def _adc_block_kernel(tiles_ref, lens_ref, lutidx_ref, *rest,
                 dist = _adc_tile(lut_lo, lut_hi, lut_p, cc, lut_bf16)
                 pos = t * LANES + jax.lax.broadcasted_iota(
                     jnp.int32, (LANES,), 0)
-                out_ref[j, t, :] = jnp.where(pos < ln, dist, jnp.inf)
+                dist = jnp.where(pos < ln, dist, jnp.inf)
+                # bf16 distance output halves the candidate buffer's HBM
+                # write AND the selection pass's read (rounding 2^-8
+                # relative — same regime as the packed-bf16 LUTs)
+                out_ref[j, t, :] = (dist.astype(jnp.bfloat16)
+                                    if dist_bf16 else dist)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("seg", "group", "interpret", "lut_bf16",
-                                    "lane_l1"))
+                                    "lane_l1", "dist_bf16"))
 def adc_scan_tiles(
     codes_tiled: jax.Array,  # (n_tiles, m, seg) uint8 — tile-major
     tile_idx: jax.Array,     # (bW,) int32 — tile row per window
@@ -108,10 +113,15 @@ def adc_scan_tiles(
     interpret: bool = False,
     lut_bf16: bool = False,
     lane_l1: bool = False,
+    dist_bf16: bool = False,
 ) -> jax.Array:
-    """Returns ``dists (bW, seg) float32`` (+inf on padding/skips), or —
-    with ``lane_l1`` — ``(bW, 2, 128)``: per-lane min + winning tile
-    index (bitcast int32)."""
+    """Returns ``dists (bW, seg) float32`` (+inf on padding/skips) —
+    bfloat16 with ``dist_bf16`` (halves the candidate buffer's HBM
+    traffic; incompatible with ``lane_l1``, whose second row bitcasts
+    int32 through the f32 output) — or, with ``lane_l1``,
+    ``(bW, 2, 128)``: per-lane min + winning tile index (bitcast
+    int32)."""
+    assert not (lane_l1 and dist_bf16)
     bw = tile_idx.shape[0]
     _n_tiles, m, seg_t = codes_tiled.shape
     _n_lut, _m2, ksub = luts.shape
@@ -147,9 +157,11 @@ def adc_scan_tiles(
     )
     out = pl.pallas_call(
         functools.partial(_adc_block_kernel, seg=seg, group=group,
-                          lut_bf16=lut_bf16, lane_l1=lane_l1),
-        out_shape=jax.ShapeDtypeStruct((bw, out_rows, LANES),
-                                       jnp.float32),
+                          lut_bf16=lut_bf16, lane_l1=lane_l1,
+                          dist_bf16=dist_bf16),
+        out_shape=jax.ShapeDtypeStruct(
+            (bw, out_rows, LANES),
+            jnp.bfloat16 if dist_bf16 else jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_idx, lens, lut_idx,
@@ -163,7 +175,7 @@ def adc_scan_tiles(
     jax.jit,
     static_argnames=("windows", "seg", "group", "k", "use_approx",
                      "recall_target", "interpret", "lut_bf16", "select_l1",
-                     "lane_l1"),
+                     "lane_l1", "dist_bf16"),
 )
 def scan_lists_seg_block(
     codes_tiled: jax.Array,  # (n_tiles, m, seg) uint8
@@ -183,9 +195,12 @@ def scan_lists_seg_block(
     lut_bf16: bool = False,
     select_l1: int = 0,
     lane_l1: bool = False,
+    dist_bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Tiled-layout segmented scan + selection (drop-in for
-    ``scan_lists_seg_multi`` given a tile-aligned packing)."""
+    ``scan_lists_seg_multi`` given a tile-aligned packing).  ``dist_bf16``
+    keeps the (bW, seg) candidate buffer bfloat16 through selection and
+    upcasts only the final (b, k) result."""
     b = luts.shape[0]
     windows = -(-windows // group) * group
     starts, lens, probe, _valid = expand_windows(
@@ -194,7 +209,8 @@ def scan_lists_seg_block(
     dists = adc_scan_tiles(
         codes_tiled, (starts // seg).reshape(-1), lens.reshape(-1),
         lut_idx, luts_k, seg=seg, group=group, interpret=interpret,
-        lut_bf16=lut_bf16, lane_l1=lane_l1)
+        lut_bf16=lut_bf16, lane_l1=lane_l1,
+        dist_bf16=dist_bf16 and not lane_l1)
     if lane_l1:
         flat = dists[:, 0, :].reshape(b, windows * LANES)
         tile_idx = jax.lax.bitcast_convert_type(
@@ -214,6 +230,7 @@ def scan_lists_seg_block(
     best_d, pos = select_topk(
         flat, k, use_approx=use_approx, recall_target=recall_target,
         l1=select_l1)
+    best_d = best_d.astype(jnp.float32)
     win = pos // seg
     off = pos % seg
     row = jnp.take_along_axis(starts, win, axis=1) + off

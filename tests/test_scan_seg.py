@@ -342,6 +342,50 @@ def test_tiled_searcher_matches_flat_and_xla():
         assert np.all(agree | close)
 
 
+def test_tiled_dist_bf16_close_to_f32():
+    """dist_bf16 (bf16 candidate buffer through selection) must match the
+    f32 path within bf16 rounding — distances 2^-8 relative, top-k ids
+    identical except among near-ties.  (Kernel-level A/B measured ±noise
+    on device — kept as an opt-in capability, not a default.)"""
+    from chamjax.config import IndexConfig, SearchConfig
+    from chamjax.data import synthetic_dataset
+    from chamjax.index import build_ivfpq
+    from chamjax.ops.scan_seg_block import scan_lists_seg_block
+    from chamjax.searcher import IVFSearcher
+
+    ds = synthetic_dataset(nb=12000, nq=16, nt=6000, d=32, seed=7,
+                           n_clusters=32)
+    idx = build_ivfpq(ds.xb, IndexConfig(dim=32, nlist=32, m=8, list_pad=64),
+                      xt=ds.xt, kmeans_iters=4, pq_iters=4)
+    s = IVFSearcher(idx, SearchConfig(nprobe=8, k=10, use_approx_topk=False,
+                                      coarse_cand=0, lut_bf16=False))
+    dev = s.dev
+    import jax.numpy as jnp
+    from chamjax.ops.coarse import select_probes
+    from chamjax.ops.lut import build_luts
+    q = jnp.asarray(ds.xq, jnp.float32)
+    list_ids, _ = select_probes(q, dev.centroids, 8)
+    luts = build_luts(q, dev.centroids, dev.codebooks, list_ids)
+    kw = dict(windows=s.windows + (-s.windows) % 4, seg=s.seg, group=4,
+              k=10, use_approx=False, interpret=True)
+    d32, i32 = scan_lists_seg_block(dev.codes_tiled, dev.ids,
+                                    dev.list_start, dev.list_len, luts,
+                                    list_ids, dist_bf16=False, **kw)
+    d16, i16 = scan_lists_seg_block(dev.codes_tiled, dev.ids,
+                                    dev.list_start, dev.list_len, luts,
+                                    list_ids, dist_bf16=True, **kw)
+    assert d16.dtype == np.float32          # upcast at the boundary
+    d16h, d32h = np.asarray(d16), np.asarray(d32)
+    np.testing.assert_allclose(d16h, d32h, rtol=1e-2, atol=1e-2)
+    # bf16 rounding (2^-8 relative) may swap ranks among candidates whose
+    # true gap is below ~0.4% of the distance magnitude — allow id
+    # disagreements wherever the distances are that close
+    agree = np.asarray(i16) == np.asarray(i32)
+    close = np.abs(d16h - d32h) < 0.01 * np.abs(d32h) + 0.05
+    assert np.mean(agree | close) == 1.0
+    assert np.mean(agree) > 0.9
+
+
 def test_tiled_repack_coordinates():
     """The tiled repack must keep every (list, row) pair intact: flat twin
     and tiled twin carry the same codes at the shared offsets."""
