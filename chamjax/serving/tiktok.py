@@ -248,6 +248,13 @@ class TikTokEncoderDecoder:
 
     # --- primitive steps ---
 
+    @property
+    def _device_path(self) -> bool:
+        """Fused path: query encode → retrieval → retrieved-token encode →
+        cross-KV refresh all stay on device (``RalmEncoderDecoder``'s
+        device path, tik-tok flavored) — zero host transfers per step."""
+        return hasattr(self.retriever, "retrieve_device")
+
     def single_retrieve_step_send(self, name: str) -> None:
         """Encode the query tokens, fire the retrieval (non-blocking)."""
         from chamjax.models.transformer import encoder_forward
@@ -256,18 +263,41 @@ class TikTokEncoderDecoder:
             q_tokens = jnp.broadcast_to(st.tokens[:, None], (self.batch, 1))
             enc_q = encoder_forward(self.enc, q_tokens,
                                     self.cfg.attention_heads)
-            query = np.asarray(enc_q[:, -1, :], np.float32)
-        self.retriever.retrieve_send(query, self.nprobe, self.k)
+        if self._device_path:
+            st.last_result = self.retriever.retrieve_device(
+                enc_q[:, -1, :].astype(jnp.float32), self.nprobe, self.k)
+        else:
+            self.retriever.retrieve_send(
+                np.asarray(enc_q[:, -1, :], np.float32), self.nprobe,
+                self.k)
         st.sent = True
         self.in_flight.append(name)
+
+    def _poll(self) -> bool:
+        return True if self._device_path else self.retriever.poll()
 
     def single_retrieve_step_recv(self, name: str) -> None:
         """Drain the answer, encode retrieved tokens → fresh cross K/V."""
         from chamjax.models.transformer import (
             build_cross_kv, encoder_forward,
         )
-        from chamjax.serving.ralm import _ids_to_tokens
+        from chamjax.serving.ralm import (
+            _ids_to_tokens, _ids_to_tokens_device,
+        )
         st = self.states[name]
+        if self._device_path:
+            res = st.last_result
+            with self.prof.model_span():
+                ret_tokens = _ids_to_tokens_device(
+                    res.ids, self.tok_len, self.cfg.vocab_size)
+                ret_tokens = ret_tokens[:, : self.cfg.max_seq_len]
+                enc_out = encoder_forward(self.enc, ret_tokens,
+                                          self.cfg.attention_heads)
+                st.cross_kv = build_cross_kv(self.dec, enc_out,
+                                             self.cfg.attention_heads)
+            st.sent = False
+            self.in_flight.popleft()
+            return
         with self.prof.retriever_span():
             res = self.retriever.retrieve_recv(self.batch, self.k)
         with self.prof.model_span():
@@ -319,7 +349,7 @@ class TikTokEncoderDecoder:
                 elif st.sent:
                     # FIFO: only the oldest in-flight request may recv
                     if self.in_flight and self.in_flight[0] == name \
-                            and self.retriever.poll():
+                            and self._poll():
                         self.single_retrieve_step_recv(name)
                         st._last_ret = st.step
                         progressed = True
@@ -331,6 +361,13 @@ class TikTokEncoderDecoder:
                 name = self.in_flight[0]
                 self.single_retrieve_step_recv(name)
                 states[name]._last_ret = states[name].step
+        # honest completion: one pull per batch forces the device chain
+        # (the decoder twin's discipline; device-path retrieval results
+        # are covered transitively — cross_kv feeds the decode chain)
+        for st in states.values():
+            np.asarray(st.tokens)
+            if st.last_result is not None:
+                np.asarray(st.last_result.ids).shape
         total = time.perf_counter() - t_start
         self.prof.time_step.append(total)
 

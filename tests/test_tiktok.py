@@ -211,6 +211,42 @@ def test_tiktok_device_path_fully_fused(monkeypatch):
         assert (ids >= 0).all()
 
 
+def test_tiktok_encdec_device_path_fused(monkeypatch):
+    """Encoder-decoder twin: with a retrieve_device retriever the whole
+    retrieval step (query encode → search → retrieved-token encode →
+    cross-KV refresh) stays on device — zero host transfers in the loop."""
+    import chamjax.serving.tiktok as tt_mod
+    from chamjax.config import IndexConfig, SearchConfig
+    from chamjax.data import synthetic_dataset
+    from chamjax.index import build_ivfpq
+    from chamjax.models import init_encoder_decoder
+    from chamjax.retrieval.local import LocalRetriever
+
+    cfg = ModelConfig(model_type="encoder-decoder", embed_dim=32,
+                      ffn_embed_dim=64, layers=2, attention_heads=2,
+                      vocab_size=64, max_seq_len=16, retrieval_interval=2,
+                      k=5, retrieval_token_len=4)
+    ds = synthetic_dataset(nb=4000, nq=4, nt=2000, d=cfg.embed_dim, seed=4,
+                           n_clusters=16)
+    idx = build_ivfpq(ds.xb, IndexConfig(dim=cfg.embed_dim, nlist=16, m=8,
+                                         list_pad=64),
+                      xt=ds.xt, kmeans_iters=2, pq_iters=2)
+    enc, dec = init_encoder_decoder(jax.random.PRNGKey(2), cfg)
+    r = LocalRetriever(idx, SearchConfig(nprobe=4, k=5,
+                                         use_approx_topk=False))
+    loop = TikTokEncoderDecoder(enc, dec, cfg, r, batch_size=2,
+                                retrieval_interval=2, nprobe=4, k=5)
+    assert loop._device_path
+    spy = _NpSpy(np)
+    monkeypatch.setattr(tt_mod, "np", spy)
+    loop.batch_inference(6)
+    # final completion pulls only (tokens + last_result per batch)
+    assert spy.asarray_calls == 4, spy.asarray_calls
+    for st in loop.states.values():
+        assert st.step >= 6
+        assert st.cross_kv is not None
+
+
 def test_tiktok_runs_llama_family():
     from chamjax.models import init_llama
     cfg = ModelConfig(model_type="llama", embed_dim=64, ffn_embed_dim=160,
