@@ -348,10 +348,15 @@ def main() -> None:
               select_l1=int(os.environ.get("CHAMJAX_SELECT_L1", "0")),
               lane_l1=os.environ.get("CHAMJAX_LANE_L1", "0") == "1")
 
-    # quality gate: recall@10 on 256 held-out queries
+    # quality gate: recall@10 on 256 held-out queries (R@1/100 reported
+    # alongside — the reference host's oracle computes all three,
+    # SRC/host.cpp:806-845)
     d_r, i_r = ivfpq_search(dev, jnp.asarray(ds.xq[:256]), **kw)
-    r10 = recall_at_k(np.asarray(i_r), gt, 10)
-    _note(f"recall gate done: R@10={r10:.4f}")
+    i_np = np.asarray(i_r)
+    r1 = recall_at_k(i_np, gt, 1)
+    r10 = recall_at_k(i_np, gt, 10)
+    r100 = recall_at_k(i_np, gt, min(100, k))
+    _note(f"recall gate done: R@1={r1:.4f} R@10={r10:.4f} R@100={r100:.4f}")
 
     matrix_pass = None
     if args.matrix:
@@ -451,7 +456,9 @@ def main() -> None:
         "ms_per_batch128": round(ms_batch, 3),
         "ms_per_batch128_dispatch": round(ms_batch_disp, 3),
         "ms_per_query_b1": round(ms_b1, 4),
+        "recall_at_1": round(float(r1), 4),
         "recall_at_10": round(float(r10), 4),
+        "recall_at_100": round(float(r100), 4),
         "windows": W,
         "qps_per_watt": tpu_efficiency(qps)["qps_per_watt"],
         "device": str(jax.devices()[0]),

@@ -327,6 +327,9 @@ def main() -> None:
         ii_k = np.take_along_axis(ii, order, axis=1)
         r1 = recall_at_k(ii_k, gt_1b, 1)
         r10 = recall_at_k(ii_k, gt_1b, 10)
+        # R@100 ("nn" mode needs only gt column 0): the reference's sizing
+        # targets are R@1/10/100 (Faiss_experiments/README.md:160-177)
+        r100 = recall_at_k(ii_k, gt_1b, min(100, args.k))
         ms_max = max(shard_ms[np_])
         ms_sum = sum(shard_ms[np_])
         res = {
@@ -335,6 +338,7 @@ def main() -> None:
             "k": args.k, "batch": args.batch, "opq": args.opq,
             "spectrum_tau": args.spectrum_tau,
             "R@1": round(float(r1), 4), "R@10": round(float(r10), 4),
+            "R@100": round(float(r100), 4),
             "per_shard_ms_max": round(ms_max, 3),
             "per_shard_ms_mean": round(ms_sum / args.shards, 3),
             # an n-chip mesh runs shards in parallel; merge (all_gather of

@@ -478,8 +478,18 @@ def load_real_dataset(spec: str, max_nb: Optional[int] = None,
     f32_bytes = int(xb.shape[0]) * int(xb.shape[1]) * 4
     if f32_bytes <= max_materialize_bytes:
         xb = np.ascontiguousarray(xb, np.float32)
-    # else: keep the mmap view — a 1B bvecs base would expand 128 GB u8 →
-    # 512 GB f32 and OOM the host; stream/slice at use sites instead
+    elif xb.dtype != np.float32:
+        # keep the mmap view — a 1B bvecs base would expand 128 GB u8 →
+        # 512 GB f32 and OOM the host; stream/slice (and cast per chunk)
+        # at use sites instead.  Warn loudly: a consumer that feeds
+        # ``ds.xb`` whole into k-means/distance math would propagate
+        # integer codes or OOM on the implicit cast.
+        warnings.warn(
+            f"base stays an on-disk {xb.dtype} mmap "
+            f"({f32_bytes / 2**30:.1f} GiB f32 > max_materialize_bytes); "
+            "cast per chunk at use sites (chamjax.index.build_ivfpq_device "
+            "draw functions do this) — do not pass ds.xb whole into "
+            "f32 math", stacklevel=2)
     xq = np.ascontiguousarray(xq, np.float32)
     xt = np.ascontiguousarray(xt, np.float32)
     return Dataset(name=name, xb=xb, xq=xq, xt=xt, gt=gt)

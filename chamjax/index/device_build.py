@@ -881,6 +881,13 @@ def build_ivfpq_device(
     from chamjax.ops.scan_seg import MAX_SEG
     from chamjax.searcher import DeviceIVF
 
+    # resident-tier int32 id space (reference ids are uint64 end-to-end,
+    # SRC/types.hpp): the padded capacity below must fit int32 or row
+    # addressing wraps silently — shard past this (bench_1b's per-shard
+    # local ids) or serve from the int64-native streamed tier
+    assert n + cfg.nlist * max(cfg.list_pad, tile_seg, 1) < 2 ** 31, (
+        f"{n} rows + worst-case pad overflow the int32 id space; shard "
+        "the corpus or use the streamed tier")
     if tile_seg:
         # tile-aligned pack: list_pad = lcm(list_pad, tile_seg) puts every
         # list on a tile boundary, so the seg-tiled twin for the

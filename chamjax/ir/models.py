@@ -79,12 +79,15 @@ def training_pairs(queries: Dict[str, str], qrels: Dict[str, Dict[str, int]],
     top grades define (MS-MARCO practice: train on THE relevant passage,
     not the related pool)."""
     pairs = []
-    floor = max(min_score, 1)
     for qid, rel in qrels.items():
         if qid not in queries:
             continue
         for did, score in rel.items():
-            if score >= floor and did in corpus:
+            # min_score=0 keeps every judged-POSITIVE doc (score > 0,
+            # fractional grades included); min_score>0 is an inclusive
+            # grade floor
+            keep = score > 0 if min_score <= 0 else score >= min_score
+            if keep and did in corpus:
                 pairs.append((queries[qid], _doc_text(corpus[did])))
     return pairs
 

@@ -44,11 +44,28 @@ LANES = 128
 
 def _adc_block_kernel(tiles_ref, lens_ref, lutidx_ref, *rest,
                       seg: int, group: int, lut_bf16: bool,
-                      lane_l1: bool = False, dist_bf16: bool = False):
+                      lane_l1: bool = False, dist_bf16: bool = False,
+                      debug_ablate: str = ""):
     lut_refs = rest[:group]
     code_refs = rest[group:2 * group]
     out_ref = rest[2 * group]
     i = pl.program_id(0)
+    if debug_ablate:
+        # measurement-only bodies (benchmarks/kernel_roofline.py): the
+        # BlockSpec pipeline still fetches every operand block, so
+        # "copy" prices the pure DMA/grid machinery and "nogather" adds
+        # the sublane reduction but ablates the LUT gather+decode —
+        # separating DMA-bound from VPU-compute-bound regimes.
+        for j in range(group):
+            codes = code_refs[j][0]                       # (m, seg) u8
+            for t in range(seg // LANES):
+                cc = codes[:, t * LANES:(t + 1) * LANES]
+                if debug_ablate == "copy":
+                    out_ref[j, t, :] = cc[0].astype(jnp.float32)
+                else:                                     # "nogather"
+                    out_ref[j, t, :] = jnp.sum(
+                        cc.astype(jnp.float32), axis=0)
+        return
     for j in range(group):
         ln = lens_ref[i * group + j]
         lut = lut_refs[j][0]
@@ -100,7 +117,7 @@ def _adc_block_kernel(tiles_ref, lens_ref, lutidx_ref, *rest,
 
 @functools.partial(jax.jit,
                    static_argnames=("seg", "group", "interpret", "lut_bf16",
-                                    "lane_l1", "dist_bf16"))
+                                    "lane_l1", "dist_bf16", "debug_ablate"))
 def adc_scan_tiles(
     codes_tiled: jax.Array,  # (n_tiles, m, seg) uint8 — tile-major
     tile_idx: jax.Array,     # (bW,) int32 — tile row per window
@@ -114,6 +131,7 @@ def adc_scan_tiles(
     lut_bf16: bool = False,
     lane_l1: bool = False,
     dist_bf16: bool = False,
+    debug_ablate: str = "",
 ) -> jax.Array:
     """Returns ``dists (bW, seg) float32`` (+inf on padding/skips) —
     bfloat16 with ``dist_bf16`` (halves the candidate buffer's HBM
@@ -158,7 +176,7 @@ def adc_scan_tiles(
     out = pl.pallas_call(
         functools.partial(_adc_block_kernel, seg=seg, group=group,
                           lut_bf16=lut_bf16, lane_l1=lane_l1,
-                          dist_bf16=dist_bf16),
+                          dist_bf16=dist_bf16, debug_ablate=debug_ablate),
         out_shape=jax.ShapeDtypeStruct(
             (bw, out_rows, LANES),
             jnp.bfloat16 if dist_bf16 else jnp.float32),
@@ -205,6 +223,23 @@ def scan_lists_seg_block(
     windows = -(-windows // group) * group
     starts, lens, probe, _valid = expand_windows(
         list_ids, list_start, list_len, windows=windows, seg=seg)
+    if group > 1:
+        # Slot-major window permutation (round 5): the grid hands flat
+        # window i·G+j to pipeline slot j, so the probe-major expansion
+        # sends consecutive segments of one list to DIFFERENT slots and
+        # every window pays a fresh LUT block fetch (m·ksub·4 bytes ≈
+        # 25% of the seg=2048 code bytes).  Re-ordering each query's
+        # windows as w' = i·G+j ← w = j·(W/G)+i makes every slot walk
+        # consecutive windows, so a multi-segment list's LUT index
+        # repeats across that slot's consecutive grid steps and the
+        # Pallas pipeline's equal-index refetch skip elides the copy
+        # (tile fetches also become HBM-sequential within a run).
+        # Selection is order-invariant: ``starts`` is permuted with the
+        # windows, so the pos→row mapping below stays consistent.
+        def pm(x):
+            return (x.reshape(b, group, windows // group)
+                    .swapaxes(1, 2).reshape(b, windows))
+        starts, lens, probe = pm(starts), pm(lens), pm(probe)
     luts_k, lut_idx = prepare_luts(luts, probe, lut_bf16=lut_bf16)
     dists = adc_scan_tiles(
         codes_tiled, (starts // seg).reshape(-1), lens.reshape(-1),

@@ -66,7 +66,7 @@ def shard_kv_cache(cache: KVCache, mesh: Mesh, dp_axis: str = "dp",
 
 def shard_llama_params(params: dict, mesh: Mesh,
                        tp_axis: str = "tp",
-                       kv_heads: int = 0) -> dict:
+                       kv_heads: int = 0, head_dim: int = 0) -> dict:
     """Megatron-style placement for the llama stack
     (``models/llama.py::init_llama``): Q/K/V and FFN-in (w1/w3) column-
     sharded over ``tp_axis``, O and FFN-out (w2) row-sharded, norms and
@@ -98,8 +98,13 @@ def shard_llama_params(params: dict, mesh: Mesh,
         if kv_heads:
             ok = kv_heads % max(tp, 1) == 0
         elif kv_out == q_out:
-            # MHA (kv_heads == heads): same placement as wq
-            ok = x.shape[-1] % max(tp, 1) == 0
+            # MHA (kv_heads == heads): same placement as wq — but gate on
+            # the HEAD count when head_dim is known (a flattened-dim test
+            # would split a head across chips for e.g. 6 heads × 64 @
+            # tp=4, costing the extra attention collectives this function
+            # exists to avoid)
+            ok = ((q_out // head_dim) % max(tp, 1) == 0 if head_dim
+                  else x.shape[-1] % max(tp, 1) == 0)
         else:
             # GQA with unknown head count: replicate — the flattened-dim
             # test would split a single head's projection across chips

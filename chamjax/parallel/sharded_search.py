@@ -103,6 +103,13 @@ def shard_index(index: PackedIVF, n_shards: int, tail_pad: int = 8192,
     n_pad_sh = int(loads.max()) + tail
     if tile_seg:
         n_pad_sh = -(-n_pad_sh // tile_seg) * tile_seg
+    # int32 id space is PER SHARD here (each shard carries local row ids);
+    # the global id is reconstructed from shard-local ids at merge.  A
+    # single shard past ~2.1B padded rows would wrap silently — assert
+    # (the streamed tier is int64-native for that regime).
+    assert n_pad_sh < 2 ** 31, (
+        f"shard of {n_pad_sh} padded rows overflows the int32 id space; "
+        "raise n_shards or use the streamed tier (int64-native)")
 
     m = index.codes.shape[1]
     codes_t = np.zeros((n_shards, m, n_pad_sh), np.uint8)

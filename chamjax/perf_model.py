@@ -176,6 +176,57 @@ def sharded_merge_bytes(k: int, n_shards: int, batch: int,
     return batch * k * n_shards * (id_bytes + dist_bytes)
 
 
+def merge_all_gather_time(k: int, n_list_shards: int, batch_local: int,
+                          spec: TpuSpec = V5E, id_bytes: int = 4,
+                          dist_bytes: int = 4,
+                          ici_efficiency: float = 0.7) -> float:
+    """Seconds for the 2-D layout's top-k merge collective.
+
+    ``sharded_search_2d`` all-gathers each chip's local ``(b_local, k)``
+    dists (f32) + ids (i32) along the ``lists`` axis only — queries never
+    move.  On a ring all-gather every chip forwards each of the other
+    ``S-1`` contributions once, so wire time per chip is
+    ``(S-1) · b_local · k · (id+dist bytes) / ICI_BW``.  The final exact
+    top-k over ``S·k`` candidates is on-chip and negligible at these
+    shapes.  ``ici_efficiency`` derates for protocol/launch overhead on
+    small (sub-MB) messages.
+    """
+    payload = batch_local * k * (id_bytes + dist_bytes)
+    return payload * (n_list_shards - 1) / (
+        ici_efficiency * spec.ici_gbps * 1e9)
+
+
+def mesh_search_model(dbsize: int, nlist: int, nprobe: int, m: int,
+                      dim: int, batch: int, n_list_shards: int,
+                      dp: int = 1, k: int = 100, spec: TpuSpec = V5E,
+                      **latency_kw) -> dict:
+    """Predicted QPS for the 2-D ``(data=dp, lists=S)`` production mesh.
+
+    Per-chip work = the single-chip latency model over ``dbsize/S`` rows
+    and ``batch/dp`` queries (each (data, lists) device scans its list
+    shard for its query shard), plus the ``lists``-axis all-gather merge
+    (``merge_all_gather_time``).  The moral equivalent of the reference's
+    predicted-vs-measured queue cycle counts
+    (``priority_queue/hierarchical_priority_queue/README.md:5-11``): the
+    dryrun validates the collective SHAPES in HLO
+    (``tests/test_sharded.py::test_sharded_2d_merge_collective_shapes``),
+    this model prices them.
+    """
+    b_local = max(1, batch // max(dp, 1))
+    per_chip = search_latency_model(
+        max(1, dbsize // n_list_shards), nlist, nprobe, m, dim, b_local,
+        spec=spec, **latency_kw)
+    t_merge = merge_all_gather_time(k, n_list_shards, b_local, spec=spec)
+    total = per_chip["t_total_s"] + t_merge
+    return {
+        **{f"per_chip_{k_}": v for k_, v in per_chip.items()},
+        "t_merge_s": t_merge,
+        "merge_fraction": t_merge / total,
+        "t_total_s": total,
+        "qps": batch / total,
+    }
+
+
 # ---------------------------------------------------------------------------
 # RALM serving components
 # ---------------------------------------------------------------------------

@@ -56,6 +56,18 @@ class DeviceIVF(NamedTuple):
                     tile_seg: int = 0) -> "DeviceIVF":
         from chamjax.ops.scan_seg import MAX_SEG
         put = functools.partial(jax.device_put, device=device)
+        # int32 id/row space: the resident tier addresses rows and carries
+        # vector ids as int32 (the reference carries uint64 ids end-to-end,
+        # SRC/types.hpp) — past ~2.1B padded rows per id space it would
+        # wrap SILENTLY.  Shard (per-shard local ids, sharded_search.py) or
+        # use the streamed tier (int64-native) beyond that.
+        worst_pad = (int(index.list_len.shape[0]) * max(int(tile_seg), 1)
+                     + MAX_SEG)
+        assert int(index.codes.shape[0]) + worst_pad < 2 ** 31, (
+            f"{index.codes.shape[0]} rows (+{worst_pad} padding) overflow "
+            "the resident tier's int32 id space; shard the corpus "
+            "(parallel/sharded_search.py) or serve it from the streamed "
+            "tier (chamjax/streamed.py, int64-native)")
         codes_tiled = None
         if tile_seg:
             # Re-pack every list onto tile_seg boundaries (host-side, one

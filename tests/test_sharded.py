@@ -213,6 +213,43 @@ def test_sharded_2d_coarse_is_batch_sharded(setup):
     assert good, "no batch-sharded coarse dot found in compiled HLO"
 
 
+def test_sharded_2d_merge_collective_shapes(setup):
+    """The 2-D layout's only large collective is the top-k merge: an
+    all-gather of each chip's (b_local, k) dists + ids along ``lists``
+    (S·b_local·k elements) — the shapes ``perf_model.mesh_search_model``
+    prices.  A query/LUT/candidate-buffer gather sneaking into the
+    compiled program would show up here as an oversized all-gather."""
+    import re
+    from chamjax.parallel.sharded_search import sharded_search_2d
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    ds, idx = setup
+    S, dp, b, k = 4, 2, 8, 10
+    mesh = make_mesh((("data", dp), ("lists", S)),
+                     devices=jax.devices()[:8])
+    sh = place_sharded(shard_index(idx, S, tile_seg=256), mesh)
+    q = jax.device_put(jnp.asarray(ds.xq[:b]),
+                       NamedSharding(mesh, P("data")))
+    txt = sharded_search_2d.lower(
+        sh, q, mesh=mesh, nprobe=8, k=k, windows=32, seg=256, group=4,
+        use_approx=False, backend="seg", interpret=True,
+        lut_bf16=True).compile().as_text()
+    merge_elems = S * (b // dp) * k                     # model's payload
+    ag_shapes = []
+    for ln in txt.splitlines():
+        if "all-gather" not in ln:
+            continue
+        for dt, dims in re.findall(r"(f32|s32|u32|bf16)\[([\d,]+)\]", ln):
+            n_el = int(np.prod([int(x) for x in dims.split(",")]))
+            ag_shapes.append((dt, n_el))
+    assert any(dt == "f32" and n == merge_elems for dt, n in ag_shapes), \
+        f"no f32 merge all-gather of {merge_elems} elems in {ag_shapes}"
+    assert any(dt in ("s32", "u32") and n == merge_elems
+               for dt, n in ag_shapes), \
+        f"no int merge all-gather of {merge_elems} elems in {ag_shapes}"
+    big = [s for s in ag_shapes if s[1] > 4 * merge_elems]
+    assert not big, f"oversized collective(s) beyond the modeled merge: {big}"
+
+
 def test_sharded_device_build_tiled(setup):
     """build_ivfpq_device_sharded(tile_seg=...) emits tile-aligned shards
     that search correctly through the block kernel."""

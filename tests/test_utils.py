@@ -150,6 +150,25 @@ def test_search_latency_model_coarse_selection():
     assert two["t_total_s"] < sort["t_total_s"]
 
 
+def test_mesh_search_model_merge_term():
+    # 2-D production layout (dp=1, lists=8) at the 1B table's shapes: the
+    # merge all-gather must be priced, be a small fraction of the batch,
+    # and the predicted mesh QPS must land between the per-shard ideal
+    # (zero-cost merge) and a visible fraction of it.
+    out = pm.mesh_search_model(1 << 30, 65536, 32, 16, 128, batch=128,
+                               n_list_shards=8, dp=1, k=100,
+                               lut_bf16=True, recall_target=0.99,
+                               seg=2048, windows=69)
+    assert out["t_merge_s"] > 0
+    assert out["merge_fraction"] < 0.1          # sub-ms vs the ms-scale scan
+    ideal = 128 / out["per_chip_t_total_s"]
+    assert 0.85 * ideal < out["qps"] < ideal
+    # merge time scales with shard count and payload
+    big = pm.merge_all_gather_time(100, 16, 128)
+    small = pm.merge_all_gather_time(100, 2, 128)
+    assert big > small
+
+
 def test_report_tables_from_result_store(tmp_path):
     """The report layer (benchmarks/report.py) renders markdown/LaTeX
     tables from real ResultStore pickles — previously untested by CI."""
