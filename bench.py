@@ -414,6 +414,20 @@ def main() -> None:
     ms_batch_disp = _slope_ms(run_b128)
     _note(f"b128 dispatch slope: {ms_batch_disp:.3f} ms/batch")
 
+    # pre-bound AOT executable (round 5, VERDICT r4 #8): lower+compile
+    # once, then call the executable directly — skips per-call tracing-
+    # cache lookup, kwargs hashing, and jit re-dispatch plumbing, which
+    # is what request-at-a-time serving actually pays per batch
+    aot = (jax.jit(lambda dv, q: ivfpq_search(dv, q, **kw))
+           .lower(dev, qs[0]).compile())
+    _ = np.asarray(aot(dev, qs[0])[0][0, 0])
+
+    def run_b128_aot(n):
+        outs = [aot(dev, q) for q in qs[:n]]
+        np.asarray(outs[-1][0][0, 0])
+    ms_batch_aot = _slope_ms(run_b128_aot)
+    _note(f"b128 AOT dispatch slope: {ms_batch_aot:.3f} ms/batch")
+
     # batch=1 device latency: chain S sequential searches inside ONE
     # compiled lax.scan (carry-dependent), so dispatch overhead amortizes
     # away and the slope over S is pure per-query device time.
@@ -455,6 +469,7 @@ def main() -> None:
         "vs_baseline": round(qps / baseline_qps, 3),
         "ms_per_batch128": round(ms_batch, 3),
         "ms_per_batch128_dispatch": round(ms_batch_disp, 3),
+        "ms_per_batch128_dispatch_aot": round(ms_batch_aot, 3),
         "ms_per_query_b1": round(ms_b1, 4),
         "recall_at_1": round(float(r1), 4),
         "recall_at_10": round(float(r10), 4),

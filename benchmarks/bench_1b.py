@@ -255,8 +255,12 @@ def main() -> None:
             draw_shard, args.shard_rows, cfg, None,
             chunk=args.chunk, block=args.block,
             quantizers=(cent, cbooks, opq_R), verbose=False,
-            tile_seg=seg_w.get("tile", 0) if args.tiled else 0)
-        jax.block_until_ready(dev.codes_t)
+            tile_seg=seg_w.get("tile", 0) if args.tiled else 0,
+            # one resident layout per shard: PQ32/PQ64 code slabs don't
+            # fit a flat twin next to the tiled one
+            tile_only=bool(args.tiled))
+        jax.block_until_ready(dev.codes_tiled if args.tiled
+                              else dev.codes_t)
         lens = info["list_len"]
         b_s = time.time() - t0
         build_s_total += b_s

@@ -88,6 +88,11 @@ def main() -> None:
     ap.add_argument("--lane-l1", type=int, default=0,
                     help="in-kernel per-(window,lane) L1 min reduction; "
                          "2 = within-process OFF/ON A/B per nprobe point")
+    ap.add_argument("--ab-slot-major", action="store_true",
+                    help="within-process A/B: slot-major window "
+                         "permutation OFF vs ON per nprobe point (the "
+                         "round-5 LUT-refetch-elision/sequential-tile "
+                         "ordering in scan_lists_seg_block)")
     ap.add_argument("--tiled", type=int, default=1,
                     help="1 = retile on device for the BlockSpec-pipelined "
                          "scan; 0 = flat manual-DMA kernel"),
@@ -218,8 +223,10 @@ def main() -> None:
     # in the SAME process (cross-process A/Bs are contention-inconclusive;
     # only within-run relative numbers are trustworthy on this tunnel)
     lane_modes = [False, True] if args.lane_l1 == 2 else [bool(args.lane_l1)]
+    sm_modes = [False, True] if args.ab_slot_major else [True]
     for nprobe in [int(x) for x in args.nprobes.split(",")]:
       for lane in lane_modes:
+       for sm in sm_modes:
         W = auto_windows(lens, seg, nprobe)
         # two-stage coarse (exact scores, approx shortlist + exact re-sort)
         # replaced coarse_approx here: strictly more accurate at equal cost
@@ -231,7 +238,7 @@ def main() -> None:
                   recall_target=args.recall_target, backend="seg",
                   coarse_approx=ccand == 0, coarse_cand=ccand,
                   lut_bf16=bool(args.lut_bf16),
-                  select_l1=args.select_l1, lane_l1=lane)
+                  select_l1=args.select_l1, lane_l1=lane, slot_major=sm)
         d_r, i_r = ivfpq_search(dev, xq[: args.nq_gt], **kw)
         i_np = np.asarray(i_r)
         r1 = recall_at_k(i_np, gt, 1)
@@ -278,7 +285,7 @@ def main() -> None:
         qps = args.batch / ms * 1e3
         rec = {"nb": nb, "nlist": args.nlist, "m": args.m, "nprobe": nprobe,
                "k": args.k, "batch": args.batch, "seg": seg, "windows": W,
-               "lane_l1": lane, "hard": bool(args.hard),
+               "lane_l1": lane, "slot_major": sm, "hard": bool(args.hard),
                "R@1": round(float(r1), 4), "R@10": round(float(r10), 4),
                "R@100": round(float(r100), 4),
                "ms_per_batch": round(ms, 3), "qps": round(qps, 1),

@@ -46,6 +46,14 @@ def main() -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--dbname", default="SYN1M")
+    ap.add_argument("--nb", type=int, default=0,
+                    help="> 0: device-exported hard-mode corpus of this "
+                         "many rows instead of --dbname (the tier's design "
+                         "scale is 100M-1B on one chip; quantizers train "
+                         "on device, populate_on_disk_device exports m+4 "
+                         "bytes/row, the host serves the memmap — implies "
+                         "--ondisk)")
+    ap.add_argument("--n-clusters", type=int, default=262144)
     ap.add_argument("--nlist", type=int, default=4096)
     ap.add_argument("--m", type=int, default=16)
     ap.add_argument("--k", type=int, default=100)
@@ -64,20 +72,77 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/chamjax_jax_cache")
 
-    ds = load_dataset(args.dbname)
-    cfg = IndexConfig(dim=ds.d, nlist=args.nlist, m=args.m)
-    cache = os.path.join(args.index_dir,
-                         f"{args.dbname}_{cfg.key.replace(',', '_')}.npz")
-    if os.path.exists(cache):
-        packed = PackedIVF.load(cache)
+    if args.nb:
+        # ---- design-scale mode: device-built hard corpus, on-disk serve.
+        # Quantizers train on device (bench_1b's recipe), the export
+        # crosses the link once at m+4 bytes/row, the serve path is the
+        # stock ondisk/streamed tier below.
+        from chamjax.data.hard import make_hard_corpus, GEN
+        from chamjax.index import compute_ground_truth_streamed
+        from chamjax.index.device_build import lloyd_device, _assign_blocked
+        from chamjax.index.factory import TrainedQuantizers
+        from chamjax.index.ondisk import load_ondisk, populate_on_disk_device
+        from chamjax.index.pq import train_pq
+
+        d = 128
+        nb = (args.nb // GEN) * GEN
+        hc = make_hard_corpus(d=d, n_clusters=args.n_clusters, seed=42)
+        cfg = IndexConfig(dim=d, nlist=args.nlist, m=args.m, list_pad=128)
+        od_dir = os.path.join(
+            args.index_dir,
+            f"hard{nb // (1 << 20)}M_ondisk_{cfg.key.replace(',', '_')}")
+        gt_cache = od_dir + "_gt.npy"
+        xq = np.asarray(hc.queries(256, jitter=-1.0))
+        t0 = time.perf_counter()
+        if not os.path.exists(os.path.join(od_dir, "ondisk.json")):
+            nt = 2_000_000
+            xt = jnp.concatenate([hc.draw_train(i, GEN)
+                                  for i in range(0, nt, GEN)])
+            cent = lloyd_device(xt, cfg.nlist, iters=8, seed=42,
+                                block=4096, cand=8)
+            a_t = _assign_blocked(xt, cent, block=4096, cand=8)
+            books = train_pq(xt - cent[a_t], cfg.m, nbits=8, iters=8,
+                             seed=42)
+            del xt, a_t
+            trained = TrainedQuantizers(cfg=cfg,
+                                        centroids=np.asarray(cent),
+                                        codebooks=np.asarray(books),
+                                        opq_R=None)
+            print(f"[streamed] quantizers trained "
+                  f"(+{time.perf_counter() - t0:.0f}s); exporting {nb} "
+                  "rows (m+4 B/row over the link)", file=sys.stderr,
+                  flush=True)
+            populate_on_disk_device(hc.draw_base, nb, trained, od_dir,
+                                    chunk=4 * GEN, verbose=True)
+        if os.path.exists(gt_cache):
+            gt = np.load(gt_cache)
+        else:
+            gt, _ = compute_ground_truth_streamed(
+                hc.draw_base, nb, jnp.asarray(xq), k=10, chunk=4 * GEN)
+            gt = np.asarray(gt)
+            np.save(gt_cache, gt)
+        packed = load_ondisk(od_dir)
+        ds_xq = xq
+        args.ondisk = True
+        print(f"[streamed] design-scale index ready "
+              f"(+{time.perf_counter() - t0:.0f}s): nb={nb} "
+              f"nlist={args.nlist} m={args.m}", file=sys.stderr, flush=True)
     else:
-        packed = build_ivfpq(ds.xb, cfg, xt=ds.xt)
-        os.makedirs(args.index_dir, exist_ok=True)
-        packed.save(cache)
-    gt, _ = compute_ground_truth(ds.xb, ds.xq[:256], k=10)
+        ds = load_dataset(args.dbname)
+        cfg = IndexConfig(dim=ds.d, nlist=args.nlist, m=args.m)
+        cache = os.path.join(args.index_dir,
+                             f"{args.dbname}_{cfg.key.replace(',', '_')}.npz")
+        if os.path.exists(cache):
+            packed = PackedIVF.load(cache)
+        else:
+            packed = build_ivfpq(ds.xb, cfg, xt=ds.xt)
+            os.makedirs(args.index_dir, exist_ok=True)
+            packed.save(cache)
+        gt, _ = compute_ground_truth(ds.xb, ds.xq[:256], k=10)
+        ds_xq = ds.xq
 
     warm_s = None
-    if args.ondisk:
+    if args.ondisk and not args.nb:
         from chamjax.index.factory import TrainedQuantizers
         from chamjax.index.ondisk import load_ondisk, populate_on_disk
         od_dir = os.path.join(args.index_dir,
@@ -107,7 +172,7 @@ def main() -> None:
           file=sys.stderr, flush=True)
 
     # ---- correctness + end-to-end wall (tunnel-bound) -------------------
-    qs = np.resize(ds.xq[:256], (max(256, b), ds.d))
+    qs = np.resize(ds_xq[:256], (max(256, b), packed.cfg.dim))
     d0, i0 = st.search(qs[:b])                     # compile + warm
     batches = [qs[(i * b) % 128:][:b] for i in range(args.n_batches)]
     t0 = time.perf_counter()

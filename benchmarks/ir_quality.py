@@ -28,6 +28,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _T0 = time.time()
@@ -43,7 +45,17 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=100_000)
     ap.add_argument("--n-queries", type=int, default=300)
     ap.add_argument("--n-train", type=int, default=1500)
-    ap.add_argument("--train-steps", type=int, default=4000)
+    ap.add_argument("--train-steps", type=int, default=4000,
+                    help="warmup steps (in-batch negatives only)")
+    ap.add_argument("--hard-negs", type=int, default=4,
+                    help="ANN-mined hard negatives per pair (0 = off, the "
+                         "pre-round-5 in-batch-only recipe)")
+    ap.add_argument("--mine-rounds", type=int, default=2,
+                    help="mining rounds; each re-mines with the current "
+                         "model and trains --hard-steps more")
+    ap.add_argument("--hard-steps", type=int, default=2500)
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--emb-dim", type=int, default=192)
     ap.add_argument("--max-len", type=int, default=48,
                     help="encoder token window (docs are ~50 tokens)")
     ap.add_argument("--data-dir", default="data/beir_synth")
@@ -109,19 +121,70 @@ def main() -> None:
         run("dense_hash", DenseRetrievalExactSearch(HashingEncoder(dim=256)))
     if ("dense_trained" in args.methods or "ivfpq_trained" in args.methods
             or "rerank" in args.methods):
-        trained_enc = JaxDualEncoder(vocab=32768, dim=192, emb_dim=128,
+        trained_enc = JaxDualEncoder(vocab=32768, dim=args.dim,
+                                     emb_dim=args.emb_dim,
                                      max_len=args.max_len)
         # graded supervision: upweight the top grade (entity-level) 2×
-        # over the full judged pool — see training_pairs(min_score=)
-        pairs = (training_pairs(tq, tqr, corpus, min_score=2) * 2
-                 + training_pairs(tq, tqr, corpus))
-        if len(pairs) > 800_000:      # tokenization is the bottleneck
+        # over the full judged pool — see training_pairs(min_score=).
+        # Pairs carry their query id so mined negatives stay aligned.
+        def pairs_with_qid(min_score):
+            out = []
+            for qid, rel in tqr.items():
+                if qid not in tq:
+                    continue
+                for did, score in rel.items():
+                    keep = (score > 0 if min_score <= 0
+                            else score >= min_score)
+                    if keep and did in corpus:
+                        out.append((qid, did))
+            return out
+        id_pairs = pairs_with_qid(2) * 2 + pairs_with_qid(0)
+        if len(id_pairs) > 800_000:      # tokenization is the bottleneck
             import random
-            random.Random(0).shuffle(pairs)
-            pairs = pairs[:800_000]
-        note(f"training dual encoder on {len(pairs)} pairs")
+            random.Random(0).shuffle(id_pairs)
+            id_pairs = id_pairs[:800_000]
+
+        from chamjax.ir.models import _batch_ids, _doc_text
+        doc_ids_list = list(corpus.keys())
+        did2idx = {d_: i for i, d_ in enumerate(doc_ids_list)}
+        pairs = [(tq[q], _doc_text(corpus[d])) for q, d in id_pairs]
+        note(f"training dual encoder on {len(pairs)} pairs "
+             f"(dim={args.dim}, warmup {args.train_steps} steps)")
         trained_enc.fit(pairs, steps=args.train_steps, batch=128, lr=3e-3,
                         verbose=False)
+        if args.hard_negs > 0 and args.mine_rounds > 0:
+            # ANN-mined hard negatives (VERDICT r4 #3): tokenize the
+            # corpus ONCE, then alternate mine-with-current-model (via
+            # the repo's own IVF-PQ engine) and continued training with
+            # the mined pool in the InfoNCE denominator
+            qid_list = sorted({q for q, _ in id_pairs})
+            q_of = {q: i for i, q in enumerate(qid_list)}
+            positives = [set() for _ in qid_list]
+            for q, rel in tqr.items():
+                if q in q_of:
+                    for did, sc in rel.items():
+                        if sc > 0 and did in did2idx:
+                            positives[q_of[q]].add(did2idx[did])
+            t0 = time.time()
+            doc_tokens = _batch_ids(
+                [_doc_text(corpus[d_]) for d_ in doc_ids_list],
+                trained_enc.vocab, args.max_len)
+            doc_tokens = (np.asarray(doc_tokens[0]),
+                          np.asarray(doc_tokens[1]))
+            note(f"corpus tokenized in {time.time() - t0:.1f}s")
+            pair_q = np.asarray([q_of[q] for q, _ in id_pairs])
+            for r in range(args.mine_rounds):
+                t0 = time.time()
+                neg = trained_enc.mine_hard_negatives(
+                    [tq[q] for q in qid_list], doc_tokens,
+                    positives=positives, n_neg=args.hard_negs,
+                    depth=8 * args.hard_negs, seed=r)
+                note(f"round {r}: mined {neg.shape} negatives in "
+                     f"{time.time() - t0:.1f}s")
+                trained_enc.fit(pairs, steps=args.hard_steps, batch=128,
+                                lr=1.5e-3, verbose=False,
+                                neg_tokens=doc_tokens,
+                                neg_idx=neg[pair_q])
     if "dense_trained" in args.methods:
         run("dense_trained", DenseRetrievalExactSearch(trained_enc))
     if "ivfpq_trained" in args.methods:

@@ -84,7 +84,7 @@ def main() -> None:
                     help="interleaved repetitions of the whole matrix; "
                          "per-config MIN is reported (trial-order warmup "
                          "and tunnel contention bias single passes)")
-    ap.add_argument("--runlen", type=int, default=0,
+    ap.add_argument("--runlen", type=int, nargs="+", default=[0],
                     help="> 0: windows arrive in runs of L consecutive "
                          "tiles sharing one LUT — the production "
                          "distribution after the slot-major window "
@@ -141,8 +141,9 @@ def main() -> None:
             sl = rl[:, i // L]
             return (st.T.reshape(-1), sl.T.reshape(-1))
         for group in args.groups:
-            ti_g, li_g = ((tile_idx, lut_idx) if args.runlen <= 1
-                          else run_streams(group, args.runlen))
+          for runlen in args.runlen:
+            ti_g, li_g = ((tile_idx, lut_idx) if runlen <= 1
+                          else run_streams(group, runlen))
             for variant in args.variants:
                 lut_bf16 = "bf16" in variant
                 lt = luts_p if lut_bf16 else luts
@@ -178,13 +179,13 @@ def main() -> None:
 
                     ms = chained_ms(step,
                                     (codes_t, starts, lens, lut_idx, lt))
-                key_ = (variant, seg, group)
+                key_ = (variant, seg, group, runlen)
                 if ms > 0:      # a tunnel hiccup mid-slope can go negative
                     best_ms[key_] = min(best_ms.get(key_, ms), ms)
                 grows = total_rows / ms / 1e6
                 gbs = grows * m
                 rows.append(dict(variant=variant, seg=seg, group=group,
-                                 rep=rep,
+                                 runlen=runlen, rep=rep,
                                  ms=round(ms, 3), grows=round(grows, 3),
                                  code_gbs=round(gbs, 1),
                                  pct_hbm=round(100 * gbs / HBM_GBPS, 1)))
@@ -193,22 +194,24 @@ def main() -> None:
     if args.reps > 1:
         print("--- per-config min over "
               f"{args.reps} interleaved reps ---", flush=True)
-        for (variant, seg, group), ms in sorted(best_ms.items()):
+        for (variant, seg, group, runlen), ms in sorted(best_ms.items()):
             total_rows = bw * seg
             grows = total_rows / ms / 1e6
             gbs = grows * m
             print(json.dumps(dict(
-                variant=variant, seg=seg, group=group, best_ms=round(ms, 3),
+                variant=variant, seg=seg, group=group, runlen=runlen,
+                best_ms=round(ms, 3),
                 grows=round(grows, 3), code_gbs=round(gbs, 1),
                 pct_hbm=round(100 * gbs / HBM_GBPS, 1))), flush=True)
     # headline from the hiccup-filtered per-config minima (raw rows can
     # carry a spuriously tiny positive slope from a tunnel glitch)
     def grows_of(item):
-        (variant, seg, group), ms = item
+        (variant, seg, group, runlen), ms = item
         return bw * seg / ms / 1e6
 
-    (bv, bs, bg), bms = max(best_ms.items(), key=grows_of)
-    best = dict(variant=bv, seg=bs, group=bg, best_ms=round(bms, 3),
+    (bv, bs, bg, brl), bms = max(best_ms.items(), key=grows_of)
+    best = dict(variant=bv, seg=bs, group=bg, runlen=brl,
+                best_ms=round(bms, 3),
                 grows=round(bw * bs / bms / 1e6, 3),
                 pct_hbm=round(100 * bw * bs / bms / 1e6 * m / HBM_GBPS, 1))
     print("BEST:", json.dumps(best), flush=True)

@@ -38,7 +38,14 @@ def main() -> None:
                     choices=["sequential", "tiktok"])
     ap.add_argument("--warmup", type=int, default=4)
     ap.add_argument("--engine", default="random",
-                    choices=["random", "dummy_coordinator"])
+                    choices=["random", "dummy_coordinator", "external"],
+                    help="external: a REAL engine process already listens "
+                         "on --engine_port (benchmarks/ralm_engine.py) — "
+                         "the reference's faiss_server/FPGA methodology; "
+                         "this launcher then spawns only coordinator + "
+                         "workers")
+    ap.add_argument("--engine_port", type=int, default=0,
+                    help="external engine port (default coordinator+100)")
     ap.add_argument("--engine_delay_ms", type=float, default=0.0)
     ap.add_argument("--logs", default="logs")
     ap.add_argument("--out", default="results/ralm.pkl")
@@ -60,7 +67,23 @@ def main() -> None:
     procs = []
 
     # --- retrieval engine (optional: coordinator can answer itself) ---
-    engine_port = port + 100
+    engine_port = args.engine_port or port + 100
+    if args.engine == "external":
+        # wait for the already-running real engine to accept (its index
+        # build can take minutes; poll rather than racing the coordinator)
+        import socket
+        deadline = time.time() + 600
+        while True:
+            try:
+                socket.create_connection((host, engine_port),
+                                         timeout=2).close()
+                break
+            except OSError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"no engine listening on {host}:{engine_port}")
+                time.sleep(2)
+        print(f"external engine up on {host}:{engine_port}", flush=True)
     if args.engine == "random":
         engine_code = (
             "from chamjax.retrieval.server import RandomAnswerServer; "

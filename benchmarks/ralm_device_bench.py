@@ -40,6 +40,14 @@ def main() -> None:
     ap.add_argument("--streamed", action="store_true",
                     help="build the corpus via the streamed device builder "
                          "(100M-scale; never materializes the corpus)")
+    ap.add_argument("--hard", action="store_true",
+                    help="streamed: hard-mode corpus family "
+                         "(chamjax/data/hard.py) at the model's hidden "
+                         "dim — the retrieval leg does real work instead "
+                         "of saturating on an easy clustered draw")
+    ap.add_argument("--n-clusters", type=int, default=0,
+                    help="corpus cluster count (0: nlist for the easy "
+                         "draw, 4*nlist for --hard)")
     ap.add_argument("--balance", type=float, default=0.0,
                     help="> 0: hard-capped balanced assignment at cap = "
                          "ceil(nb/nlist * BALANCE) in the streamed builder "
@@ -76,46 +84,77 @@ def main() -> None:
         from chamjax.index import build_ivfpq_device
         from chamjax.retrieval.local import DeviceRetriever
 
-        rank = max(4, d // 4)
-        key = jax.random.PRNGKey(11)
-        k_c, k_p = jax.random.split(key)
-        centers = jax.random.normal(k_c, (args.nlist, d), jnp.float32) * 4.0
-        proj = jax.random.normal(k_p, (rank, d), jnp.float32) / np.sqrt(rank)
-
         GEN = max(8192, (1 << 26) // d)
+        if args.hard:
+            from chamjax.data.hard import make_hard_corpus
+            hc = make_hard_corpus(
+                d=d, n_clusters=args.n_clusters or 4 * args.nlist, seed=11)
 
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def _gen(k, n):
-            k1, k2, k3 = jax.random.split(k, 3)
-            asg = jax.random.randint(k1, (n,), 0, args.nlist)
-            z = jax.random.normal(k2, (n, rank), jnp.float32)
-            noise = jax.random.normal(k3, (n, d), jnp.float32) * 0.05
-            return centers[asg] + jnp.dot(z, proj) + noise
+            # hard.draw_base works at 1M granularity; adapt to GEN chunks
+            HGEN = 1 << 20
+            nb = args.nb = (args.nb // HGEN) * HGEN
 
-        def draw(s, c):
-            parts = [_gen(jax.random.fold_in(key, 1_000_000 + s + i), GEN)
-                     for i in range(0, c, GEN)]
-            return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            def draw(s, c):
+                return hc.draw_base(s, c)
 
-        nb = args.nb = (args.nb // GEN) * GEN
-        nt = min(2_000_000, nb)
+            nt = min(2_000_000, nb)
 
-        def draw_xt():   # lazy: freed inside the builder after training
-            return jnp.concatenate(
-                [_gen(jax.random.fold_in(key, 2_000_000 + i), GEN)
-                 for i in range(0, nt + GEN - 1, GEN)])[:nt]
+            def draw_xt():
+                return jnp.concatenate(
+                    [hc.draw_train(i, HGEN)
+                     for i in range(0, nt + HGEN - 1, HGEN)])[:nt]
 
+            # 1M-row granularity; at d=512 one chunk is already 2 GB f32
+            chunk = HGEN
+        else:
+            rank = max(4, d // 4)
+            key = jax.random.PRNGKey(11)
+            k_c, k_p = jax.random.split(key)
+            centers = jax.random.normal(
+                k_c, (args.n_clusters or args.nlist, d), jnp.float32) * 4.0
+            proj = (jax.random.normal(k_p, (rank, d), jnp.float32)
+                    / np.sqrt(rank))
+
+            @functools.partial(jax.jit, static_argnames=("n",))
+            def _gen(k, n):
+                k1, k2, k3 = jax.random.split(k, 3)
+                asg = jax.random.randint(k1, (n,), 0, centers.shape[0])
+                z = jax.random.normal(k2, (n, rank), jnp.float32)
+                noise = jax.random.normal(k3, (n, d), jnp.float32) * 0.05
+                return centers[asg] + jnp.dot(z, proj) + noise
+
+            def draw(s, c):
+                parts = [_gen(jax.random.fold_in(key, 1_000_000 + s + i),
+                              GEN)
+                         for i in range(0, c, GEN)]
+                return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+            nb = args.nb = (args.nb // GEN) * GEN
+            nt = min(2_000_000, nb)
+
+            def draw_xt():   # lazy: freed inside the builder after training
+                return jnp.concatenate(
+                    [_gen(jax.random.fold_in(key, 2_000_000 + i), GEN)
+                     for i in range(0, nt + GEN - 1, GEN)])[:nt]
+
+            chunk = 8 * GEN
+
+        # tile-aligned pack → the BlockSpec-pipelined production scan in
+        # the fused retrieval leg (the resident LocalRetriever path tiles
+        # via IVFSearcher; this streamed path must ask at build time)
+        from chamjax.searcher import auto_seg
+        seg_est = auto_seg(np.full(args.nlist, max(nb // args.nlist, 1)))
         dev, info = build_ivfpq_device(
             draw, nb, IndexConfig(dim=d, nlist=args.nlist, m=args.m,
                                   list_pad=128,
                                   balanced=args.balance > 0,
                                   balance_hard=True,
                                   balance_factor=args.balance or 1.3),
-            draw_xt, kmeans_iters=8, pq_iters=8, chunk=8 * GEN,
-            verbose=True)
+            draw_xt, kmeans_iters=8, pq_iters=8, chunk=chunk,
+            verbose=True, tile_seg=seg_est)
         retriever = DeviceRetriever(
             dev, info["list_len"],
-            SearchConfig(nprobe=args.nprobe, k=args.k,
+            SearchConfig(nprobe=args.nprobe, k=args.k, seg=seg_est,
                          approx_recall_target=0.99))
     else:
         # generator chunk sized to ~256 MB so very wide models (Llama-7B,

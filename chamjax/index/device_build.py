@@ -859,6 +859,7 @@ def build_ivfpq_device(
     verbose: bool = False,
     quantizers=None,
     tile_seg: int = 0,
+    tile_only: bool = False,
 ):
     """Train + populate an IVF-PQ index without ever materializing the
     corpus (neither on host nor fully in HBM).
@@ -930,6 +931,13 @@ def build_ivfpq_device(
         codes_tiled = (codes_t[:, :cap_t]
                        .reshape(codes_t.shape[0], cap_t // tile_seg,
                                 tile_seg).transpose(1, 0, 2))
+        if tile_only:
+            # drop the flat twin (the transpose above still peaks at 2×
+            # codes HBM, but steady-state halves) — searches must then
+            # use seg == tile_seg (the block kernel); PQ32/PQ64 shards
+            # at 1B scale don't fit two resident layouts
+            jax.block_until_ready(codes_tiled)
+            codes_t = None
     dev = DeviceIVF(centroids=cent, codebooks=cbooks, codes_t=codes_t,
                     ids=ids, list_start=list_start, list_len=list_len,
                     opq_R=opq_R, codes_tiled=codes_tiled)

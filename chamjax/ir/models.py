@@ -140,8 +140,18 @@ class JaxDualEncoder:
 
     def fit(self, pairs: Sequence[Tuple[str, str]], *, steps: int = 200,
             batch: int = 32, lr: float = 3e-3, seed: int = 0,
-            scale: float = 20.0, verbose: bool = False) -> List[float]:
-        """Train with in-batch-negatives InfoNCE; returns the loss curve."""
+            scale: float = 20.0, verbose: bool = False,
+            neg_tokens=None, neg_idx: Optional[np.ndarray] = None,
+            ) -> List[float]:
+        """Train with in-batch-negatives InfoNCE; returns the loss curve.
+
+        ``neg_tokens=(ids (n_docs,L), mask (n_docs,L))`` +
+        ``neg_idx (n_pairs, H)`` appends H *mined hard negatives* per pair
+        to the candidate pool: the InfoNCE denominator becomes the B
+        in-batch positives plus the batch's B·H mined docs (MS-MARCO hard-
+        negative practice, ``beir/examples/.../train_sbert_hard_negatives``
+        lineage).  Negative token arrays are indexed per minibatch on the
+        host — the corpus is tokenized ONCE, not per pair."""
         import optax
 
         q_ids, q_mask = _batch_ids([p[0] for p in pairs], self.vocab,
@@ -160,6 +170,11 @@ class JaxDualEncoder:
         # environment's remote compile service rejects ~100 MB bodies)
         q_ids, q_mask = np.asarray(q_ids), np.asarray(q_mask)
         d_ids, d_mask = np.asarray(d_ids), np.asarray(d_mask)
+        if neg_idx is not None:
+            nt_ids, nt_mask = (np.asarray(neg_tokens[0]),
+                               np.asarray(neg_tokens[1]))
+            neg_idx = np.asarray(neg_idx, np.int64)
+            H = neg_idx.shape[1]
 
         @jax.jit
         def step(params, opt_state, q_i, q_m, d_i, d_m):
@@ -172,17 +187,91 @@ class JaxDualEncoder:
             updates, opt_state = opt.update(grads, opt_state)
             return optax.apply_updates(params, updates), opt_state, loss
 
+        @jax.jit
+        def step_hard(params, opt_state, q_i, q_m, d_i, d_m, n_i, n_m):
+            def loss_fn(p):
+                qe = self._encode(p, "q", q_i, q_m)       # (B, dim)
+                de = self._encode(p, "d", d_i, d_m)       # (B, dim)
+                ne = self._encode(p, "d", n_i, n_m)       # (B*H, dim)
+                cand = jnp.concatenate([de, ne], axis=0)  # (B+B*H, dim)
+                scores = scale * qe @ cand.T
+                labels = jnp.arange(scores.shape[0])
+                logp = jax.nn.log_softmax(scores, axis=-1)
+                return -jnp.mean(logp[labels, labels])
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
         rng = np.random.default_rng(seed)
         curve = []
         for i in range(steps):
             sel = rng.choice(n, size=batch, replace=batch > n // 2)
-            self.params, opt_state, loss = step(
-                self.params, opt_state, q_ids[sel], q_mask[sel],
-                d_ids[sel], d_mask[sel])
+            if neg_idx is not None:
+                ni = neg_idx[sel].reshape(-1)             # (B*H,)
+                self.params, opt_state, loss = step_hard(
+                    self.params, opt_state, q_ids[sel], q_mask[sel],
+                    d_ids[sel], d_mask[sel], nt_ids[ni], nt_mask[ni])
+            else:
+                self.params, opt_state, loss = step(
+                    self.params, opt_state, q_ids[sel], q_mask[sel],
+                    d_ids[sel], d_mask[sel])
             curve.append(float(loss))
             if verbose and i % 50 == 0:
                 print(f"  dual-encoder step {i}: loss {curve[-1]:.4f}")
         return curve
+
+    def mine_hard_negatives(self, queries: Sequence[str],
+                            doc_tokens, *, positives: Sequence[set],
+                            n_neg: int = 4, depth: int = 32,
+                            use_ivfpq: bool = True,
+                            encode_batch: int = 8192,
+                            seed: int = 0) -> np.ndarray:
+        """Top-ranked non-judged docs per query under the CURRENT model —
+        mined with the repo's own IVF-PQ engine (the reference pipeline
+        mines hard negatives with its retriever between epochs).
+
+        ``doc_tokens=(ids (n_docs,L), mask)`` is the once-tokenized
+        corpus; ``positives[i]`` is the set of judged doc indices for
+        ``queries[i]`` (excluded — judged docs of ANY grade are not
+        negatives).  Returns ``(n_queries, n_neg) int64`` doc indices."""
+        nd = doc_tokens[0].shape[0]
+        demb = np.empty((nd, int(self.params["d"]["w2"].shape[1])),
+                        np.float32)
+        for s in range(0, nd, encode_batch):
+            e = self._encode(self.params, "d",
+                             jnp.asarray(doc_tokens[0][s:s + encode_batch]),
+                             jnp.asarray(doc_tokens[1][s:s + encode_batch]))
+            demb[s:s + encode_batch] = np.asarray(e)
+        qemb = self._embed_texts(list(queries), "q")
+
+        if use_ivfpq and nd >= 4096:
+            from chamjax.config import IndexConfig, SearchConfig
+            from chamjax.index import build_ivfpq
+            from chamjax.searcher import IVFSearcher
+            d = demb.shape[1]
+            cfg = IndexConfig(dim=d, nlist=max(16, min(1024, nd // 64)),
+                              m=max(4, d // 16))
+            idx = build_ivfpq(demb, cfg, kmeans_iters=6, pq_iters=6)
+            s = IVFSearcher(idx, SearchConfig(
+                nprobe=min(32, cfg.nlist), k=depth + 16))
+            _dd, ii = s.search(qemb)
+            ranked = np.asarray(ii, np.int64)
+        else:           # tiny corpora: exact (cosine — embeddings are L2d)
+            scores = qemb @ demb.T
+            ranked = np.argsort(-scores, axis=1)[:, : depth + 16]
+
+        rng = np.random.default_rng(seed)
+        out = np.zeros((len(queries), n_neg), np.int64)
+        for qi in range(len(queries)):
+            cand = [d_ for d_ in ranked[qi][:depth]
+                    if d_ >= 0 and d_ not in positives[qi]]
+            if len(cand) < n_neg:      # pad with random non-judged docs
+                pool = rng.integers(0, nd, size=4 * n_neg)
+                cand += [int(d_) for d_ in pool
+                         if d_ not in positives[qi]][: n_neg - len(cand)]
+            out[qi] = np.asarray(cand[:n_neg], np.int64)
+        return out
 
     # --- DenseRetrievalExactSearch duck-typed surface ---
 

@@ -57,14 +57,15 @@ def _adc_block_kernel(tiles_ref, lens_ref, lutidx_ref, *rest,
         # the sublane reduction but ablates the LUT gather+decode —
         # separating DMA-bound from VPU-compute-bound regimes.
         for j in range(group):
-            codes = code_refs[j][0]                       # (m, seg) u8
+            # u8→i32 first: Mosaic has no direct u8→f32 cast
+            codes = code_refs[j][0].astype(jnp.int32)     # (m, seg)
             for t in range(seg // LANES):
                 cc = codes[:, t * LANES:(t + 1) * LANES]
                 if debug_ablate == "copy":
                     out_ref[j, t, :] = cc[0].astype(jnp.float32)
                 else:                                     # "nogather"
-                    out_ref[j, t, :] = jnp.sum(
-                        cc.astype(jnp.float32), axis=0)
+                    out_ref[j, t, :] = jnp.sum(cc, axis=0).astype(
+                        jnp.float32)
         return
     for j in range(group):
         ln = lens_ref[i * group + j]
@@ -193,7 +194,7 @@ def adc_scan_tiles(
     jax.jit,
     static_argnames=("windows", "seg", "group", "k", "use_approx",
                      "recall_target", "interpret", "lut_bf16", "select_l1",
-                     "lane_l1", "dist_bf16"),
+                     "lane_l1", "dist_bf16", "slot_major"),
 )
 def scan_lists_seg_block(
     codes_tiled: jax.Array,  # (n_tiles, m, seg) uint8
@@ -214,6 +215,7 @@ def scan_lists_seg_block(
     select_l1: int = 0,
     lane_l1: bool = False,
     dist_bf16: bool = False,
+    slot_major: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Tiled-layout segmented scan + selection (drop-in for
     ``scan_lists_seg_multi`` given a tile-aligned packing).  ``dist_bf16``
@@ -223,7 +225,7 @@ def scan_lists_seg_block(
     windows = -(-windows // group) * group
     starts, lens, probe, _valid = expand_windows(
         list_ids, list_start, list_len, windows=windows, seg=seg)
-    if group > 1:
+    if slot_major and group > 1:
         # Slot-major window permutation (round 5): the grid hands flat
         # window i·G+j to pipeline slot j, so the probe-major expansion
         # sends consecutive segments of one list to DIFFERENT slots and

@@ -106,7 +106,12 @@ class DeviceRetriever(BaseRetriever):
                 f"DeviceRetriever always uses backend='seg' (no host "
                 f"PackedIVF to size scan_len for "
                 f"backend={self.scfg.backend!r})", stacklevel=2)
-        self.seg = auto_seg(self.list_len)
+        # a tiled build fixes seg at its tile size (a mismatched seg would
+        # silently fall back to the flat manual-DMA kernel); otherwise the
+        # config's seg, or auto-size from the built length distribution
+        self.seg = (int(dev.codes_tiled.shape[2])
+                    if dev.codes_tiled is not None
+                    else self.scfg.seg or auto_seg(self.list_len))
         self.windows = auto_windows(self.list_len, self.seg, self.scfg.nprobe)
         self.interpret = jax.default_backend() != "tpu"
 

@@ -181,7 +181,8 @@ def retile_device_ivf(dev: DeviceIVF, seg: int,
 def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
                    windows, seg, group, probe_chunk, use_approx,
                    recall_target, backend, tile, interpret,
-                   lut_bf16=False, select_l1=0, lane_l1=False):
+                   lut_bf16=False, select_l1=0, lane_l1=False,
+                   slot_major=True):
     # Pallas kernels only compile for TPU; anywhere else run interpreted
     # (tests / debugging) — backend choice stays explicit.
     interpret = interpret or jax.default_backend() != "tpu"
@@ -195,6 +196,7 @@ def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
                 use_approx=use_approx, recall_target=recall_target,
                 interpret=interpret, lut_bf16=lut_bf16,
                 select_l1=select_l1, lane_l1=lane_l1,
+                slot_major=slot_major,
             )
         if group > 1:
             return scan_lists_seg_multi(
@@ -234,7 +236,7 @@ def _dispatch_scan(index: DeviceIVF, luts, list_ids, *, k, scan_len,
         "nprobe", "k", "scan_len", "windows", "seg", "group", "probe_chunk",
         "by_residual", "use_approx", "recall_target", "backend", "tile",
         "interpret", "coarse_approx", "coarse_cand", "lut_bf16", "select_l1",
-        "lane_l1",
+        "lane_l1", "slot_major",
     ),
 )
 def ivfpq_search(
@@ -259,6 +261,7 @@ def ivfpq_search(
     lut_bf16: bool = False,
     select_l1: int = 0,
     lane_l1: bool = False,
+    slot_major: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full IVF-PQ search. Returns ``(dists (b, k) f32, ids (b, k) int32)``.
 
@@ -296,7 +299,8 @@ def ivfpq_search(
         seg=seg, group=group, probe_chunk=probe_chunk, use_approx=use_approx,
         recall_target=recall_target, backend=backend, tile=tile,
         interpret=interpret, lut_bf16=lut_bf16 and backend == "seg",
-        select_l1=select_l1, lane_l1=lane_l1 and group > 1)
+        select_l1=select_l1, lane_l1=lane_l1 and group > 1,
+        slot_major=slot_major)
 
 
 @functools.partial(

@@ -553,3 +553,13 @@ def test_build_tile_seg_attaches_tiled_twin():
     agree = np.asarray(i_t) == np.asarray(i_f)
     close = np.abs(np.asarray(d_t) - np.asarray(d_f)) < 1e-4
     assert np.all(agree | close)
+
+    # tile_only: the flat twin is dropped (PQ32/PQ64 1B shards can't
+    # afford two resident layouts) and the tiled search still matches
+    dev_o, _ = build_ivfpq_device(draw, n, cfg, xt, kmeans_iters=3,
+                                  pq_iters=3, tile_seg=seg,
+                                  tile_only=True, chunk=2048, block=256)
+    assert dev_o.codes_t is None and dev_o.codes_tiled is not None
+    d_o, i_o = ivfpq_search(dev_o, q, **kw)
+    np.testing.assert_allclose(np.asarray(d_o), np.asarray(d_t),
+                               rtol=1e-5, atol=1e-5)

@@ -433,6 +433,48 @@ def test_trained_dual_encoder_beats_hashing():
     assert trained > 0.8, trained
 
 
+def test_dual_encoder_hard_negative_round():
+    """Mine-with-own-engine + continued training with the mined pool in
+    the InfoNCE denominator (round 5): mining must exclude judged
+    positives, and a hard-negative round must not break (and should
+    improve or hold) the trained ranking quality."""
+    from chamjax.ir import JaxDualEncoder, training_pairs
+    from chamjax.ir.models import _batch_ids, _doc_text
+
+    corpus, queries, qrels, tq, tqr = _cross_vocab_dataset()
+    pairs = training_pairs(tq, tqr, corpus)
+    enc = JaxDualEncoder(dim=64, emb_dim=32, max_len=16)
+    enc.fit(pairs, steps=100, batch=24, seed=1)
+
+    doc_ids = list(corpus.keys())
+    did2idx = {d: i for i, d in enumerate(doc_ids)}
+    doc_tokens = _batch_ids([_doc_text(corpus[d]) for d in doc_ids],
+                            enc.vocab, enc.max_len)
+    doc_tokens = (np.asarray(doc_tokens[0]), np.asarray(doc_tokens[1]))
+    qid_list = sorted(tqr.keys())
+    positives = [{did2idx[d] for d, s in tqr[q].items()
+                  if s > 0 and d in did2idx} for q in qid_list]
+    neg = enc.mine_hard_negatives([tq[q] for q in qid_list], doc_tokens,
+                                  positives=positives, n_neg=3, depth=12,
+                                  use_ivfpq=False)
+    assert neg.shape == (len(qid_list), 3)
+    for qi in range(len(qid_list)):           # judged docs never negatives
+        assert not (set(neg[qi].tolist()) & positives[qi])
+
+    q_of = {q: i for i, q in enumerate(qid_list)}
+    pair_q = np.asarray([q_of[q] for q in tqr for _ in tqr[q]
+                         if q in tq])[: len(pairs)]
+    curve = enc.fit(pairs, steps=80, batch=24, seed=2,
+                    neg_tokens=doc_tokens,
+                    neg_idx=neg[pair_q[: len(pairs)]])
+    assert curve[-1] < 5.0                     # loss stays sane
+
+    s = DenseRetrievalExactSearch(enc, corpus_chunk_size=50)
+    res = s.search(corpus, queries, top_k=10)
+    ndcg, _, _, _ = EvaluateRetrieval.evaluate(qrels, res, [10])
+    assert ndcg["NDCG@10"] > 0.75, ndcg
+
+
 def test_trained_sparse_encoder_learns_alignment():
     from chamjax.ir import JaxSparseEncoder, SparseSearch, training_pairs
 

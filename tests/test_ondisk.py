@@ -43,6 +43,40 @@ def test_ondisk_equals_in_memory(tmp_path):
     np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
 
 
+def test_ondisk_device_populate_matches_host(tmp_path):
+    """populate_on_disk_device (device assign/encode, host scatter — the
+    100M-capable export path) produces the same on-disk index as the host
+    populate, up to within-list row order."""
+    import jax.numpy as jnp
+    from chamjax.index.ondisk import populate_on_disk_device
+
+    ds = synthetic_dataset(nb=10_000, nq=8, nt=4000, d=32, seed=7,
+                           n_clusters=32)
+    cfg = IndexConfig(dim=32, nlist=16, m=8, list_pad=64)
+    tq = train_quantizers(ds.xt, cfg, kmeans_iters=4, pq_iters=4)
+
+    host = load_ondisk(populate_on_disk(ds.xb, tq, str(tmp_path / "h"),
+                                        chunk=3000))
+    xb_d = jnp.asarray(ds.xb)
+    dev = load_ondisk(populate_on_disk_device(
+        lambda s, c: xb_d[s:s + c], len(ds.xb), tq, str(tmp_path / "d"),
+        chunk=3000))
+
+    np.testing.assert_array_equal(dev.list_len, host.list_len)
+    np.testing.assert_array_equal(dev.list_start, host.list_start)
+    for l in range(cfg.nlist):
+        s, ln = int(host.list_start[l]), int(host.list_len[l])
+        np.testing.assert_array_equal(np.sort(dev.ids[s:s + ln]),
+                                      np.sort(host.ids[s:s + ln]))
+    s1 = IVFSearcher(host, SearchConfig(nprobe=8, k=10,
+                                        use_approx_topk=False))
+    s2 = IVFSearcher(dev, SearchConfig(nprobe=8, k=10,
+                                       use_approx_topk=False))
+    d1, _ = s1.search(ds.xq)
+    d2, _ = s2.search(ds.xq)
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-4)
+
+
 def test_ondisk_balanced_warns(tmp_path):
     """populate_on_disk cannot honor cfg.balanced (chunked nearest-cell
     assigner) — it must say so instead of silently dropping the cap."""
