@@ -49,6 +49,11 @@ def main() -> None:
     ap.add_argument("--engine_delay_ms", type=float, default=0.0)
     ap.add_argument("--logs", default="logs")
     ap.add_argument("--out", default="results/ralm.pkl")
+    ap.add_argument("--sweep", default="",
+                    help="comma list of scheduler:interval configs run "
+                         "back-to-back by the SAME worker processes (TPU "
+                         "init + model compile paid once); a fresh "
+                         "coordinator is spawned per config")
     args = ap.parse_args()
 
     cfg = ExperimentConfig.from_yaml(args.config)
@@ -57,10 +62,16 @@ def main() -> None:
     dim = cfg.model.embed_dim
     k = cfg.model.k
 
-    retrievals_per_run = math.ceil(args.seq_len / args.interval)
-    n_inflight = 2 if args.scheduler == "tiktok" else 1
-    queries_per_worker = (retrievals_per_run + math.ceil(
-        args.warmup / args.interval)) * n_inflight
+    sweep = ([tuple(c.split(":")) for c in args.sweep.split(",") if c]
+             if args.sweep else [(args.scheduler, str(args.interval))])
+
+    def queries_for(scheduler: str, interval: int) -> int:
+        retrievals_per_run = math.ceil(args.seq_len / interval)
+        n_inflight = 2 if scheduler == "tiktok" else 1
+        return (retrievals_per_run + math.ceil(
+            args.warmup / interval)) * n_inflight
+
+    queries_per_worker = queries_for(*[(s, int(i)) for s, i in sweep][0])
     os.makedirs(args.logs, exist_ok=True)
     env = dict(os.environ)
     py = sys.executable
@@ -89,34 +100,40 @@ def main() -> None:
             "from chamjax.retrieval.server import RandomAnswerServer; "
             f"RandomAnswerServer('{host}', {engine_port}, {args.batch}, "
             f"{dim}, delay_ms={args.engine_delay_ms})"
-            f".start(n_connections=1)")
+            f".start(n_connections={len(sweep)})")
         procs.append(subprocess.Popen(
             [py, "-c", f"import sys; sys.path.insert(0, '.'); {engine_code}"],
             stdout=open(f"{args.logs}/engine.log", "w"),
             stderr=subprocess.STDOUT, env=env))
 
-    # --- coordinator ---
-    if args.engine == "dummy_coordinator":
-        coord_code = (
-            "from chamjax.retrieval.coordinator import RetrieveCoordinator; "
-            f"RetrieveCoordinator('{host}', {port}, {args.n_workers}, "
-            f"{args.batch}, {dim}, {k}, "
-            f"queries_per_client={queries_per_worker})"
-            f".start_dummy_answer(delay_ms={args.engine_delay_ms})")
-    else:
-        coord_code = (
-            "from chamjax.retrieval.coordinator import RetrieveCoordinator; "
-            f"RetrieveCoordinator('{host}', {port}, {args.n_workers}, "
-            f"{args.batch}, {dim}, {k}, "
-            f"engine_addrs=[('{host}', {engine_port})], "
-            f"queries_per_client={queries_per_worker}).start()")
-    procs.append(subprocess.Popen(
-        [py, "-c", f"import sys; sys.path.insert(0, '.'); {coord_code}"],
-        stdout=open(f"{args.logs}/coordinator.log", "w"),
-        stderr=subprocess.STDOUT, env=env))
+    # --- coordinator (one per sweep config; exits when workers disconnect) --
+    def spawn_coordinator(scheduler: str, interval: int, tag: int):
+        qpw = queries_for(scheduler, interval)
+        if args.engine == "dummy_coordinator":
+            coord_code = (
+                "from chamjax.retrieval.coordinator import "
+                "RetrieveCoordinator; "
+                f"RetrieveCoordinator('{host}', {port}, {args.n_workers}, "
+                f"{args.batch}, {dim}, {k}, "
+                f"queries_per_client={qpw})"
+                f".start_dummy_answer(delay_ms={args.engine_delay_ms})")
+        else:
+            coord_code = (
+                "from chamjax.retrieval.coordinator import "
+                "RetrieveCoordinator; "
+                f"RetrieveCoordinator('{host}', {port}, {args.n_workers}, "
+                f"{args.batch}, {dim}, {k}, "
+                f"engine_addrs=[('{host}', {engine_port})], "
+                f"queries_per_client={qpw}).start()")
+        return subprocess.Popen(
+            [py, "-c", f"import sys; sys.path.insert(0, '.'); {coord_code}"],
+            stdout=open(f"{args.logs}/coordinator_{tag}.log", "w"),
+            stderr=subprocess.STDOUT, env=env)
+
+    coord = spawn_coordinator(sweep[0][0], int(sweep[0][1]), 0)
     time.sleep(1.5)
 
-    # --- workers ---
+    # --- workers (spawned ONCE; sweep configs run inside each process) ---
     workers = []
     for i in range(args.n_workers):
         cmd = [py, "benchmarks/ralm_worker.py",
@@ -126,17 +143,26 @@ def main() -> None:
                "--interval", str(args.interval),
                "--warmup", str(args.warmup),
                "--worker_id", str(i), "--out", args.out]
+        if args.sweep:
+            cmd += ["--sweep", args.sweep]
         workers.append(subprocess.Popen(
             cmd, stdout=open(f"{args.logs}/worker_{i}.log", "w"),
             stderr=subprocess.STDOUT, env=env))
         print(f"launched worker {i} -> {args.logs}/worker_{i}.log",
               flush=True)
 
+    for ci in range(1, len(sweep)):
+        coord.wait()
+        print(f"config {ci - 1} ({sweep[ci - 1]}) coordinator done",
+              flush=True)
+        coord = spawn_coordinator(sweep[ci][0], int(sweep[ci][1]), ci)
+
     rc = 0
     for i, w in enumerate(workers):
         w.wait()
         rc |= w.returncode
         print(f"worker {i} exited rc={w.returncode}", flush=True)
+    coord.wait(timeout=60)
     for p in procs:
         p.wait(timeout=30)
     print(f"all workers done; results in {args.out}", flush=True)

@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--warmup", type=int, default=8)
     ap.add_argument("--interval", type=int, default=1)
+    ap.add_argument("--intervals", type=str, default="",
+                    help="comma list of retrieval intervals to sweep in ONE "
+                         "process (the index build + model init are paid "
+                         "once); overrides --interval")
     ap.add_argument("--nb", type=int, default=1_000_000)
     ap.add_argument("--nlist", type=int, default=4096)
     ap.add_argument("--m", type=int, default=16)
@@ -177,29 +181,38 @@ def main() -> None:
 
     key = jax.random.PRNGKey(0)
     if mcfg.model_type == "encoder-decoder":
-        enc, dec = init_encoder_decoder(key, mcfg)
-        loop = RalmEncoderDecoder(enc, dec, mcfg, retriever, args.batch,
-                                  retrieval_interval=args.interval,
-                                  nprobe=args.nprobe, k=args.k)
+        enc_dec = init_encoder_decoder(key, mcfg)
+        params = None
     else:
+        enc_dec = None
         params = (init_llama(key, mcfg) if mcfg.model_type == "llama"
                   else init_decoder(key, mcfg))
-        loop = RalmDecoder(params, mcfg, retriever, args.batch,
-                           retrieval_interval=args.interval,
-                           nprobe=args.nprobe, k=args.k)
 
-    loop.batch_inference(args.warmup)
-    loop.reset_inference_state()
-    loop.batch_inference(args.steps)
-    tps = loop.throughput_tokens_per_sec(args.steps)
-    ms_step = loop.total_wall_s / args.steps * 1e3
-    print(json.dumps({
-        "preset": args.preset, "batch": args.batch,
-        "interval": args.interval, "nprobe": args.nprobe, "k": args.k,
-        "steps": args.steps, "tok_per_s": round(tps, 1),
-        "ms_per_step": round(ms_step, 3),
-        "nb": args.nb, "m": args.m,
-    }), flush=True)
+    intervals = ([int(s) for s in args.intervals.split(",") if s]
+                 if args.intervals else [args.interval])
+    for interval in intervals:
+        if enc_dec is not None:
+            loop = RalmEncoderDecoder(*enc_dec, mcfg, retriever, args.batch,
+                                      retrieval_interval=interval,
+                                      nprobe=args.nprobe, k=args.k)
+        else:
+            loop = RalmDecoder(params, mcfg, retriever, args.batch,
+                               retrieval_interval=interval,
+                               nprobe=args.nprobe, k=args.k)
+
+        loop.batch_inference(args.warmup)
+        loop.reset_inference_state()
+        loop.batch_inference(args.steps)
+        tps = loop.throughput_tokens_per_sec(args.steps)
+        ms_step = loop.total_wall_s / args.steps * 1e3
+        print(json.dumps({
+            "preset": args.preset, "batch": args.batch,
+            "interval": interval, "nprobe": args.nprobe, "k": args.k,
+            "steps": args.steps, "tok_per_s": round(tps, 1),
+            "ms_per_step": round(ms_step, 3),
+            "nb": args.nb, "m": args.m,
+        }), flush=True)
+        del loop
 
 
 if __name__ == "__main__":

@@ -33,7 +33,8 @@ def build_retriever(args, cfg):
         from chamjax.retrieval.external import ExternalRetriever
         r = ExternalRetriever(
             cfg.service.coordinator_host, cfg.service.coordinator_port,
-            args.batch, cfg.model.embed_dim, cfg.model.k)
+            args.batch, cfg.model.embed_dim, cfg.model.k,
+            retry_s=120.0 if args.sweep else 0.0)
         r.sync_with_coordinator()
         return r
     if args.retriever == "local":
@@ -73,9 +74,23 @@ def main() -> None:
     ap.add_argument("--worker_id", type=int, default=0)
     ap.add_argument("--out", default="results/ralm.pkl")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sweep", default="",
+                    help="comma list of scheduler:interval configs (e.g. "
+                         "'sequential:1,tiktok:1,sequential:8,tiktok:8') "
+                         "run back-to-back in THIS process — model params "
+                         "and the TPU device init are paid once; the "
+                         "launcher restarts the coordinator between "
+                         "configs and this worker reconnects")
     args = ap.parse_args()
 
     import jax
+    if os.environ.get("CHAMJAX_CPU"):
+        # topology smoke tests: keep the worker off the (shared) TPU chip.
+        # JAX_PLATFORMS is ignored under the axon plugin; this is the only
+        # way to force CPU (see .claude/skills/verify/SKILL.md)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/chamjax_jax_cache")
     from chamjax.models import (
         init_decoder, init_encoder_decoder, init_llama,
     )
@@ -92,61 +107,71 @@ def main() -> None:
         cfg = ExperimentConfig(**{**cfg.__dict__, "model":
                                   MODEL_PRESETS[args.preset]})
     mcfg = cfg.model
-    interval = args.interval or mcfg.retrieval_interval
     seq_len = args.seq_len or mcfg.max_seq_len
     key = jax.random.PRNGKey(args.seed)
-    retriever = build_retriever(args, cfg)
 
-    if args.scheduler == "tiktok":
-        if mcfg.model_type in ("decoder", "llama"):
-            params = init_dec_params(key, mcfg)
-            loop = TikTokDecoder(params, mcfg, retriever, args.batch,
-                                 retrieval_interval=interval,
-                                 nprobe=args.nprobe)
-        else:
-            enc_params, dec_params = init_encoder_decoder(key, mcfg)
-            loop = TikTokEncoderDecoder(enc_params, dec_params, mcfg,
-                                        retriever, args.batch,
-                                        retrieval_interval=interval,
-                                        nprobe=args.nprobe)
-        loop.batch_inference(args.warmup)
-        loop.reset_inference_state()
-        loop.batch_inference(seq_len)
-        tps = loop.throughput_tokens_per_sec(seq_len)
-    elif mcfg.model_type in ("decoder", "llama"):
-        params = init_dec_params(key, mcfg)
-        loop = RalmDecoder(params, mcfg, retriever, args.batch,
-                           retrieval_interval=interval, nprobe=args.nprobe)
-        loop.batch_inference(args.warmup)
-        loop.reset_inference_state()
-        loop.batch_inference(seq_len)
-        tps = loop.throughput_tokens_per_sec(seq_len)
+    # model params are config-independent: init once, reuse across the sweep
+    if mcfg.model_type in ("decoder", "llama"):
+        params, enc_dec = init_dec_params(key, mcfg), None
     else:
-        enc_params, dec_params = init_encoder_decoder(key, mcfg)
-        loop = RalmEncoderDecoder(enc_params, dec_params, mcfg, retriever,
-                                  args.batch, retrieval_interval=interval,
-                                  nprobe=args.nprobe)
-        loop.multi_steps(args.warmup)
-        loop.reset_inference_state()
-        loop.batch_inference(seq_len)
-        tps = loop.prof.stats(args.batch)["throughput_tokens_per_sec"]
+        params, enc_dec = None, init_encoder_decoder(key, mcfg)
 
-    stats = loop.prof.stats(args.batch)
-    print(f"[worker {args.worker_id}] {args.scheduler} "
-          f"{mcfg.model_type} b={args.batch} interval={interval}: "
-          f"{tps:.1f} tok/s", flush=True)
-    loop.prof.print_stats(args.batch)
+    def run_one(scheduler: str, interval: int, retriever) -> None:
+        if scheduler == "tiktok":
+            if params is not None:
+                loop = TikTokDecoder(params, mcfg, retriever, args.batch,
+                                     retrieval_interval=interval,
+                                     nprobe=args.nprobe)
+            else:
+                loop = TikTokEncoderDecoder(*enc_dec, mcfg,
+                                            retriever, args.batch,
+                                            retrieval_interval=interval,
+                                            nprobe=args.nprobe)
+            loop.batch_inference(args.warmup)
+            loop.reset_inference_state()
+            loop.batch_inference(seq_len)
+            tps = loop.throughput_tokens_per_sec(seq_len)
+        elif params is not None:
+            loop = RalmDecoder(params, mcfg, retriever, args.batch,
+                               retrieval_interval=interval,
+                               nprobe=args.nprobe)
+            loop.batch_inference(args.warmup)
+            loop.reset_inference_state()
+            loop.batch_inference(seq_len)
+            tps = loop.throughput_tokens_per_sec(seq_len)
+        else:
+            loop = RalmEncoderDecoder(*enc_dec, mcfg, retriever,
+                                      args.batch, retrieval_interval=interval,
+                                      nprobe=args.nprobe)
+            loop.multi_steps(args.warmup)
+            loop.reset_inference_state()
+            loop.batch_inference(seq_len)
+            tps = loop.prof.stats(args.batch)["throughput_tokens_per_sec"]
 
-    model_name = (args.preset or
-                  (os.path.splitext(os.path.basename(args.config))[0]
-                   if args.config else "custom"))
-    arch = f"{args.scheduler}-{args.retriever}"
-    store = ResultStore(args.out, load=True)
-    store.put((model_name, arch, interval, args.batch,
-               f"worker{args.worker_id}"),
-              {**stats, "throughput_tokens_per_sec": tps})
-    store.save()
-    retriever.close()
+        stats = loop.prof.stats(args.batch)
+        print(f"[worker {args.worker_id}] {scheduler} "
+              f"{mcfg.model_type} b={args.batch} interval={interval}: "
+              f"{tps:.1f} tok/s", flush=True)
+        loop.prof.print_stats(args.batch)
+
+        model_name = (args.preset or
+                      (os.path.splitext(os.path.basename(args.config))[0]
+                       if args.config else "custom"))
+        arch = f"{scheduler}-{args.retriever}"
+        store = ResultStore(args.out, load=True)
+        store.put((model_name, arch, interval, args.batch,
+                   f"worker{args.worker_id}"),
+                  {**stats, "throughput_tokens_per_sec": tps})
+        store.save()
+
+    configs = ([tuple(c.split(":")) for c in args.sweep.split(",") if c]
+               if args.sweep
+               else [(args.scheduler,
+                      str(args.interval or mcfg.retrieval_interval))])
+    for ci, (scheduler, interval_s) in enumerate(configs):
+        retriever = build_retriever(args, cfg)
+        run_one(scheduler, int(interval_s), retriever)
+        retriever.close()
 
 
 if __name__ == "__main__":

@@ -12,6 +12,7 @@ from __future__ import annotations
 import select
 import socket
 import struct
+import time
 from collections import deque
 from typing import Optional
 
@@ -41,16 +42,28 @@ class ExternalRetriever(BaseRetriever):
     """Client for a remote retrieval engine (server or coordinator)."""
 
     def __init__(self, host: str, port: int, batch_size: int, dim: int,
-                 k: int, nprobe: int = 32, timeout: Optional[float] = None):
+                 k: int, nprobe: int = 32, timeout: Optional[float] = None,
+                 retry_s: float = 0.0):
         self.batch = batch_size
         self.dim = dim
         self.k = k
         self.nprobe = nprobe
-        self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        if timeout:
-            self.sock.settimeout(timeout)
-        self.sock.connect((host, port))
+        deadline = time.time() + retry_s
+        while True:
+            self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            if timeout:
+                self.sock.settimeout(timeout)
+            try:
+                self.sock.connect((host, port))
+                break
+            except OSError:
+                # sweep mode: the launcher restarts the coordinator between
+                # configs; retry until its listener is back up
+                self.sock.close()
+                if time.time() >= deadline:
+                    raise
+                time.sleep(0.25)
         self._poller = select.poll()
         self._poller.register(self.sock, select.POLLIN)
         self._inflight: deque = deque()   # (batch, k) of outstanding sends
