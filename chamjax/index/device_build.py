@@ -598,6 +598,37 @@ _PACK_CHUNK_BYTES = 1 << 30
 _PACK_CHUNK_COLS = 1 << 24
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("seg",))
+def _pack_codes_tiled_chunk(acc: jax.Array, codes: jax.Array,
+                            gidx: jax.Array, tile0, seg: int) -> jax.Array:
+    g = jnp.maximum(gidx, 0)
+    part = jnp.where(gidx[:, None] >= 0, codes[g], jnp.uint8(0)).T  # (m, c)
+    m = part.shape[0]
+    part = part.reshape(m, part.shape[1] // seg, seg).transpose(1, 0, 2)
+    return jax.lax.dynamic_update_slice(acc, part, (tile0, 0, 0))
+
+
+def _pack_codes_tiled(codes: jax.Array, gather_ids: jax.Array,
+                      seg: int) -> jax.Array:
+    """codes (n, m) u8 + seg-aligned gather map (cap_t,) → tiled packed
+    (cap_t/seg, m, seg) u8, gathered DIRECTLY into tile-major layout.
+
+    The flat-then-retile path peaks at 2× the packed slab (codes_t plus
+    its transpose both resident) — which is what OOMed the 1B PQ32 shard
+    build on a 16 GB chip.  Gathering straight into the tiled
+    accumulator (donated per chunk) peaks at codes + ONE slab + a chunk."""
+    n, m = codes.shape
+    cap = gather_ids.shape[0]
+    assert cap % seg == 0, (cap, seg)
+    acc = jnp.zeros((cap // seg, m, seg), jnp.uint8)
+    step = max(seg, (_PACK_CHUNK_COLS // seg) * seg)
+    for s in range(0, cap, step):
+        e = min(s + step, cap)
+        acc = _pack_codes_tiled_chunk(acc, codes, gather_ids[s:e],
+                                      s // seg, seg)
+    return acc
+
+
 def _pack_codes_t(codes: jax.Array, gather_ids: jax.Array) -> jax.Array:
     """codes (n, m) u8 + gather map (cap,) → transposed packed (m, cap) u8.
 
@@ -919,25 +950,30 @@ def build_ivfpq_device(
     ids = jnp.concatenate(
         [gather_ids, jnp.full((MAX_SEG,), -1, jnp.int32)])
     del gather_ids
-    codes_t = _pack_codes_t(codes, ids)
-    del codes
-    if verbose:
-        print(f"[build-dev] packed cap={cap} "
-              f"({cap / max(n_use, 1):.3f}x)", flush=True)
 
     codes_tiled = None
-    if tile_seg:
+    if tile_seg and tile_only:
+        # PQ32/PQ64 shards at 1B scale: gather straight into the tiled
+        # layout — no flat twin, no 2×-slab retile peak
         cap_t = -(-cap // tile_seg) * tile_seg     # ≤ cap + MAX_SEG tail
-        codes_tiled = (codes_t[:, :cap_t]
-                       .reshape(codes_t.shape[0], cap_t // tile_seg,
-                                tile_seg).transpose(1, 0, 2))
-        if tile_only:
-            # drop the flat twin (the transpose above still peaks at 2×
-            # codes HBM, but steady-state halves) — searches must then
-            # use seg == tile_seg (the block kernel); PQ32/PQ64 shards
-            # at 1B scale don't fit two resident layouts
-            jax.block_until_ready(codes_tiled)
-            codes_t = None
+        codes_tiled = _pack_codes_tiled(codes, ids[:cap_t], tile_seg)
+        del codes
+        codes_t = None
+        jax.block_until_ready(codes_tiled)
+        if verbose:
+            print(f"[build-dev] packed tiled cap={cap} "
+                  f"({cap / max(n_use, 1):.3f}x)", flush=True)
+    else:
+        codes_t = _pack_codes_t(codes, ids)
+        del codes
+        if verbose:
+            print(f"[build-dev] packed cap={cap} "
+                  f"({cap / max(n_use, 1):.3f}x)", flush=True)
+        if tile_seg:
+            cap_t = -(-cap // tile_seg) * tile_seg
+            codes_tiled = (codes_t[:, :cap_t]
+                           .reshape(codes_t.shape[0], cap_t // tile_seg,
+                                    tile_seg).transpose(1, 0, 2))
     dev = DeviceIVF(centroids=cent, codebooks=cbooks, codes_t=codes_t,
                     ids=ids, list_start=list_start, list_len=list_len,
                     opq_R=opq_R, codes_tiled=codes_tiled)

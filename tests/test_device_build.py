@@ -113,6 +113,25 @@ def test_pack_codes_t_chunked_matches_oneshot(rng, monkeypatch):
     np.testing.assert_array_equal(chunked, one)
 
 
+def test_pack_codes_tiled_matches_flat_retile(rng, monkeypatch):
+    """The direct-to-tiled pack (tile_only builds: no flat twin, no
+    2x-slab retile peak — the 1B PQ32 shard OOM fix) must match the
+    flat-pack-then-retile layout exactly, across chunk boundaries and
+    the tail chunk."""
+    from chamjax.index import device_build as db
+    n, m, seg = 5000, 4, 64
+    cap = 6208                               # 97 tiles
+    codes = jnp.asarray(rng.integers(0, 256, (n, m)).astype(np.uint8))
+    gids = rng.integers(-1, n, cap).astype(np.int32)
+    gids[cap - 7:] = -1
+    gids = jnp.asarray(gids)
+    flat = np.asarray(db._pack_codes_t_oneshot(codes, gids))
+    want = (flat.reshape(m, cap // seg, seg).transpose(1, 0, 2))
+    monkeypatch.setattr(db, "_PACK_CHUNK_COLS", 1 << 10)  # multi-chunk+tail
+    tiled = np.asarray(db._pack_codes_tiled(codes, gids, seg))
+    np.testing.assert_array_equal(tiled, want)
+
+
 def test_gt_streamed_matches_exact(ds):
     gt, gd = compute_ground_truth(ds.xb, ds.xq, k=10)
     gt_s, gd_s = compute_ground_truth_streamed(
