@@ -155,7 +155,10 @@ def main() -> None:
                                   balance_hard=True,
                                   balance_factor=args.balance or 1.3),
             draw_xt, kmeans_iters=8, pq_iters=8, chunk=chunk,
-            verbose=True, tile_seg=seg_est)
+            verbose=True, tile_seg=seg_est,
+            # serving uses the tiled kernel only; skip the flat twin so
+            # d=512/m=32 100M builds fit next to the model params
+            tile_only=True)
         retriever = DeviceRetriever(
             dev, info["list_len"],
             SearchConfig(nprobe=args.nprobe, k=args.k, seg=seg_est,

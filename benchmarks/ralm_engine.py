@@ -59,7 +59,10 @@ def main() -> None:
     ap.add_argument("--nprobe", type=int, default=16)
     ap.add_argument("--n-clusters", type=int, default=262144)
     ap.add_argument("--nt", type=int, default=2_000_000)
-    ap.add_argument("--chunk", type=int, default=1 << 21)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="builder chunk rows (0: auto-size to ~1 GB f32 "
+                         "draws — d=512 corpora can't afford 4 GB chunks "
+                         "next to the code slabs)")
     ap.add_argument("--kmeans-iters", type=int, default=6)
     ap.add_argument("--pq-iters", type=int, default=8)
     ap.add_argument("--seed", type=int, default=42)
@@ -131,10 +134,14 @@ def main() -> None:
         xt_box[0] = None
         return v
 
+    chunk = args.chunk or max(1 << 18, ((1 << 28) // args.d // 4096) * 4096)
     dev, info = build_ivfpq_device(
         draw_b, nb, cfg, xt_lazy, kmeans_iters=args.kmeans_iters,
-        pq_iters=args.pq_iters, seed=args.seed, chunk=args.chunk,
-        verbose=True, tile_seg=seg_est)
+        pq_iters=args.pq_iters, seed=args.seed, chunk=chunk,
+        verbose=True, tile_seg=seg_est,
+        # one resident layout: the serving path is the tiled kernel, and
+        # m=32 at ~100M rows can't afford the flat twin next to it
+        tile_only=True)
     jax.block_until_ready(dev.codes_t)
     note(f"index built in {time.time() - t0:.1f}s "
          f"(nlist={args.nlist}, m={args.m}, seg={seg_est})")
