@@ -28,6 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="Dec-S")
+    ap.add_argument("--presets", type=str, default="",
+                    help="comma list of presets sharing ONE index build "
+                         "(must all have the same embed_dim); overrides "
+                         "--preset")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--warmup", type=int, default=8)
@@ -72,12 +76,20 @@ def main() -> None:
     from chamjax.serving.ralm import RalmDecoder, RalmEncoderDecoder
 
     import dataclasses
-    mcfg = MODEL_PRESETS[args.preset]
-    # KV cache is allocated at max_seq_len; clamp it to the measured steps
-    # (13.5 GB of Llama-7B params leave no room for a 512-slot cache)
-    mcfg = dataclasses.replace(
-        mcfg, max_seq_len=min(mcfg.max_seq_len,
-                              args.steps + args.warmup + 8))
+    presets = ([p for p in args.presets.split(",") if p]
+               if args.presets else [args.preset])
+    mcfgs = {}
+    for p in presets:
+        m_ = MODEL_PRESETS[p]
+        # KV cache is allocated at max_seq_len; clamp it to the measured
+        # steps (13.5 GB of Llama-7B params leave no room for a 512-slot
+        # cache)
+        mcfgs[p] = dataclasses.replace(
+            m_, max_seq_len=min(m_.max_seq_len,
+                                args.steps + args.warmup + 8))
+    dims = {m_.embed_dim for m_ in mcfgs.values()}
+    assert len(dims) == 1, f"--presets must share embed_dim, got {dims}"
+    mcfg = next(iter(mcfgs.values()))
     d = mcfg.embed_dim
     t0 = time.time()
     if args.streamed:
@@ -183,39 +195,43 @@ def main() -> None:
           flush=True)
 
     key = jax.random.PRNGKey(0)
-    if mcfg.model_type == "encoder-decoder":
-        enc_dec = init_encoder_decoder(key, mcfg)
-        params = None
-    else:
-        enc_dec = None
-        params = (init_llama(key, mcfg) if mcfg.model_type == "llama"
-                  else init_decoder(key, mcfg))
-
     intervals = ([int(s) for s in args.intervals.split(",") if s]
                  if args.intervals else [args.interval])
-    for interval in intervals:
-        if enc_dec is not None:
-            loop = RalmEncoderDecoder(*enc_dec, mcfg, retriever, args.batch,
-                                      retrieval_interval=interval,
-                                      nprobe=args.nprobe, k=args.k)
+    for preset in presets:
+        mcfg = mcfgs[preset]
+        if mcfg.model_type == "encoder-decoder":
+            enc_dec = init_encoder_decoder(key, mcfg)
+            params = None
         else:
-            loop = RalmDecoder(params, mcfg, retriever, args.batch,
-                               retrieval_interval=interval,
-                               nprobe=args.nprobe, k=args.k)
+            enc_dec = None
+            params = (init_llama(key, mcfg) if mcfg.model_type == "llama"
+                      else init_decoder(key, mcfg))
 
-        loop.batch_inference(args.warmup)
-        loop.reset_inference_state()
-        loop.batch_inference(args.steps)
-        tps = loop.throughput_tokens_per_sec(args.steps)
-        ms_step = loop.total_wall_s / args.steps * 1e3
-        print(json.dumps({
-            "preset": args.preset, "batch": args.batch,
-            "interval": interval, "nprobe": args.nprobe, "k": args.k,
-            "steps": args.steps, "tok_per_s": round(tps, 1),
-            "ms_per_step": round(ms_step, 3),
-            "nb": args.nb, "m": args.m,
-        }), flush=True)
-        del loop
+        for interval in intervals:
+            if enc_dec is not None:
+                loop = RalmEncoderDecoder(*enc_dec, mcfg, retriever,
+                                          args.batch,
+                                          retrieval_interval=interval,
+                                          nprobe=args.nprobe, k=args.k)
+            else:
+                loop = RalmDecoder(params, mcfg, retriever, args.batch,
+                                   retrieval_interval=interval,
+                                   nprobe=args.nprobe, k=args.k)
+
+            loop.batch_inference(args.warmup)
+            loop.reset_inference_state()
+            loop.batch_inference(args.steps)
+            tps = loop.throughput_tokens_per_sec(args.steps)
+            ms_step = loop.total_wall_s / args.steps * 1e3
+            print(json.dumps({
+                "preset": preset, "batch": args.batch,
+                "interval": interval, "nprobe": args.nprobe, "k": args.k,
+                "steps": args.steps, "tok_per_s": round(tps, 1),
+                "ms_per_step": round(ms_step, 3),
+                "nb": args.nb, "m": args.m,
+            }), flush=True)
+            del loop
+        del params, enc_dec
 
 
 if __name__ == "__main__":
