@@ -245,7 +245,10 @@ class JaxDualEncoder:
             demb[s:s + encode_batch] = np.asarray(e)
         qemb = self._embed_texts(list(queries), "q")
 
-        if use_ivfpq and nd >= 4096:
+        if use_ivfpq and nd >= 4096 and jax.default_backend() == "tpu":
+            # the repo's own ANN engine — TPU only: on any other backend
+            # the seg kernel runs INTERPRETED (searcher.py:188) and 1.5k
+            # queries over a 100k-doc index take ~30 min instead of ~1 s
             from chamjax.config import IndexConfig, SearchConfig
             from chamjax.index import build_ivfpq
             from chamjax.searcher import IVFSearcher
@@ -257,9 +260,13 @@ class JaxDualEncoder:
                 nprobe=min(32, cfg.nlist), k=depth + 16))
             _dd, ii = s.search(qemb)
             ranked = np.asarray(ii, np.int64)
-        else:           # tiny corpora: exact (cosine — embeddings are L2d)
+        else:           # exact (cosine — embeddings are L2-normalized)
             scores = qemb @ demb.T
-            ranked = np.argsort(-scores, axis=1)[:, : depth + 16]
+            top = min(depth + 16, nd)
+            part = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            order = np.argsort(
+                -np.take_along_axis(scores, part, axis=1), axis=1)
+            ranked = np.take_along_axis(part, order, axis=1)
 
         rng = np.random.default_rng(seed)
         out = np.zeros((len(queries), n_neg), np.int64)
