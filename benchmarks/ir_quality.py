@@ -54,6 +54,7 @@ def main() -> None:
                     help="mining rounds; each re-mines with the current "
                          "model and trains --hard-steps more")
     ap.add_argument("--hard-steps", type=int, default=2500)
+    ap.add_argument("--hard-lr", type=float, default=1.5e-3)
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--emb-dim", type=int, default=192)
     ap.add_argument("--max-len", type=int, default=48,
@@ -182,7 +183,7 @@ def main() -> None:
                 note(f"round {r}: mined {neg.shape} negatives in "
                      f"{time.time() - t0:.1f}s")
                 trained_enc.fit(pairs, steps=args.hard_steps, batch=128,
-                                lr=1.5e-3, verbose=False,
+                                lr=args.hard_lr, verbose=False,
                                 neg_tokens=doc_tokens,
                                 neg_idx=neg[pair_q])
     if "dense_trained" in args.methods:
