@@ -134,7 +134,9 @@ def main() -> None:
         xt_box[0] = None
         return v
 
-    chunk = args.chunk or max(1 << 18, ((1 << 28) // args.d // 4096) * 4096)
+    # hard-mode draws are GEN-granular (1M rows); at d=512 one GEN chunk
+    # is already 2 GB f32 — the floor, not the target
+    chunk = args.chunk or max(GEN, ((1 << 28) // args.d // GEN) * GEN)
     dev, info = build_ivfpq_device(
         draw_b, nb, cfg, xt_lazy, kmeans_iters=args.kmeans_iters,
         pq_iters=args.pq_iters, seed=args.seed, chunk=chunk,
