@@ -621,7 +621,10 @@ def _pack_codes_tiled(codes: jax.Array, gather_ids: jax.Array,
     cap = gather_ids.shape[0]
     assert cap % seg == 0, (cap, seg)
     acc = jnp.zeros((cap // seg, m, seg), jnp.uint8)
-    step = max(seg, (_PACK_CHUNK_COLS // seg) * seg)
+    # bytes-based chunk: the gather+transpose temps pad ~2x in XLA, and a
+    # fixed 16M-column chunk at m=64 compiles to >4 GB of HLO temps
+    # (compile-time OOM on the PQ64 shard); ~256 MB parts keep temps ~1 GB
+    step = max(seg, ((256 << 20) // m // seg) * seg)
     for s in range(0, cap, step):
         e = min(s + step, cap)
         acc = _pack_codes_tiled_chunk(acc, codes, gather_ids[s:e],
